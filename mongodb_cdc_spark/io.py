@@ -1,0 +1,63 @@
+"""Table IO over the driver's parquet star schema.
+
+Mirrors the reference's "collection handle" layer (js:133-137
+``sourceCollection`` / ``targetCollection``) as DataFrame loaders. One
+deliberate divergence from schema-on-read BSON (SURVEY.md §1.2): each table
+gets a static Catalyst schema straight from the parquet footer, with the
+``events.props`` JSON-string column kept as the open-attribute escape hatch
+(parsed per-query with ``get_json_object`` / ``from_json``).
+
+Scale note: loaders return *lazy* scans — no caching, no collect — so
+Catalyst sees the raw parquet relation and can push filters/projections into
+the scan (verify with ``df.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.session import ensure_session_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table as a lazy DataFrame scan.
+
+    ``events.ts`` arrives as parquet TIMESTAMP(NANOS) which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a
+    raw ns-epoch long, converted here to TIMESTAMP_NTZ at microsecond
+    precision. Integer ``DIV`` (never ``/``) — ns epochs (~1.7e18) exceed
+    double's 2^53 exact-integer range, so float division would corrupt
+    timestamps.
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API surface."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,112 @@
+"""Shared determinism helpers for exact-oracle operators (SURVEY.md §2B
+"FP discipline").
+
+Why not ``round()`` / ``CAST(.. AS DECIMAL)``: engines disagree on rare
+rows. Spark casts double->decimal through Java BigDecimal's shortest
+string representation (double-rounding), DuckDB through its own scaled
+conversion; at sf0.01 this already produced a one-cent mismatch in a
+60k-row sum. The only portable formulation is explicit integer
+arithmetic spelled out identically on both sides:
+
+* per-row fixed-point: ``FLOOR(x * 10000)`` — the multiply is a single
+  IEEE-754 op (bit-identical in both engines), FLOOR is exact, and floor
+  has no rounding ties.
+* exact BIGINT sums (associative -> independent of partial-agg order).
+* final half-up rounding as ``(S + 50) DIV 100`` — no library rounding
+  rule involved.
+
+Each helper returns a (spark_sql, duckdb_sql) pair from one template; the
+only dialect difference is integer division (``div`` vs ``//``). Outputs
+are DOUBLE (``cents / 100.0`` — exact for any |cents| < 2^52).
+
+Scale bound: |x| * 10000 must stay below 2^53 per row (|x| < 9e11) and the
+scaled BIGINT sum below 2^63 (~9.2e14 in value units) — comfortably true
+for this schema even at SF 1000; beyond that, swap BIGINT for DECIMAL(38,0)
+accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCALE = 10000  # 4 implicit fractional digits of working precision
+
+
+def _round_cents(S: str, div: str) -> str:
+    """Half-up rounding of a scale-4 integer ``S`` to cents, sign-symmetric.
+
+    Written with positive-only division so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree.
+    """
+    return (
+        f"CAST((CASE WHEN {S} >= 0 THEN ({S} + 50) {div} 100 "
+        f"ELSE -((-({S}) + 50) {div} 100) END) AS DOUBLE) / 100.0"
+    )
+
+
+def sum2_sql(expr: str, alias: str) -> tuple[str, str]:
+    """Deterministic SUM(expr) rounded to 2 decimals, as (spark, duckdb) SQL."""
+    S = f"SUM(CAST(FLOOR(({expr}) * {_SCALE}) AS BIGINT))"
+    return tuple(
+        f"{_round_cents(S, div)} AS {alias}" for div in ("div", "//")
+    )  # type: ignore[return-value]
+
+
+def avg2_sql(expr: str, alias: str) -> tuple[str, str]:
+    """Deterministic AVG(expr) rounded to 2 decimals, as (spark, duckdb) SQL.
+
+    avg = S / (10000 * n); half-up to cents in integer domain:
+    cents = (2*S + 100*n) DIV (200*n) for S >= 0 (mirrored for S < 0).
+    """
+    out = []
+    for div in ("div", "//"):
+        S = f"SUM(CAST(FLOOR(({expr}) * {_SCALE}) AS BIGINT))"
+        n = "COUNT(*)"
+        pos = f"(2 * ({S}) + 100 * {n}) {div} (200 * {n})"
+        neg = f"-((-2 * ({S}) + 100 * {n}) {div} (200 * {n}))"
+        out.append(
+            f"CAST((CASE WHEN {S} >= 0 THEN {pos} ELSE {neg} END) AS DOUBLE)"
+            f" / 100.0 AS {alias}"
+        )
+    return tuple(out)  # type: ignore[return-value]
+
+
+def round2_sql(expr: str, alias: str) -> tuple[str, str]:
+    """Deterministic per-row round-to-2-decimals (half-up for positives),
+    as (spark, duckdb) SQL: ``FLOOR(x*100 + 0.5) / 100.0`` — identical
+    IEEE ops in both engines, no library rounding."""
+    s = (
+        f"CAST(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT) AS DOUBLE)"
+        f" / 100.0 AS {alias}"
+    )
+    return (s, s)
+
+
+def sum2(expr: str, alias: str) -> Column:
+    """Spark Column for :func:`sum2_sql` (use inside ``.agg``)."""
+    return F.expr(sum2_sql(expr, alias)[0].rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def avg2(expr: str, alias: str) -> Column:
+    """Spark Column for :func:`avg2_sql` (use inside ``.agg``)."""
+    return F.expr(avg2_sql(expr, alias)[0].rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def round2(expr: str, alias: str) -> Column:
+    """Spark Column for :func:`round2_sql`."""
+    return F.expr(round2_sql(expr, alias)[0].rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def epoch_s(col: Column | str, alias: str) -> Column:
+    """Timestamp -> epoch seconds BIGINT (floor), safe to hash cross-engine
+    (Spark sees µs precision, DuckDB ns; floor-to-second is stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_unix_timestamp(c).cast("bigint").alias(alias)
+
+
+def oracle_epoch(expr: str, alias: str) -> str:
+    """DuckDB SQL twin of :func:`epoch_s`. ``epoch_ns(..) // 1e9`` stays in
+    integer domain — ``date_part('epoch', ..)`` would return fractional
+    DOUBLE seconds on ns timestamps."""
+    return f"(epoch_ns({expr}) // 1000000000) AS {alias}"

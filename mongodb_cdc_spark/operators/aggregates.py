@@ -1,0 +1,207 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+The reference's only aggregations are per-batch insert/update/error
+counters (js:155, js:166-184 ``stats``/``totalStats``) — generalized here
+to the full hash-aggregate surface an analytics engine needs. All double
+aggregates follow the fixed-point determinism discipline (`_util.sum2` /
+`avg2`: exact BIGINT accumulation, explicit integer rounding).
+
+Scale notes: every groupBy below is a hash aggregate with map-side partial
+aggregation (Spark plans partial_sum/partial_count before the shuffle), so
+the shuffle carries one row per (partition, group), not per input row.
+Group-key cardinality here is tiny-to-moderate (flags, statuses, custkeys),
+so no skew handling is needed; AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import avg2, avg2_sql, sum2, sum2_sql
+from mongodb_cdc_spark.registry import query
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sum2_sql('l_quantity', 'sum_qty')[1]},
+       {sum2_sql('l_extendedprice', 'sum_base_price')[1]},
+       {sum2_sql(_DISC_PRICE, 'sum_disc_price')[1]},
+       {sum2_sql(_CHARGE, 'sum_charge')[1]},
+       {avg2_sql('l_quantity', 'avg_qty')[1]},
+       {avg2_sql('l_extendedprice', 'avg_price')[1]},
+       {avg2_sql('l_discount', 'avg_disc')[1]},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_hash_groupby", oracle=_Q1_ORACLE)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary — the engine's flagship query
+    (`__spark_entry__.entry`). Filter pushes to the parquet scan; the
+    2-key hash aggregate partial-aggregates map-side before one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum2("l_quantity", "sum_qty"),
+            sum2("l_extendedprice", "sum_base_price"),
+            sum2(_DISC_PRICE, "sum_disc_price"),
+            sum2(_CHARGE, "sum_charge"),
+            avg2("l_quantity", "avg_qty"),
+            avg2("l_extendedprice", "avg_price"),
+            avg2("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type. Spark expands COUNT DISTINCT into a
+    two-phase aggregate (dedup on (event_type, user_id), then count) —
+    scales with distinct-pair cardinality, not input rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type. No exact oracle
+    — sketch implementations (and thus estimates) differ across engines;
+    the driver records a rows-only check. At 100 TB this is THE way to
+    count distincts: fixed-size sketch per group, no dedup shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region -> nation -> grand total of customer
+    counts. The dims are broadcast (see joins.py scale notes); the rollup
+    is one Expand + hash aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sum2_sql('o_totalprice', 'sum_price')[1]}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (status, priority) with counts and deterministic
+    price sums."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum2("o_totalprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sum2_sql('l_quantity', 'sum_qty')[1]}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (Catalyst plans the same
+    Expand as rollup)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               {sum2_sql('l_quantity', 'sum_qty')[0]}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {sum2_sql('o_totalprice', 'total_spent')[1]}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation group filter (HAVING ≅ .agg().filter())."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum2("o_totalprice", "total_spent"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "agg_cdc_batch_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_cdc_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-batch stats counters (js:155/166-184: inserts,
+    updates, errors tallied per processed batch) as a relational aggregate
+    over the event log. Streaming twin: ``df.observe`` in
+    streaming/monitor.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

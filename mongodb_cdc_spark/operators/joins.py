@@ -1,0 +1,1 @@
+"""joins operators — filled in as coverage widens (SURVEY.md §2B)."""

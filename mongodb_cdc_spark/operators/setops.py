@@ -1,0 +1,1 @@
+"""setops operators — filled in as coverage widens (SURVEY.md §2B)."""

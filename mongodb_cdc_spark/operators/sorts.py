@@ -1,0 +1,1 @@
+"""sorts operators — filled in as coverage widens (SURVEY.md §2B)."""

@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for the engine.
+
+The reference (js:120-146 ``connectToMongoDB``) opens two MongoClient
+connections; our analog is a single SparkSession whose configs encode the
+engine's performance posture:
+
+* AQE on (runtime join selection, partition coalescing, skew-join splitting)
+  — at 100 TB this is what adapts the plan to real shuffle sizes.
+* Shuffle partitions sized to the local core count for tests; on a real
+  cluster AQE coalescing makes the static number far less critical.
+* Arrow enabled so any pandas-UDF path is vectorized, never row-at-a-time.
+* Session timezone pinned to UTC so timestamp semantics are engine-stable
+  (and match the DuckDB oracle, which is UTC-naive).
+* ``nanosAsLong`` because the driver's `events` table carries
+  TIMESTAMP(NANOS) parquet, which Spark's reader does not accept natively;
+  the io layer converts ns -> a proper timestamp column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must hold on ANY session running engine queries, including a
+# session the verify driver created itself. All of these are runtime-settable
+# SQL confs; ensure_session_confs() applies them defensively.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part at any sane SF)
+    # stay broadcastable; facts never are. 64 MB keeps star-join dims on the
+    # broadcast path even at sf100-equivalent dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this build — keep going; io layer has fallbacks.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "mongodb-cdc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Defaults target the test rig (local[N] where N = SPARK_GRAFT_CPUS or 32);
+    on a real cluster pass ``master=None`` with externally-managed deploy and
+    the same SQL confs apply unchanged.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_confs(spark)
