@@ -1,1 +1,242 @@
-"""joins operators — filled in as coverage widens (SURVEY.md §2B)."""
+"""Join operators (SURVEY.md §2B "Joins").
+
+The reference performs joins only implicitly — point lookups against two
+collections for reconciliation (js:399-454 ``compareDocuments``: fetch by
+``_id`` from source and target, then diff) and an N+1 per-id loop
+(js:502-518). Here those become set-based joins; the full-/anti-join pair
+is the relational heart of the CDC diff tooling (operators/cdc.py builds
+on these).
+
+Scale notes (the 100 TB plan):
+
+* Fact-to-fact equi-joins (orders ⋈ customer at high SF) shuffle both
+  sides on the key — Spark picks sort-merge; AQE converts to broadcast
+  when a side turns out small, and splits skewed partitions.
+* Dimension joins are explicitly ``broadcast()`` — region/nation/customer
+  dims stay tiny relative to facts, so the fact side never shuffles.
+* The theta/cross joins are constrained to dimension tables (nation,
+  region): a Cartesian product over facts would be a plan bug, not an
+  operator.
+* The as-of join avoids a full event×order blow-up at scale by equi-
+  joining on the key first and resolving "latest ≤ ts" with one window
+  pass per event — the shuffle is keyed on the join key, and the window
+  reuses that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join fact ⋈ dimension-ish on custkey; Spark/AQE picks the
+    physical strategy (broadcast at test SF, sort-merge at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim chain with explicit broadcast hints: the customer
+    side streams, nation/region ship to every executor — zero shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with/without orders, null-extended on the order side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT o_orderkey, a_price, b_priority
+    FROM (SELECT o_orderkey, o_totalprice AS a_price
+          FROM orders WHERE o_orderstatus = 'O') a
+    FULL OUTER JOIN
+         (SELECT o_orderkey, o_orderpriority AS b_priority
+          FROM orders WHERE o_totalprice > 150000) b
+    USING (o_orderkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference base (grounding for the CDC field-diff,
+    js:457-475): two order slices full-outer-joined so rows missing on
+    either side null-extend. Spark's USING-style string key coalesces the
+    key column exactly like DuckDB's USING."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_totalprice").alias("a_price")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", F.col("o_orderpriority").alias("b_priority")
+    )
+    return a.join(b, "o_orderkey", "full")
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a semi-join: customers having at least one order. The
+    probe side only ships join keys — no payload shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as an anti-join — the reference's "missing-in-target"
+    existence check (js:423-431) as one distributed operator. The urgent-
+    order predicate keeps the result non-empty at every test SF (an empty
+    anti-join would be a vacuous correctness check)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_self",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi self-join: unordered nation pairs within a region. The
+    equi conjunct (same region) keys the shuffle; the `<` theta conjunct
+    is a post-join filter — so this stays a hash/merge join, not a
+    Cartesian."""
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — deliberately dimension × dimension only
+    (5 × 25); Spark plans BroadcastNestedLoopJoin."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_asof_latest",
+    oracle="""
+    SELECT event_id, user_id, asof_orderkey, asof_order_epoch
+    FROM (
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS asof_orderkey,
+             (epoch_us(o.o_orderdate) // 1000000) AS asof_order_epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark DataFrame asof): each event paired with
+    the latest order of that customer with o_orderdate <= ts.
+
+    Composition: equi-join on the key + range conjunct, then one
+    row-number window per event picks the latest (o_orderkey tiebreak for
+    determinism). At scale the equi-join keys the shuffle; an
+    `applyInPandas` + `pd.merge_asof` per key bucket is the fallback when
+    per-key order multiplicity explodes (not needed on this data shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (o.o_custkey == ev.user_id) & (o.o_orderdate <= ev.ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.to_unix_timestamp("o_orderdate").cast("bigint").alias("asof_order_epoch"),
+        )
+    )

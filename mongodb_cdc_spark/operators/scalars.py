@@ -1,1 +1,237 @@
-"""scalars operators — filled in as coverage widens (SURVEY.md §2B)."""
+"""Scalar function operators (SURVEY.md §2B "Scalar functions").
+
+The reference has no scalar function library — its per-document transforms
+are field projections (js:160-184) and `JSON.stringify` comparisons
+(js:469); `fn_json` is the engine formulation of its dynamic-document
+escape hatch (§1.2: open attributes ride a JSON string column).
+
+All of these stay inside whole-stage codegen (built-in functions, no
+Python) — per-row scalar work is exactly what Tungsten compiles into the
+scan loop, so at 100 TB these cost no more than the scan itself.
+
+Determinism notes are per-operator; general rules in `_util`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import round2, round2_sql
+from mongodb_cdc_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           length(p_name) AS name_len,
+           (p_name LIKE '%a%') AS has_a
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper / substring / concat / length / LIKE over `part` (1-based
+    substring in both engines)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           (epoch_us(date_trunc('month', o_orderdate)) // 1000000) AS month_start_epoch,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year / month / date_trunc / datediff over `orders`. Truncated month
+    start is emitted as an epoch BIGINT (timestamp-output discipline);
+    datediff runs on DATE in both engines (day-count semantics match)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.to_unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("month_start_epoch"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_1999"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(abs(l_discount - 0.05) * 100 AS DOUBLE) AS disc_delta_pct,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           {round2_sql('l_quantity * l_quantity', 'qty_squared')[1]}
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs / floor / ceil / square over `lineitem`. The square is written
+    as x*x (one IEEE multiply — bit-identical) rather than pow(x, 2),
+    whose libm implementations may differ in the last ulp across engines;
+    floor/ceil are cast to BIGINT because DuckDB returns DOUBLE and Spark
+    BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.abs(F.col("l_discount") - 0.05) * 100).cast("double").alias("disc_delta_pct"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        round2("l_quantity * l_quantity", "qty_squared"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-document escape hatch (SURVEY.md §1.2): open attributes
+    live in the `props` JSON string (the engine's stand-in for ragged BSON
+    documents, js:459-469); `get_json_object` extracts server-side with no
+    Python involved. Integer payloads sum exactly — no FP discipline
+    needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "fn_array",
+    oracle=f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           {round2_sql('embedding[1] * 100', 'first_x100')[1]},
+           {round2_sql('embedding[64] * 100', 'last_x100')[1]}
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface over the embedding column (NS multimodal
+    grounding): size + element_at (1-based in both engines). float32 ->
+    double widening is exact, so the fixed-point round is cross-engine
+    stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        round2("element_at(embedding, 1) * 100", "first_x100"),
+        round2("element_at(embedding, 64) * 100", "last_x100"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           2 AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map, read a key back, count keys. The
+    oracle computes the same scalars directly (DuckDB's MAP type isn't
+    part of the contract surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("id"), F.col("event_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("type").alias("type_from_map"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 150 THEN 'high'
+                WHEN value > 75 THEN 'mid'
+                ELSE 'low' END AS value_band,
+           coalesce(nullif(event_type, 'error'), 'n/a') AS type_or_na
+    FROM events
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif — the classification idiom of the
+    reference's diff routine (js:466-470: missing-in-source /
+    missing-in-target / value-mismatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 150, "high")
+        .when(F.col("value") > 75, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("n/a")).alias(
+            "type_or_na"
+        ),
+    )
+
+
+@query(
+    "fn_cast_decimal",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))
+                * CAST(0.01 AS DECIMAL(3,2))
+                * CAST(1.05 AS DECIMAL(3,2))
+                * 10000 AS BIGINT) AS with_tax_e4
+    FROM orders
+    """,
+)
+def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType arithmetic: price -> exact cents -> DECIMAL, multiplied
+    by exact decimal literals (multiplication is exact, engines only differ
+    in declared scale), surfaced as a scaled BIGINT. The double->decimal
+    entry goes through FLOOR fixed-point (never a raw decimal cast — see
+    _util module docs), and the output leaves decimal-typed columns out of
+    the hash (engine scale rules differ)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))"
+            " * CAST(0.01 AS DECIMAL(3,2))"
+            " * CAST(1.05 AS DECIMAL(3,2))"
+            " * 10000 AS BIGINT)"
+        ).alias("with_tax_e4"),
+    )
