@@ -1,1 +1,217 @@
-"""cdc operators — filled in as coverage widens (SURVEY.md §2B)."""
+"""CDC-semantic composite operators (SURVEY.md §2B) — batch formulations
+of the reference pipeline's runtime behavior, each citing the JS span it
+re-expresses. These are where the reference's imperative loops become
+set-based distributed plans:
+
+* its per-document reconciliation loop (js:502-518, an N+1 round-trip
+  antipattern) becomes one pass of joins + aggregation;
+* its upsert replay (js:157-199) becomes a latest-per-key window;
+* its health lag check (js:541-605) becomes an aggregate against the
+  stream head.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import sum2, sum2_sql
+from mongodb_cdc_spark.registry import query
+
+# The audit window used by cdc_window_audit / cdc_checkpoint_lag — chosen
+# inside the events table's 2024 range at every SF.
+_T1 = "2024-01-03 00:00:00"
+_T2 = "2024-01-10 00:00:00"
+
+
+@query(
+    "cdc_apply_upsert",
+    oracle="""
+    SELECT user_id, event_type, value, props,
+           (epoch_ns(ts) // 1000000000) AS ts_epoch
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'view', 'purchase')
+    ) WHERE rn = 1
+    """,
+)
+def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay an insert/update event log into final table state — the
+    whole reference pipeline (R1-R7) as one batch expression: filter the
+    op types it keeps (js:159-177 drops deletes; here 'error' events play
+    the dropped role), pick the newest event per key (js:171-173 upsert ⇒
+    last write wins), project the fullDocument payload."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(
+        F.col("event_type").isin("signup", "click", "view", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        )
+    )
+
+
+@query(
+    "cdc_diff_missing",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders t
+        WHERE t.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND t.o_orderkey = orders.o_orderkey)
+    """,
+)
+def cdc_diff_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's missing-in-target existence check (js:423-431),
+    set-based: source = all orders, target = a stale replica (orders
+    before a cutoff); one anti-join finds every document the replica
+    lacks — replacing a per-id findOne loop with a single keyed shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1998-01-01 00:00:00"
+    source = o.filter(F.col("o_orderdate") >= cutoff)
+    target = o.filter(F.col("o_orderdate") < cutoff).select("o_orderkey")
+    return source.join(target, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_FIELDWISE_ORACLE = f"""
+WITH a AS (
+  SELECT o_custkey, {sum2_sql('o_totalprice', 'total')[1]}, COUNT(*) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, {sum2_sql('o_totalprice', 'total')[1]}, COUNT(*) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       a.total AS source_total, b.total AS target_total,
+       CASE WHEN a.o_custkey IS NULL THEN 'missing-in-source'
+            WHEN b.o_custkey IS NULL THEN 'missing-in-target'
+            WHEN a.total <> b.total OR a.n <> b.n THEN 'value-mismatch'
+            ELSE 'equal' END AS diff_type
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
+@query("cdc_diff_fieldwise", oracle=_FIELDWISE_ORACLE)
+def cdc_diff_fieldwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's field-wise diff classifier (js:457-475: union of
+    keys -> missing-in-source / missing-in-target / value-mismatch) as a
+    relational operator: per-customer aggregates at two cutoffs, full
+    outer join on the key, CASE classification. Deliberate divergence
+    (SURVEY.md §7.5): equality is typed-value equality, not the JS
+    JSON.stringify string comparison."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def snapshot(cutoff: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < cutoff)
+            .groupBy("o_custkey")
+            .agg(sum2("o_totalprice", "total"), F.count(F.lit(1)).alias("n"))
+        )
+
+    a = snapshot("1999-01-01 00:00:00").alias("a")
+    b = snapshot("2000-01-01 00:00:00").alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.col("a.total").alias("source_total"),
+        F.col("b.total").alias("target_total"),
+        F.when(F.col("a.o_custkey").isNull(), "missing-in-source")
+        .when(F.col("b.o_custkey").isNull(), "missing-in-target")
+        .when(
+            (F.col("a.total") != F.col("b.total")) | (F.col("a.n") != F.col("b.n")),
+            "value-mismatch",
+        )
+        .otherwise("equal")
+        .alias("diff_type"),
+    )
+
+
+@query(
+    "cdc_window_audit",
+    oracle=f"""
+    WITH touched AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts BETWEEN TIMESTAMP '{_T1}' AND TIMESTAMP '{_T2}'
+        AND event_type IN ('signup', 'click', 'view', 'purchase')
+    )
+    SELECT COUNT(*) AS total_documents_compared,
+           COUNT(c_custkey) AS documents_found,
+           COUNT(*) - COUNT(c_custkey) AS documents_with_differences
+    FROM touched LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def cdc_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's time-window audit (js:478-538): oplog scan in
+    [t1, t2] filtered to i/u ops (js:486-496) -> distinct touched ids
+    (js:499) -> per-id source/target lookup loop (js:502-518) -> summary
+    (js:520-525). The N+1 loop becomes one keyed join of the distinct-id
+    set against the `customer` "target"; the summary keeps the reference's
+    report shape."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    touched = (
+        ev.filter(F.col("ts").between(_T1, _T2))
+        .filter(F.col("event_type").isin("signup", "click", "view", "purchase"))
+        .select("user_id")
+        .distinct()
+    )
+    joined = touched.join(c, touched.user_id == c.c_custkey, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("total_documents_compared"),
+        F.count("c_custkey").alias("documents_found"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("documents_with_differences"),
+    )
+
+
+@query(
+    "cdc_checkpoint_lag",
+    oracle=f"""
+    WITH head AS (
+      SELECT MAX(ts) AS head_ts FROM events
+    )
+    SELECT user_id,
+           (epoch_ns(MAX(ts)) // 1000000000) AS last_seen_epoch,
+           (epoch_ns((SELECT head_ts FROM head)) // 1000000000)
+             - (epoch_ns(MAX(ts)) // 1000000000) AS lag_s,
+           ((epoch_ns((SELECT head_ts FROM head)) // 1000000000)
+             - (epoch_ns(MAX(ts)) // 1000000000) < 300) AS healthy
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_checkpoint_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's replication-lag health check (js:541-605): lag =
+    now - last checkpoint timestamp, unhealthy past 300 s (js:557). Batch
+    formulation: per-key last-seen vs the stream head (global max ts).
+    The head is a 1-row aggregate broadcast into a cross join — no
+    repeated subquery scans."""
+    ev = load_table(spark, sf_dir, "events")
+    head = ev.agg(F.to_unix_timestamp(F.max("ts")).cast("bigint").alias("head_epoch"))
+    per_user = ev.groupBy("user_id").agg(
+        F.to_unix_timestamp(F.max("ts")).cast("bigint").alias("last_seen_epoch")
+    )
+    return per_user.crossJoin(F.broadcast(head)).select(
+        "user_id",
+        "last_seen_epoch",
+        (F.col("head_epoch") - F.col("last_seen_epoch")).alias("lag_s"),
+        ((F.col("head_epoch") - F.col("last_seen_epoch")) < 300).alias("healthy"),
+    )

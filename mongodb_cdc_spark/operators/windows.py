@@ -1,1 +1,189 @@
-"""windows operators — filled in as coverage widens (SURVEY.md §2B)."""
+"""Window-function operators (SURVEY.md §2B "Window functions").
+
+`win_latest_per_key` is the batch soul of the reference: replaying its
+insert/update upsert stream (js:157-186) over a key is exactly "keep the
+last row per key by (ts, id)" — one row_number window. The rest is the
+standard analytic surface.
+
+Scale notes: every window here partitions by a key (user_id, nation), so
+the shuffle is keyed and bounded by per-key cardinality; Spark evaluates
+row_number/rank/lag streamingly within a partition (no buffering beyond
+the frame). The rolling sum uses fixed-point BIGINTs because engines may
+compute sliding frames incrementally (add/remove) vs by re-scan — double
+addition isn't associative, exact integers are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+
+@query(
+    "win_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           (epoch_ns(ts) // 1000000000) AS ts_epoch
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest event per user_id — the batch semantics of
+    the reference's idempotent upsert apply (js:157-199: each key ends at
+    its newest fullDocument). event_id DESC tiebreak makes the pick
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        )
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of customers by account balance within nation.
+    Rank values depend only on the (identical) double values, so ties are
+    engine-stable without a tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER w AS delta_prev,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential deltas (lag) and lookahead (lead). The delta is
+    a single IEEE subtraction of pass-through doubles — bit-identical
+    across engines, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_moving_agg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+           AS rolling_value
+    FROM events
+    """,
+)
+def win_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-row sum per user. Fixed-point BIGINT inside the frame:
+    engines are free to compute sliding sums incrementally (current +=
+    entering - leaving) or by re-scan, which changes double results —
+    integer accumulation is exact either way."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    scaled = F.floor(F.col("value") * 10000).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(scaled).over(w).cast("double") / 10000.0).alias("rolling_value"),
+    )
+
+
+@query(
+    "win_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS bal_quartile,
+           PERCENT_RANK() OVER w AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) + percent_rank over account balance, custkey tiebreak in
+    the ORDER BY (ntile assigns by position, so the total order must be
+    deterministic). percent_rank = (rank-1)/(n-1): a single small-integer
+    division, engine-stable."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event_id,
+           last_value(event_id) OVER w AS last_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame (the
+    default frame would make last_value = current row)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(w).alias("last_event_id"),
+    )
