@@ -17,6 +17,7 @@ MODULES = (
     "cdc",
     "timewindows",
     "extensions",
+    "multimodal",
     "udfs",
 )
 

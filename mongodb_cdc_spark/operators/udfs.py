@@ -1,1 +1,169 @@
-"""udfs operators — filled in as coverage widens (SURVEY.md §2B)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B).
+
+The engine's position (and the reference's, implicitly — its per-event
+transform js:157-186 is trivially expressible relationally): UDFs are the
+slow path. These four operators exist to prove the full extension surface
+works, each with a note on when the tier is actually warranted:
+
+* row-at-a-time Python UDF — serde per row, breaks codegen; registered
+  for parity, never for the hot path;
+* pandas (Arrow) UDF — vectorized batches, the right tier when Python is
+  genuinely needed (custom scoring, library calls);
+* grouped applyInPandas UDAF — per-group pandas frames, for aggregation
+  logic SQL can't express;
+* Python UDTF (Spark >= 3.5) — one-to-many row generation in Python.
+
+Determinism: the UDAF sums in fixed-point int64 inside pandas (shuffle
+order reaches the Python worker, so float sums would be run-dependent —
+same discipline as _util, applied in numpy).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+
+@udf(DoubleType())
+def _clip_py(v: float) -> float:
+    """Row-at-a-time clip(value, 0, 100)."""
+    if v is None:
+        return None
+    return 0.0 if v < 0 else (100.0 if v > 100 else float(v))
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT event_id, LEAST(GREATEST(value, 0), 100) AS clipped
+    FROM events
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the anti-pattern tier, kept for surface
+    parity): clip(value, 0, 100). Pass-through doubles, no FP discipline
+    needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", _clip_py("value").alias("clipped"))
+
+
+@pandas_udf(DoubleType())
+def _clip_pandas(v: pd.Series) -> pd.Series:
+    """Arrow-vectorized clip(value, 0, 100)."""
+    return v.clip(lower=0.0, upper=100.0)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, LEAST(GREATEST(value, 0), 100) AS clipped
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as `udf_python_scalar`, vectorized over Arrow
+    batches — the 10-100x-faster tier when Python is unavoidable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", _clip_pandas("value").alias("clipped"))
+
+
+def _weighted_avg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Weighted avg price by quantity for one group, in fixed-point int64:
+    rows arrive in shuffle order, so float accumulation would be
+    run-dependent; integer sums are order-free. Mirrors _util.avg2's
+    rounding formula exactly."""
+    import numpy as np
+
+    num = int(np.floor(pdf["l_extendedprice"] * pdf["l_quantity"] * 10000).astype("int64").sum())
+    den = int(np.floor(pdf["l_quantity"] * 10000).astype("int64").sum())
+    if den == 0:
+        wavg = None
+    else:
+        # round(num/den, 2) half-up in integer domain:
+        # cents = floor(num*100/den + 1/2) = (200*num + den) // (2*den)
+        cents = (200 * num + den) // (2 * den) if num >= 0 else -(
+            (200 * -num + den) // (2 * den)
+        )
+        wavg = cents / 100.0
+    return pd.DataFrame(
+        {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [wavg]}
+    )
+
+
+@query(
+    "udaf_grouped_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST((CASE WHEN SUM(CAST(FLOOR(l_extendedprice * l_quantity * 10000) AS BIGINT)) >= 0
+             THEN (200 * SUM(CAST(FLOOR(l_extendedprice * l_quantity * 10000) AS BIGINT))
+                   + SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)))
+                  // (2 * SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)))
+             ELSE -((200 * -SUM(CAST(FLOOR(l_extendedprice * l_quantity * 10000) AS BIGINT))
+                   + SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)))
+                  // (2 * SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT))))
+             END) AS DOUBLE) / 100.0 AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas UDAF via applyInPandas: qty-weighted average price
+    per return flag, accumulated in fixed-point int64 so the result is
+    independent of row arrival order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            _weighted_avg_group,
+            schema="l_returnflag string, weighted_avg_price double",
+        )
+    )
+
+
+@udtf(returnType="l_orderkey bigint, l_linenumber int, bucket_unit int")
+class _QuantityBuckets:
+    """Emit one row per 10-unit bucket of l_quantity (at least one)."""
+
+    def eval(self, l_orderkey: int, l_linenumber: int, l_quantity: float):
+        n = max(1, int(l_quantity // 10) + (1 if l_quantity % 10 > 0 else 0))
+        for i in range(n):
+            yield l_orderkey, l_linenumber, i
+
+
+@query(
+    "udtf_explode_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, unnest(generate_series(0, buckets - 1)) AS bucket_unit
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             GREATEST(1, CAST(CEIL(l_quantity / 10) AS INT)) AS buckets
+      FROM lineitem
+    )
+    """,
+)
+def udtf_explode_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark >= 3.5): one output row per 10-unit quantity
+    bucket per lineitem — one-to-many generation in Python. The oracle is
+    the relational formulation (generate_series unnest); at scale the
+    relational form wins — the UDTF tier is for generation logic SQL
+    can't express."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.udtf.register("quantity_buckets", _QuantityBuckets)
+    li.select("l_orderkey", "l_linenumber", "l_quantity").createOrReplaceTempView(
+        "_udtf_input"
+    )
+    return spark.sql(
+        """
+        SELECT t.l_orderkey, t.l_linenumber, t.bucket_unit
+        FROM _udtf_input,
+        LATERAL quantity_buckets(l_orderkey, l_linenumber, l_quantity) t
+        """
+    )

@@ -1,0 +1,98 @@
+"""Property-style spot checks (SURVEY.md §5.4): algebraic invariants that
+the oracle hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    """Dedup applied to already-deduped keepers must keep every row."""
+    first = QUERIES["ext_dedup_exact"](spark, sf_dir)
+    assert first.count() == first.select("text_hash").distinct().count()
+    assert first.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_union_all_row_arithmetic(spark, sf_dir):
+    from mongodb_cdc_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_signup = ev.filter(F.col("event_type") == "signup").count()
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert QUERIES["set_union_all"](spark, sf_dir).count() == n_signup + n_purchase
+
+
+def test_diff_of_identical_snapshots_is_all_equal(spark, sf_dir):
+    """R14 reflexivity: diff(X, X) reports no differences. Built by
+    re-running the fieldwise classifier with both cutoffs far past the
+    data's range (so both snapshots are the full table)."""
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators._util import sum2
+
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.groupBy("o_custkey").agg(
+        sum2("o_totalprice", "total"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = snap.alias("a"), snap.alias("b")
+    joined = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full")
+    mismatches = joined.filter(
+        F.col("a.o_custkey").isNull()
+        | F.col("b.o_custkey").isNull()
+        | (F.col("a.total") != F.col("b.total"))
+        | (F.col("a.n") != F.col("b.n"))
+    )
+    assert mismatches.count() == 0
+
+
+def test_minhash_pairs_are_ordered_and_self_free(spark, sf_dir):
+    pairs = QUERIES["ext_dedup_near_minhash"](spark, sf_dir)
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_minhash_finds_exact_duplicates(spark, sf_dir):
+    """Exact duplicates (same md5) are Jaccard-1.0 — every such pair MUST
+    collide in at least one MinHash band (identical token sets give
+    identical signatures)."""
+    from mongodb_cdc_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    dup_pairs = (
+        d.alias("x")
+        .join(d.alias("y"), F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    found = QUERIES["ext_dedup_near_minhash"](spark, sf_dir)
+    missed = dup_pairs.join(found, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
+    """The IVF bucket search must agree with brute force on at least some
+    of the top-10 (weak-but-real recall floor for a 1/8-corpus probe)."""
+    brute = {r.vec_id for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in QUERIES["ext_sim_ann_ivf"](spark, sf_dir).collect()}
+    assert len(brute) == 10
+    assert ivf, "IVF returned nothing — probe bucket empty?"
+    assert ivf & brute, "IVF found zero of the true top-10"
+
+
+def test_simhash_exact_dup_hamming_zero(spark, sf_dir):
+    """Exact duplicate docs must appear as Hamming-0 simhash pairs."""
+    pairs = QUERIES["ext_dedup_simhash"](spark, sf_dir)
+    assert pairs.filter(F.col("hamming") < 0).count() == 0
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_multimodal_decode_stub_raises_on_null(spark):
+    from mongodb_cdc_spark.operators.multimodal import _decode_stub
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(None)
