@@ -48,6 +48,15 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable in this build — keep going; io layer has fallbacks.
             pass
+    try:
+        # A session still on Spark's stock 200 shuffle partitions (e.g. the
+        # verify driver's default-built session) gets the engine's sizing;
+        # deliberate non-default settings are left alone.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
     return spark
 
 

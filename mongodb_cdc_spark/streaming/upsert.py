@@ -1,0 +1,102 @@
+"""Idempotent upsert sink (SURVEY.md §2B `sink_upsert_foreachbatch`;
+reference R7-R9).
+
+The reference applies each micro-batch as an unordered bulk write of
+``insertOne`` / ``updateOne{upsert:true}`` ops keyed by ``_id``
+(js:157-199) and explicitly documents its delivery contract: checkpoint
+lag may replay events, and the upsert makes replay safe (js:114-115,
+js:171-173). This module is the same contract on Spark: at-least-once
+``foreachBatch`` + an idempotent keyed MERGE => effectively exactly-once
+end state.
+
+MERGE target: with Delta/Iceberg on the classpath this is literally
+``MERGE INTO target USING batch ON target._id = batch._id WHEN MATCHED
+UPDATE * WHEN NOT MATCHED INSERT *`` (or the Mongo connector's upsert
+write in production). Neither jar ships in this environment, so the
+bundled target is a versioned-parquet key-value table with the same
+semantics: read current -> union batch -> latest-per-key -> write new
+version. Because "latest" is decided by the event's own (clusterTime,
+token) — not arrival time — the merge is a semilattice join: replays and
+reorderings cannot change the fixpoint.
+
+Scale: the state table carries one row per key (not per event). For a
+key space that fits the reference's workload (md:176: 5M+ events/day over
+a bounded entity set) a compacted keyed table is small relative to the
+feed; at true 100 TB key spaces the swap-in is Delta MERGE, which this
+module isolates behind ``merge_fn``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Columns of the materialized state table.
+STATE_COLUMNS = ("_id", "event_type", "value", "props", "cluster_ts", "token")
+
+
+class ParquetUpsertTarget:
+    """Versioned-parquet keyed table with MERGE-upsert semantics."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _versions(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.path) if d.startswith("v") and
+            os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        )
+
+    def current(self, spark: SparkSession) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return spark.read.parquet(os.path.join(self.path, vs[-1]))
+
+    def merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """MERGE: latest-per-key of (current state ∪ batch), decided by
+        (cluster_ts, token) — idempotent under replay by construction."""
+        spark = batch.sparkSession
+        current = self.current(spark)
+        combined = batch if current is None else current.unionByName(batch)
+        w = Window.partitionBy("_id").orderBy(
+            F.col("cluster_ts").desc(), F.col("token").desc()
+        )
+        merged = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        version = f"v{time.monotonic_ns():020d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
+
+
+def upsert_projection(events: DataFrame) -> DataFrame:
+    """R2+R6: keep inserts/updates (deletes dropped, js:159-177), project
+    the fullDocument payload plus the ordering columns the merge needs."""
+    return events.filter(
+        F.col("operationType").isin("insert", "update")
+    ).select(
+        F.col("fullDocument._id").alias("_id"),
+        F.col("fullDocument.event_type").alias("event_type"),
+        F.col("fullDocument.value").alias("value"),
+        F.col("fullDocument.props").alias("props"),
+        F.col("clusterTime").alias("cluster_ts"),
+        F.col("_id").alias("token"),
+    )
+
+
+def foreach_batch_upsert(target: ParquetUpsertTarget):
+    """The ``foreachBatch`` function: project + MERGE each micro-batch —
+    js:251-282's accumulate-and-flush loop, with Spark supplying the
+    batching, retries, and offset tracking."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        target.merge_batch(upsert_projection(batch_df), epoch_id)
+
+    return fn

@@ -1,0 +1,151 @@
+"""Streaming e2e harness (SURVEY.md §5.3): the reference-shaped CDC
+pipeline driven to completion on the derived change-event fixture, with
+the behaviors no DuckDB oracle can check — late-data drops, listener
+health accounting, restart-from-checkpoint."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.registry import QUERIES, load_all_operators
+from mongodb_cdc_spark.sources.changefeed import (
+    EVENT_SCHEMA,
+    derive_change_log,
+    write_change_log,
+)
+from mongodb_cdc_spark.streaming.monitor import CDCHealthListener
+from mongodb_cdc_spark.streaming.pipeline import (
+    new_scratch_dir,
+    run_to_completion,
+    start_cdc_replication,
+)
+from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+load_all_operators()
+
+
+def _final_state(spark, target):
+    df = target.current(spark)
+    assert df is not None
+    return {
+        r["_id"]: (r["event_type"], r["value"], r["props"], r["token"])
+        for r in df.collect()
+    }
+
+
+def test_replay_is_idempotent_and_matches_batch(spark, sf_dir):
+    """R9: drain the feed once, snapshot the state; drain it AGAIN from a
+    fresh checkpoint into the same target; state must be identical, and
+    equal to the batch cdc_apply_upsert result."""
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("e2e_target"))
+    q = start_cdc_replication(spark, log_path, target, new_scratch_dir("e2e_ck1"))
+    run_to_completion(q)
+    first = _final_state(spark, target)
+
+    q = start_cdc_replication(spark, log_path, target, new_scratch_dir("e2e_ck2"))
+    run_to_completion(q)
+    second = _final_state(spark, target)
+    assert first == second, "replay changed the target state"
+
+    batch = {
+        r["user_id"]: (r["event_type"], r["value"], r["props"])
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    streamed = {k: v[:3] for k, v in second.items()}
+    assert streamed == batch, "streamed state != batch apply-upsert state"
+
+
+def test_restart_from_checkpoint_resumes_not_reprocesses(spark, sf_dir):
+    """R8/R10: after a drained run, restarting with the SAME checkpoint
+    must find no new work (the offset log owns progress — the analog of
+    resuming from the persisted resume token, js:93-117 + js:213-216)."""
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("ckpt_target"))
+    ckpt = new_scratch_dir("ckpt_shared")
+    q = start_cdc_replication(spark, log_path, target, ckpt)
+    run_to_completion(q)
+    versions_after_first = len(os.listdir(target.path))
+
+    q = start_cdc_replication(spark, log_path, target, ckpt)
+    run_to_completion(q)
+    # a resumed drain over an unchanged source commits no new merge
+    assert len(os.listdir(target.path)) == versions_after_first
+
+
+def test_late_event_cannot_regress_upsert_state(spark, sf_dir):
+    """Late-arrival immunity — the CDC-relevant watermark property.
+
+    Batch 1 drains the full log; batch 2 delivers one manufactured STALE
+    update (clusterTime long before the user's real latest) for an
+    existing key. Because the merge is (event-time, token)-latest-wins —
+    not arrival-time — the stale arrival must leave the state byte-for-
+    byte unchanged. (Deliberate improvement over the reference, whose
+    ``$set`` upsert js:171-173 WOULD regress the document to stale data;
+    and more robust than relying on watermark input-filtering, which
+    Spark's availableNow append path does not guarantee for arbitrarily
+    late rows — observed empirically on 4.1.)"""
+    base = derive_change_log(spark, sf_dir)
+    some_user = base.select(F.col("documentKey._id").alias("u")).first()["u"]
+    stale_row = (
+        base.filter(F.col("documentKey._id") == some_user)
+        .limit(1)
+        .select(
+            F.lit("000000000000-stale").alias("_id"),
+            F.lit("update").alias("operationType"),
+            F.lit("2023-06-01 05:30:00").cast("timestamp").alias("clusterTime"),
+            F.col("documentKey"),
+            F.struct(
+                F.col("fullDocument._id").alias("_id"),
+                F.lit("STALE").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).alias("fullDocument"),
+        )
+    )
+
+    src = new_scratch_dir("late_src")
+    base.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file-source orders batches by mod time: stale file second
+    stale_row.coalesce(1).write.mode("append").parquet(src)
+
+    target = ParquetUpsertTarget(new_scratch_dir("late_target"))
+    q = start_cdc_replication(
+        spark, src, target, new_scratch_dir("late_ckpt"), max_files_per_trigger=1
+    )
+    run_to_completion(q)
+    state = _final_state(spark, target)
+    assert state[some_user][0] != "STALE", "stale late event overwrote newer state"
+
+    # and the full state equals the batch latest-per-key truth
+    batch = {
+        r["user_id"]: r["event_type"]
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in state.items()} == batch
+
+
+def test_health_listener_accounts_all_events(spark, sf_dir):
+    """R12/R19/R20: the listener's running totals must equal the log's
+    op-type counts, and a clean drain must report healthy."""
+    listener = CDCHealthListener()
+    spark.streams.addListener(listener)
+    try:
+        log_path = write_change_log(spark, sf_dir)
+        target = ParquetUpsertTarget(new_scratch_dir("mon_target"))
+        q = start_cdc_replication(spark, log_path, target, new_scratch_dir("mon_ckpt"))
+        run_to_completion(q)
+        deadline = time.time() + 30
+        expected = derive_change_log(spark, sf_dir).count()
+        while time.time() < deadline and listener.report.total_events < expected:
+            time.sleep(0.5)  # listener events are delivered asynchronously
+    finally:
+        spark.streams.removeListener(listener)
+    rep = listener.report
+    assert rep.total_events == expected
+    assert rep.total_inserts + rep.total_updates + rep.total_deletes_dropped == expected
+    assert rep.healthy
+    assert not rep.errors
