@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query timings materialize results through the noop sink (full execution,
+no driver-side row transfer). The CDC streaming path is benchmarked
+separately as events/second through the full change-feed -> upsert
+pipeline, against the reference's published ~600 TPS peak (BASELINE.md,
+md:176).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mongodb_cdc_spark.registry import QUERIES, load_all_operators
+from mongodb_cdc_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline batch queries: one representative per operator family, weighted
+# toward the scale-critical shapes (scan-agg, joins, windows, dedup, ANN).
+HEADLINE = [
+    "agg_hash_groupby",
+    "agg_cube",
+    "join_inner_equi",
+    "join_broadcast_dims",
+    "join_asof_latest",
+    "win_latest_per_key",
+    "win_moving_agg",
+    "topk_orders",
+    "cdc_apply_upsert",
+    "cdc_diff_fieldwise",
+    "cdc_window_audit",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "fn_json",
+    "ext_text_wordcount",
+    "ext_dedup_exact",
+    "ext_dedup_near_minhash",
+    "ext_sim_cosine_topk",
+    "ext_multimodal_join",
+    "udf_pandas_scalar",
+]
+
+
+def time_query(spark, key: str) -> float:
+    df = QUERIES[key](spark, SF_DIR)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def time_cdc_stream(spark) -> tuple[float, float]:
+    """Drain the full change feed through the upsert pipeline; returns
+    (seconds, events_per_second)."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log, write_change_log
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_to_completion,
+        start_cdc_replication,
+    )
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    log_path = write_change_log(spark, SF_DIR)
+    n_events = derive_change_log(spark, SF_DIR).count()
+    target = ParquetUpsertTarget(new_scratch_dir("bench_target"))
+    t0 = time.perf_counter()
+    q = start_cdc_replication(
+        spark, log_path, target, new_scratch_dir("bench_ckpt"),
+        max_files_per_trigger=2,
+    )
+    run_to_completion(q)
+    secs = time.perf_counter() - t0
+    shutil.rmtree(target.path, ignore_errors=True)
+    return secs, n_events / secs
+
+
+def main() -> None:
+    spark = get_spark("mongodb-cdc-spark-bench")
+    load_all_operators()
+
+    # Warm the JVM/codegen once on the smallest table so per-query numbers
+    # measure the engine, not first-call JIT.
+    QUERIES["agg_cdc_batch_stats"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        timings[key] = round(time_query(spark, key), 3)
+
+    stream_secs, eps = time_cdc_stream(spark)
+    timings["cdc_stream_pipeline"] = round(stream_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cdc_stream_events_per_sec": round(eps, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

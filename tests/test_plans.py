@@ -1,0 +1,90 @@
+"""Physical-plan shape tests (SURVEY.md §4): the scale-critical Catalyst
+behaviors, asserted so plan regressions fail loudly. These are the 100 TB
+checks — a result-correct plan that stopped pushing filters or broadcasting
+dims would pass every oracle and still melt a real cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    formatted_plan,
+)
+from mongodb_cdc_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = QUERIES["filter_optype_isin"](spark, sf_dir)
+    assert_pushed_filter(df, "In(event_type")
+
+
+def test_time_range_pushdown(spark, sf_dir):
+    df = QUERIES["filter_time_range"](spark, sf_dir)
+    # ts is rewritten at load (ns->µs), so pushdown lands on the raw long
+    # column — what matters is a range predicate reaching the scan.
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual" in plan or "IsNotNull(ts)" in plan
+
+
+def test_column_pruning_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    assert_read_schema_only(df, "l_orderkey", "l_quantity")
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_broadcast_dims"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = QUERIES["topk_orders"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    """The flagship aggregate must be pure JVM: whole-stage codegen (the
+    ``*(n)`` stage markers in the executed plan), map-side partial
+    aggregation, and no Python evaluation anywhere. Executed first so AQE
+    finalizes — the pre-execution formatted plan hides codegen stages."""
+    df = QUERIES["agg_hash_groupby"](spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "*(" in plan, f"no WholeStageCodegen stages:\n{plan}"
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert_in_plan(QUERIES["join_left_semi"](spark, sf_dir), "LeftSemi")
+    assert_in_plan(QUERIES["join_left_anti"](spark, sf_dir), "LeftAnti")
+
+
+def test_theta_join_is_not_cartesian(spark, sf_dir):
+    """The equi conjunct must key the join; only the pure cross op may be
+    a nested-loop product."""
+    assert_not_in_plan(
+        QUERIES["join_theta_self"](spark, sf_dir), "CartesianProduct"
+    )
+
+
+def test_text_ops_have_no_python(spark, sf_dir):
+    for key in ("ext_text_wordcount", "ext_text_quality", "ext_dedup_exact"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
+
+
+def test_cosine_topk_broadcasts_probe(spark, sf_dir):
+    df = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")

@@ -53,23 +53,31 @@ def test_minhash_pairs_are_ordered_and_self_free(spark, sf_dir):
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
 
-def test_minhash_finds_exact_duplicates(spark, sf_dir):
-    """Exact duplicates (same md5) are Jaccard-1.0 — every such pair MUST
-    collide in at least one MinHash band (identical token sets give
-    identical signatures)."""
+def test_minhash_pairs_are_representatives_with_distinct_text(spark, sf_dir):
+    """MinHash candidates link only exact-dup-group REPRESENTATIVES
+    (min doc_id per md5): no pair may share identical text (that is
+    ext_dedup_exact's finding), and every endpoint must be its group's
+    keeper."""
     from mongodb_cdc_spark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents")
-    dup_pairs = (
-        d.alias("x")
-        .join(d.alias("y"), F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-    )
     found = QUERIES["ext_dedup_near_minhash"](spark, sf_dir)
-    missed = dup_pairs.join(found, ["doc_a", "doc_b"], "left_anti").count()
-    assert missed == 0
+    d = load_table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    for side in ("doc_a", "doc_b"):
+        stray = (
+            found.select(F.col(side).alias("doc_id"))
+            .distinct()
+            .join(keepers, "doc_id", "left_anti")
+            .count()
+        )
+        assert stray == 0, f"{side} contains non-representative docs"
+    texted = (
+        found.join(d.alias("x"), found.doc_a == F.col("x.doc_id"))
+        .join(d.alias("y"), found.doc_b == F.col("y.doc_id"))
+        .filter(F.expr("md5(x.text) = md5(y.text)"))
+        .count()
+    )
+    assert texted == 0, "identical-text pair leaked into near-dup candidates"
 
 
 def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
