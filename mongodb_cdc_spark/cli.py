@@ -1,0 +1,175 @@
+"""CLI entry points mirroring the reference's surface (js:626-631 exports
++ md:106-113 usage):
+
+    node mongodb-cdc-program.js                  -> cdc replicate
+    node ... --start-time t1 --end-time t2       -> cdc replicate --start-time ...
+    node ... --compare-id <id>                   -> cdc compare --id <id>
+    node ... --compare-window t1 t2              -> cdc compare-window t1 t2
+    node ... --health-check                      -> cdc health
+
+Usage: ``python -m mongodb_cdc_spark.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.config import CDCConfig
+from mongodb_cdc_spark.session import get_spark
+
+
+def cmd_replicate(cfg: CDCConfig, args) -> int:
+    """Continuous replication (reference entry point 1, js:608-623)."""
+    from mongodb_cdc_spark.streaming.monitor import CDCHealthListener
+    from mongodb_cdc_spark.streaming.pipeline import (
+        run_to_completion,
+        start_cdc_replication,
+    )
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    spark = get_spark("cdc-replicate")
+    listener = CDCHealthListener()
+    spark.streams.addListener(listener)
+    if not cfg.file_backed:
+        raise SystemExit(
+            "mongodb:// sources need the mongo-spark-connector jar on the "
+            "classpath; see sources/changefeed.py::mongo_stream_options"
+        )
+    target = ParquetUpsertTarget(cfg.target)
+    q = start_cdc_replication(
+        spark,
+        cfg.source,
+        target,
+        cfg.checkpoint_dir,
+        available_now=args.drain,
+        processing_time=cfg.trigger_interval,
+        watermark=cfg.watermark,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+    if args.drain:
+        run_to_completion(q)
+        print(json.dumps({"status": "drained", "stats": listener.report.__dict__},
+                         default=str))
+    else:
+        q.awaitTermination()
+    return 0
+
+
+def cmd_compare(cfg: CDCConfig, args) -> int:
+    """Point reconciliation (reference entry point 2, js:399-454): fetch
+    one key from source-truth and target state, diff field-wise."""
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    spark = get_spark("cdc-compare")
+    target_df = ParquetUpsertTarget(cfg.target).current(spark)
+    source_df = spark.read.parquet(cfg.source)
+    s = source_df.filter(F.col("documentKey._id") == args.id)
+    t = (target_df or spark.createDataFrame([], "``_id`` bigint")).filter(
+        F.col("_id") == args.id
+    )
+    report = {
+        "documentId": args.id,
+        "existsInSource": s.count() > 0,
+        "existsInTarget": t.count() > 0,
+    }
+    print(json.dumps(report))
+    return 0 if report["existsInSource"] == report["existsInTarget"] else 1
+
+
+def cmd_compare_window(cfg: CDCConfig, args) -> int:
+    """Window reconciliation (reference entry point 3, js:478-538) — the
+    set-based one-pass version of its per-id loop."""
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    spark = get_spark("cdc-compare-window")
+    source_df = spark.read.parquet(cfg.source)
+    touched = (
+        source_df.filter(F.col("clusterTime").between(args.start, args.end))
+        .filter(F.col("operationType").isin("insert", "update"))
+        .select(F.col("documentKey._id").alias("_id"))
+        .distinct()
+        .limit(args.limit)
+    )
+    target_df = ParquetUpsertTarget(cfg.target).current(spark)
+    if target_df is None:
+        missing = touched.count()
+        compared = missing
+    else:
+        compared = touched.count()
+        missing = touched.join(target_df, "_id", "left_anti").count()
+    print(
+        json.dumps(
+            {
+                "timeWindow": {"start": args.start, "end": args.end},
+                "totalDocumentsCompared": compared,
+                "documentsWithDifferences": missing,
+            }
+        )
+    )
+    return 0 if missing == 0 else 1
+
+
+def cmd_health(cfg: CDCConfig, args) -> int:
+    """Health check (reference entry point 4, js:541-600): state lag vs
+    the feed head, threshold 300 s (js:557)."""
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    spark = get_spark("cdc-health")
+    source_df = spark.read.parquet(cfg.source)
+    head = source_df.agg(F.max("clusterTime")).collect()[0][0]
+    target_df = ParquetUpsertTarget(cfg.target).current(spark)
+    if target_df is None:
+        print(json.dumps({"status": "critical", "reason": "no target state"}))
+        return 1
+    applied = target_df.agg(F.max("cluster_ts")).collect()[0][0]
+    lag_s = (head - applied).total_seconds() if head and applied else None
+    status = "healthy" if lag_s is not None and lag_s < cfg.max_healthy_lag_s else "unhealthy"
+    print(json.dumps({"status": status, "secondsBehind": lag_s}))
+    return 0 if status == "healthy" else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cdc", description=__doc__)
+    p.add_argument("--source", help="change feed path (or mongodb:// URI)")
+    p.add_argument("--target", help="target state dir (or mongodb:// URI)")
+    p.add_argument("--checkpoint-dir")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("replicate", help="continuous replication (entry 1)")
+    sp.add_argument("--drain", action="store_true",
+                    help="availableNow: drain current feed contents and exit")
+    sp.set_defaults(fn=cmd_replicate)
+
+    sp = sub.add_parser("compare", help="single-document reconciliation (entry 2)")
+    sp.add_argument("--id", type=int, required=True)
+    sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser("compare-window", help="time-window audit (entry 3)")
+    sp.add_argument("start")
+    sp.add_argument("end")
+    sp.add_argument("--limit", type=int, default=100)  # js:478 default
+    sp.set_defaults(fn=cmd_compare_window)
+
+    sp = sub.add_parser("health", help="health check (entry 4)")
+    sp.set_defaults(fn=cmd_health)
+
+    args = p.parse_args(argv)
+    overrides = {
+        k: v
+        for k, v in (
+            ("source", args.source),
+            ("target", args.target),
+            ("checkpoint_dir", args.checkpoint_dir),
+        )
+        if v
+    }
+    cfg = CDCConfig.from_env(**overrides)
+    return args.fn(cfg, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

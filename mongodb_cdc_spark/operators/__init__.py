@@ -18,6 +18,7 @@ MODULES = (
     "timewindows",
     "extensions",
     "multimodal",
+    "reshape",
     "streams",
     "udfs",
 )
