@@ -76,12 +76,19 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bucketed-table support (saveAsTable) without polluting the repo:
+        # warehouse + metastore live under scratch
+        .config("spark.sql.warehouse.dir", f"{scratch}/warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}/derby"
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
