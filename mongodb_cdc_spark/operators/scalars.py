@@ -49,6 +49,31 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_string_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len,
+           (regexp_matches(text, '[0-9]')) AS has_digit
+    FROM documents
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface over documents: extract / global replace / match.
+    Patterns stay in the character-class + quantifier subset where Java
+    and RE2-family engines agree (no lookaround, no engine-specific
+    escapes). Spark's regexp_replace is global by default; DuckDB needs
+    the 'g' flag."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("devoweled_len"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
+
+
+@query(
     "fn_date",
     oracle="""
     SELECT o_orderkey,

@@ -162,6 +162,38 @@ def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000000) ASC
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+           AS hour_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 1-hour sum. The ordering
+    key is epoch SECONDS as an integer in both engines, so frame
+    boundaries (and peer-row groups at equal seconds) are identical by
+    construction — a RANGE frame over raw timestamps would compare µs vs
+    ns precision at the boundary. Fixed-point accumulation as in
+    win_moving_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.to_unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-3600, 0)
+    )
+    scaled = F.floor(F.col("value") * 10000).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(scaled).over(w).cast("double") / 10000.0).alias("hour_sum"),
+    )
+
+
+@query(
     "win_first_last",
     oracle="""
     SELECT event_id, user_id,
