@@ -87,11 +87,15 @@ def main() -> None:
     spark = get_spark("mongodb-cdc-spark-bench")
     load_all_operators()
 
-    # Warm the JVM/codegen once on the smallest table so per-query numbers
-    # measure the engine, not first-call JIT.
+    # Warm the JVM/codegen AND the Python/Arrow worker pool once, so
+    # per-query numbers measure the engine, not first-call JIT or Python
+    # worker fork-and-handshake.
     QUERIES["agg_cdc_batch_stats"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    QUERIES["udf_pandas_scalar"](spark, SF_DIR).limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -583,3 +583,134 @@ def ext_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "label")
         .agg(F.count(F.lit(1)).alias("n"), avg2("n_chars", "avg_chars"))
     )
+
+
+@query(
+    "ext_embed_quantize",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(GREATEST(-127, LEAST(127,
+                  CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))) AS INT)
+           ) AS q8,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the storage-side prep for ANN at
+    scale: 4x smaller vectors, SIMD-friendly dot products downstream).
+    Symmetric scale-127 with explicit FLOOR(x*127+0.5) rounding and
+    saturation — the whole transform is a per-element expression, exact
+    in both engines (float32 -> double widening is lossless)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * 127 + 0.5).cast("bigint"),
+            ),
+        ).cast("int"),
+    )
+    return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
+
+
+@query(
+    "ext_text_ngrams",
+    oracle=f"""
+    SELECT lang, gram, n FROM (
+      SELECT lang, gram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC) AS rk
+      FROM (
+        SELECT lang,
+               unnest(list_transform(
+                 generate_series(1, length(text) - 2),
+                 i -> substring(text, CAST(i AS INT), 3))) AS gram
+        FROM documents
+      )
+      GROUP BY lang, gram
+    ) WHERE rk <= 10
+    """,
+)
+def ext_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the feature extraction
+    under real n-gram language ID. Trigram explosion happens in the scan
+    stage (sequence + transform, pure codegen); only (lang, gram, count)
+    partials shuffle. Total order (count DESC, gram ASC) makes the top-10
+    set deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "gram", "n")
+    )
+
+
+@query("ext_dedup_cluster")  # rows-only: iterative fixpoint, no single-SQL twin
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the union
+    of exact-duplicate pairs and MinHash candidate pairs, via iterative
+    min-label propagation to a fixpoint.
+
+    This is the operator that turns pairwise dedup signals into the
+    per-document keep/drop decision a corpus pipeline actually needs
+    (keep cluster representative = min doc_id). Each iteration is one
+    join + one min-aggregate, both keyed on doc_id — the classic
+    large-graph CC-on-MapReduce shape; iterations are O(log diameter) and
+    near-dup graphs are shallow (star-like), so 4-6 rounds close. Spark
+    caching holds the frontier; convergence is checked with a count.
+    Labels are deterministic (min over a deterministic edge set).
+    Verified by property tests: label <= doc_id, endpoints of every edge
+    share a label, representatives label themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    exact_pairs = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_a"), F.collect_set("doc_id").alias("members"))
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    near_pairs = ext_dedup_near_minhash(spark, sf_dir)
+    edges = exact_pairs.unionByName(near_pairs).distinct()
+    # undirected: propagate labels both ways
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(8):  # log2(diameter) bound; dedup graphs are shallow
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels

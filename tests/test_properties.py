@@ -104,3 +104,35 @@ def test_multimodal_decode_stub_raises_on_null(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_stub(None)
+
+
+def test_dedup_cluster_labels_are_valid(spark, sf_dir):
+    """Connected-components invariants: labels are min-reachable doc_ids
+    (label <= doc_id), every exact-duplicate pair shares a label, and
+    every label is itself a member of its own cluster."""
+    labels = QUERIES["ext_dedup_cluster"](spark, sf_dir)
+    assert labels.filter(F.col("label") > F.col("doc_id")).count() == 0
+
+    from mongodb_cdc_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    dup_pairs = (
+        d.alias("x")
+        .join(d.alias("y"), F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("label_b"))
+    split_pairs = (
+        dup_pairs.join(la, "doc_a").join(lb, "doc_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .count()
+    )
+    assert split_pairs == 0, "exact duplicates ended in different clusters"
+
+    self_labeled = (
+        labels.select(F.col("label").alias("doc_id")).distinct()
+        .join(labels.filter(F.col("doc_id") == F.col("label")), "doc_id", "left_anti")
+        .count()
+    )
+    assert self_labeled == 0, "some cluster label is not its own representative"
