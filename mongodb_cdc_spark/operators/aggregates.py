@@ -205,3 +205,47 @@ def agg_cdc_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/monitor.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_argmax_struct",
+    oracle="""
+    SELECT o_orderstatus, top_orderkey, top_totalprice
+    FROM (
+      SELECT o_orderstatus,
+             o_orderkey AS top_orderkey,
+             o_totalprice AS top_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max via struct ordering: the single most expensive order per
+    status in ONE aggregate pass — ``max(struct(price, key))`` compares
+    lexicographically, so the key doubles as the deterministic tiebreak.
+    At scale this beats the window formulation (the oracle): a map-side-
+    combinable aggregate instead of a full per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    top = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    return o.groupBy("o_orderstatus").agg(
+        top.getField("o_orderkey").alias("top_orderkey"),
+        top.getField("o_totalprice").alias("top_totalprice"),
+    )
+
+
+@query("agg_approx_quantiles")  # rows-only: sketch quantiles differ per engine
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) of extended price
+    per return flag — with approx_count_distinct, the sketch pair that
+    replaces exact order statistics at 100 TB (bounded-memory mergeable
+    summaries; no global sort). Rows-only: sketch outputs are
+    engine-specific by nature."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("price_quantiles")
+    )

@@ -73,7 +73,13 @@ class ParquetUpsertTarget:
             .drop("__rn")
         )
         version = f"v{time.monotonic_ns():020d}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        # The state table is one row per key — tiny relative to the feed.
+        # Writing it at full shuffle parallelism produces dozens of
+        # KB-sized files per version (slow to commit, slower to re-read
+        # next batch); coalesce to a handful of files instead.
+        merged.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(self.path, version)
+        )
 
 
 def upsert_projection(events: DataFrame) -> DataFrame:
