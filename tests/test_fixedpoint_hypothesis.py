@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the fixed-point determinism core
+(operators/_util.py) — the formulas every exact oracle rests on. Pure
+Python: we verify the integer-arithmetic rounding formulas against
+Python's exact Decimal, across the full value range the engine allows."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Mirrors of the SQL formulas (kept in lockstep with _util.py templates).
+
+
+def round_cents(S: int) -> float:
+    """(CASE WHEN S >= 0 THEN (S+50) div 100 ELSE -((-S+50) div 100) END) / 100.0
+    over a scale-4 integer S — Spark `div` and DuckDB `//` both truncate
+    toward zero, so positive-only operands make them identical."""
+    cents = (S + 50) // 100 if S >= 0 else -((-S + 50) // 100)
+    return cents / 100.0
+
+
+def avg_cents(S: int, n: int) -> float:
+    pos = (2 * S + 100 * n) // (200 * n)
+    neg = -((-2 * S + 100 * n) // (200 * n))
+    return (pos if S >= 0 else neg) / 100.0
+
+
+@given(st.integers(min_value=-(2**52), max_value=2**52))
+@settings(max_examples=2000)
+def test_round_cents_is_decimal_half_up(S: int):
+    """The integer formula must equal ROUND_HALF_UP (away from zero) of
+    S/10000 at 2 decimal places — the semantic both engines' docs promise
+    but implement divergently on doubles."""
+    want = decimal.Decimal(S).scaleb(-4).quantize(
+        decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+    )
+    got = decimal.Decimal(str(round_cents(S)))
+    assert got == want, (S, got, want)
+
+
+@given(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=2000)
+def test_avg_cents_is_decimal_half_up(S: int, n: int):
+    want = (decimal.Decimal(S) / (10000 * n)).quantize(
+        decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+    )
+    got = decimal.Decimal(str(avg_cents(S, n)))
+    assert got == want, (S, n, got, want)
+
+
+@given(st.integers(min_value=-(2**46), max_value=2**46))
+@settings(max_examples=500)
+def test_cents_to_double_is_exact(S: int):
+    """cents/100.0 must be the same double every time — i.e. the final
+    division introduces no cross-run ambiguity (one IEEE op on exact
+    integers)."""
+    a = round_cents(S)
+    b = round_cents(S)
+    assert a == b
+    # and the value is within half an ulp of the true decimal
+    assert abs(decimal.Decimal(a) - decimal.Decimal(S).scaleb(-4)) <= decimal.Decimal(
+        "0.005000001"
+    )

@@ -149,3 +149,61 @@ def test_health_listener_accounts_all_events(spark, sf_dir):
     assert rep.total_inserts + rep.total_updates + rep.total_deletes_dropped == expected
     assert rep.healthy
     assert not rep.errors
+
+
+def test_crash_mid_stream_then_restart_converges(spark, sf_dir):
+    """R10 error recovery: a sink failure mid-stream kills the query; a
+    restart with the SAME checkpoint reprocesses the failed batch and the
+    final state equals a clean run's. This is the reference's
+    on('error') -> reopen-from-resume-token loop (js:286-299), with
+    Spark's offset log playing the resume token."""
+    from mongodb_cdc_spark.sources.changefeed import read_changefeed_stream
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        foreach_batch_upsert,
+    )
+
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("crash_target"))
+    ckpt = new_scratch_dir("crash_ckpt")
+    bomb = {"armed": True}
+    inner = foreach_batch_upsert(target)
+
+    def exploding(batch_df, epoch_id):
+        if epoch_id >= 1 and bomb["armed"]:
+            bomb["armed"] = False
+            raise RuntimeError("injected sink failure (test)")
+        inner(batch_df, epoch_id)
+
+    q = (
+        read_changefeed_stream(spark, log_path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(exploding)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    try:
+        q.awaitTermination(300)
+        raised = False
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        raised = True
+    assert raised, "injected failure did not surface"
+
+    # restart from the same checkpoint: epoch 1 is retried, stream drains
+    q = (
+        read_changefeed_stream(spark, log_path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(exploding)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    batch = {
+        r["user_id"]: (r["event_type"], r["value"], r["props"])
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    recovered = {k: v[:3] for k, v in _final_state(spark, target).items()}
+    assert recovered == batch, "post-recovery state != clean-run state"
