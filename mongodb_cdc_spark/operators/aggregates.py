@@ -249,3 +249,22 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
         ).alias("price_quantiles")
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array collection: distinct values per group, SORTED — collect_set
+    order is nondeterministic in any engine, so the deterministic form
+    (and the only hashable one) is sort_array(collect_set(..))."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations")
+    )

@@ -714,3 +714,51 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "ext_data_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split-seed-1'), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+      )
+    )
+    GROUP BY split
+    """,
+)
+def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by hashing the
+    document id with a named seed — the reproducible-holdout primitive of
+    every training-data pipeline. Hash bucketing beats rand(): stable
+    across runs, engines, and reshuffles; changing the seed string
+    re-splits the corpus reproducibly. The first 8 md5 hex chars give a
+    uniform 32-bit bucket; both engines parse hex identically."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )

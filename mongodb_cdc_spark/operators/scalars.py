@@ -260,3 +260,84 @@ def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 AS BIGINT)"
         ).alias("with_tax_e4"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           (user_id & 255) AS low_byte,
+           (user_id | 4096) AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           (user_id << 2) AS shifted
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (and/or/xor/shift) — integer-exact by nature."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft("user_id", 2).alias("shifted"),
+    )
+
+
+@query(
+    "fn_hashes",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256
+    FROM documents
+    """,
+)
+def fn_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface: md5 + sha256 hex digests (identical
+    across engines — the foundation under dedup keys, fingerprints, and
+    deterministic sampling)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           (epoch_us(o_orderdate + INTERVAL 60 DAY) // 1000000) AS due_epoch,
+           (epoch_us(o_orderdate + INTERVAL 3 MONTH) // 1000000) AS quarter_epoch,
+           (epoch_us(date_trunc('year', o_orderdate) + INTERVAL 1 YEAR) // 1000000) AS next_year_epoch
+    FROM orders
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: day/month/year addition (calendar-aware month
+    semantics agree across engines for timestamp inputs; outputs follow
+    the epoch-BIGINT discipline).
+
+    Trap found while building the oracle: DuckDB interval EQUALITY uses
+    30-day months, so `+ INTERVAL 90 DAY` and `+ INTERVAL 3 MONTH` on the
+    same column are "equal" to its CSE pass and collapse into ONE of the
+    two expressions (order-dependent result). The day offset here is 60
+    so no interval constant in the query compares equal to another."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_unix_timestamp(F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("bigint")
+        .alias("due_epoch"),
+        F.to_unix_timestamp(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS"))
+        .cast("bigint")
+        .alias("quarter_epoch"),
+        F.to_unix_timestamp(
+            F.date_trunc("year", "o_orderdate") + F.expr("INTERVAL 1 YEAR")
+        )
+        .cast("bigint")
+        .alias("next_year_epoch"),
+    )
