@@ -20,6 +20,7 @@ MODULES = (
     "multimodal",
     "reshape",
     "streams",
+    "subqueries",
     "udfs",
 )
 

@@ -1,0 +1,72 @@
+"""SQL subquery + CTE surface — the parser/decorrelation side of the
+engine. These run through ``spark.sql`` with oracle text that is the SAME
+SQL (both engines are ANSI here), so the check verifies Spark's subquery
+DECORRELATION (correlated scalar -> aggregate + join rewrite; IN ->
+semi-join) produces relationally identical results.
+
+Scale notes: Catalyst rewrites every correlated subquery below into a
+keyed join + aggregate — nothing executes per-row. The recursive CTE
+(Spark >= 4.0) iterates driver-side over set-based steps; the date-spine
+pattern it implements (gap-filled time series) has a step count bounded
+by calendar months, not data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongodb_cdc_spark.io import register_views
+from mongodb_cdc_spark.registry import query
+
+_CORRELATED_SCALAR = """
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+"""
+
+
+@query("sql_correlated_scalar", oracle=_CORRELATED_SCALAR)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery per outer row — Catalyst decorrelates
+    into one aggregate + left join (verify with .explain: no per-row
+    plans). The oracle is the identical SQL text."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SCALAR)
+
+
+_IN_SUBQUERY = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+@query("sql_in_subquery", oracle=_IN_SUBQUERY)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — planned as a left semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SUBQUERY)
+
+
+_DATE_SPINE = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+)
+SELECT year(m) * 100 + month(m) AS ym,
+       COUNT(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY year(m) * 100 + month(m)
+"""
+
+
+@query("sql_recursive_cte", oracle=_DATE_SPINE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark >= 4.0): a month date-spine spanning the
+    orders range, left-joined back so EMPTY months appear with zero —
+    the gap-filling idiom plain GROUP BY cannot express (it has no row to
+    group). Output is (yyyymm int, count): no timestamps to hash."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DATE_SPINE)
