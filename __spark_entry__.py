@@ -16,7 +16,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongodb_cdc_spark.registry import ORACLES, QUERIES, load_all_operators
+from mongodb_cdc_spark.registry import (
+    ORACLES,
+    QUERIES,
+    driver_ordered,
+    load_all_operators,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -31,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B."""
     load_all_operators()
-    return dict(QUERIES)
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -39,4 +44,4 @@ def oracle_sql() -> dict[str, str]:
     (e.g. approx sketches, MinHash-LSH candidates) get the driver's
     rows-only check."""
     load_all_operators()
-    return dict(ORACLES)
+    return driver_ordered(ORACLES)

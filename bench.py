@@ -27,34 +27,52 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline batch queries: one representative per operator family, weighted
 # toward the scale-critical shapes (scan-agg, joins, windows, dedup, ANN).
+# Entries are (name, callable-or-None); None means QUERIES[name]. The
+# dedup/ANN/cluster rows time the RAW pair/label-producing operators
+# (mongodb_cdc_spark.operators.extensions raw API) — the registered keys
+# wrap them in driver-oracle invariant summaries whose extra verification
+# joins are not the engine path being measured.
 HEADLINE = [
-    "agg_hash_groupby",
-    "agg_cube",
-    "join_inner_equi",
-    "join_broadcast_dims",
-    "join_asof_latest",
-    "win_latest_per_key",
-    "win_moving_agg",
-    "topk_orders",
-    "cdc_apply_upsert",
-    "cdc_diff_fieldwise",
-    "cdc_window_audit",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "fn_json",
-    "ext_text_wordcount",
-    "ext_dedup_exact",
-    "ext_dedup_near_minhash",
-    "ext_sim_cosine_topk",
-    "ext_multimodal_join",
-    "udf_pandas_scalar",
+    ("agg_hash_groupby", None),
+    ("agg_cube", None),
+    ("join_inner_equi", None),
+    ("join_broadcast_dims", None),
+    ("join_asof_latest", None),
+    ("win_latest_per_key", None),
+    ("win_moving_agg", None),
+    ("topk_orders", None),
+    ("cdc_apply_upsert", None),
+    ("cdc_diff_fieldwise", None),
+    ("cdc_window_audit", None),
+    ("stream_tumbling_window", None),
+    ("stream_session_window", None),
+    ("stream_stateful_upsert", None),
+    ("sql_recursive_cte", None),
+    ("fn_json", None),
+    ("ext_text_wordcount", None),
+    ("ext_dedup_exact", None),
+    ("ext_dedup_near_minhash", "minhash_candidate_pairs"),
+    ("ext_dedup_simhash", "simhash_candidate_pairs"),
+    ("ext_dedup_cluster", "dedup_cluster_labels"),
+    ("ext_sim_cosine_topk", None),
+    ("ext_sim_ann_ivf", "ann_ivf_topk"),
+    ("ext_multimodal_join", None),
+    ("udf_pandas_scalar", None),
 ]
 
 
-def time_query(spark, key: str) -> float:
-    df = QUERIES[key](spark, SF_DIR)
+def time_query(spark, name: str, raw_fn: str | None) -> float:
+    """Time build + full execution through the noop sink. The build is
+    timed too: eager operators (streaming drains, the CC fixpoint loop)
+    do their real work inside the call."""
+    if raw_fn is not None:
+        from mongodb_cdc_spark.operators import extensions
+
+        fn = getattr(extensions, raw_fn)
+    else:
+        fn = QUERIES[name]
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -98,8 +116,8 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for key in HEADLINE:
-        timings[key] = round(time_query(spark, key), 3)
+    for name, raw_fn in HEADLINE:
+        timings[name] = round(time_query(spark, name, raw_fn), 3)
 
     stream_secs, eps = time_cdc_stream(spark)
     timings["cdc_stream_pipeline"] = round(stream_secs, 3)

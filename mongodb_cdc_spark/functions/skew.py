@@ -42,9 +42,20 @@ def salted_equi_join(
     is the small one (dimension-sized); for fact-fact skew prefer AQE's
     split-and-replicate, which salts just the skewed partitions.
 
-    Result is row-identical to ``left.join(right, left_key == right_key,
-    how)`` (verified in tests); only the shuffle distribution changes.
+    ``how`` is restricted to joins whose result is row-identical to
+    ``left.join(right, left_key == right_key, how)`` under right-side
+    replication: inner / left / left_semi / left_anti (verified in
+    tests). Right/full outer are rejected — an unmatched right row exists
+    ``n_salt`` times after replication and would be emitted once per
+    replica.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} would duplicate unmatched "
+            f"right rows n_salt times; use one of {sorted(allowed)}"
+        )
     if not isinstance(salt_cols, list):
         salt_cols = [salt_cols]
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt))

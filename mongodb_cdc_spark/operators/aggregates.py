@@ -84,15 +84,36 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type. No exact oracle
-    — sketch implementations (and thus estimates) differ across engines;
-    the driver records a rows-only check. At 100 TB this is THE way to
-    count distincts: fixed-size sketch per group, no dedup shuffle."""
+    """HyperLogLog++ distinct-user estimate per event type. At 100 TB this
+    is THE way to count distincts: fixed-size sketch per group, no dedup
+    shuffle.
+
+    Sketch estimates differ across engines, so the oracle is
+    self-validating (the pattern used by the streaming ops): Spark
+    computes BOTH the exact distinct count (which the oracle re-derives
+    exactly) and the HLL estimate, and emits `within_tol` = estimate
+    within 5% of exact (rsd=0.02, so 5% is > 2 sigma); the oracle states
+    TRUE. The estimate itself is deterministic within Spark, so the check
+    is stable run to run."""
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        exact.alias("distinct_users"),
+        (
+            (F.abs(approx - exact) / exact.cast("double")) <= F.lit(0.05)
+        ).alias("within_tol"),
     )
 
 
@@ -236,18 +257,50 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantiles")  # rows-only: sketch quantiles differ per engine
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           TRUE AS monotone,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna sketch) of extended price
     per return flag — with approx_count_distinct, the sketch pair that
     replaces exact order statistics at 100 TB (bounded-memory mergeable
-    summaries; no global sort). Rows-only: sketch outputs are
-    engine-specific by nature."""
+    summaries; no global sort).
+
+    Sketch outputs are engine-specific (and array-typed, which the
+    driver's hasher cannot hash), so the emitted row is self-validating:
+    Spark computes the sketch AND the exact percentiles in one aggregate
+    pass, and emits `monotone` (q25 <= q50 <= q75 <= q95) and
+    `within_tol` (each approx quantile within 5% of the exact one;
+    accuracy=10000 gives ~1e-4 rank error, far inside that); the oracle
+    states TRUE alongside the exactly-checkable group count."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-        ).alias("price_quantiles")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    approx = F.percentile_approx("l_extendedprice", qs, 10000)
+    exact = F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs]))
+    # Spark SQL [] subscripts are 0-based (DuckDB's are 1-based; both
+    # arrays stay Spark-side here so 0-based is correct).
+    monotone = F.expr("aq[0] <= aq[1] AND aq[1] <= aq[2] AND aq[2] <= aq[3]")
+    within = F.expr(
+        " AND ".join(
+            f"abs(aq[{i}] - eq[{i}]) <= 0.05 * abs(eq[{i}])" for i in range(4)
+        )
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            approx.alias("aq"),
+            exact.alias("eq"),
+        )
+        .select("l_returnflag", "n", monotone.alias("monotone"), within.alias("within_tol"))
     )
 
 
@@ -255,16 +308,19 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array collection: distinct values per group, SORTED — collect_set
-    order is nondeterministic in any engine, so the deterministic form
-    (and the only hashable one) is sort_array(collect_set(..))."""
+    order is nondeterministic in any engine, so the deterministic form is
+    sort_array(collect_set(..)). The sorted array is emitted joined to a
+    CSV string: array cells reach the driver as numpy arrays and crash
+    its hasher (`unhashable type` in CORRECTNESS_r01), so both engines
+    emit the string form."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
     )

@@ -305,8 +305,7 @@ _MINHASH_BANDS = 4  # 2 hashes per band
 _MAX_BUCKET = 64  # LSH degenerate-bucket cap (boilerplate shingle sets)
 
 
-@query("ext_dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB twin
-def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs, hand-rolled from
     built-ins (no Spark ML pipeline, no UDFs):
 
@@ -329,7 +328,12 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       finds for free;
     * degenerate buckets (> _MAX_BUCKET members — boilerplate shingle
       sets) are dropped, the standard LSH cap. The cap is observable in
-      the `n_capped_buckets` column of tests, not silent."""
+      the `n_capped_buckets` column of tests, not silent.
+
+    This raw pair-producing form is the engine API; the registered
+    `ext_dedup_near_minhash` query wraps it in driver-hashable structural
+    invariants (xxhash64 has no DuckDB twin, so the pair set itself has
+    no exact oracle)."""
     d = load_table(spark, sf_dir, "documents")
     reps = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
@@ -380,15 +384,69 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
-def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "ext_dedup_near_minhash",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM (
+              SELECT MIN(doc_id) FROM documents GROUP BY md5(text))) AS n_reps,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS non_rep_endpoints,
+           CAST(0 AS BIGINT) AS identical_text_pairs
+    """,
+)
+def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of :func:`minhash_candidate_pairs`.
+
+    The candidate-pair set depends on Spark's xxhash64 (no DuckDB twin),
+    so the oracle is self-validating: Spark runs the full LSH pipeline
+    and reduces it to structural invariants the oracle states exactly —
+
+    * ``n_reps``: how many exact-dup-group representatives enter the LSH
+      stage (the oracle recomputes this exactly from md5 groups, tying
+      the collapse stage to an independent count);
+    * ``order_violations``: pairs violating doc_a < doc_b (must be 0);
+    * ``non_rep_endpoints``: endpoints that are not their group's keeper
+      (must be 0 — exact dups were collapsed before hashing);
+    * ``identical_text_pairs``: identical-text pairs leaking in as
+      near-dup candidates (must be 0 — that is ext_dedup_exact's job).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    reps = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    stray = endpoints.distinct().join(reps, "doc_id", "left_anti")
+    texted = (
+        pairs.join(d.alias("x"), pairs.doc_a == F.col("x.doc_id"))
+        .join(d.alias("y"), pairs.doc_b == F.col("y.doc_id"))
+        .filter(F.expr("md5(x.text) = md5(y.text)"))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                reps.count(),
+                pairs.filter(F.col("doc_a") >= F.col("doc_b")).count(),
+                stray.count(),
+                texted.count(),
+            )
+        ],
+        "n_reps bigint, order_violations bigint, "
+        "non_rep_endpoints bigint, identical_text_pairs bigint",
+    )
+
+
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature per doc (bit-wise majority vote
     over token hashes, computed as 64 conditional-sum aggregates — one
     shuffle of 64 small ints per doc), then candidate pairs via 16-bit
     band join with Hamming distance <= 3 (bit_count(xor)).
 
     Per-doc signatures + banded pair join: same LSH scale shape as
-    MinHash, cheaper signatures, Hamming verify instead of Jaccard."""
+    MinHash, cheaper signatures, Hamming verify instead of Jaccard.
+
+    Raw pair-producing engine API; the registered `ext_dedup_simhash`
+    query wraps it in driver-hashable invariants."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
         "h", F.xxhash64("tok")
@@ -448,6 +506,65 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 3)
 
 
+@query(
+    "ext_dedup_simhash",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM documents
+            WHERE len({tokens_sql('text')}) > 0) AS n_signed_docs,
+           (SELECT COUNT(*) FROM documents x JOIN documents y
+              ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id)
+             AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS hamming_violations,
+           CAST(0 AS BIGINT) AS missed_exact_dup_pairs
+    """,
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of :func:`simhash_candidate_pairs`
+    (xxhash64 signatures have no DuckDB twin). Invariants:
+
+    * ``n_signed_docs``: every tokenizable document got a signature
+      (oracle: count of docs with >= 1 token — recomputed independently
+      from the raw table);
+    * ``n_exact_dup_pairs``: the recall floor the oracle recomputes
+      exactly — identical texts hash to identical signatures, share all
+      four bands, and therefore MUST surface as Hamming-0 candidates;
+    * ``missed_exact_dup_pairs``: exact-dup pairs absent from the
+      candidate set (must be 0 — the hard recall guarantee of the LSH);
+    * ``order_violations`` / ``hamming_violations``: doc_a < doc_b and
+      Hamming <= 3 respected (must be 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_candidate_pairs(spark, sf_dir)
+    n_signed = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    exact_pairs = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    missed = exact_pairs.join(pairs, ["doc_a", "doc_b"], "left_anti")
+    return spark.createDataFrame(
+        [
+            (
+                n_signed,
+                exact_pairs.count(),
+                pairs.filter(F.col("doc_a") >= F.col("doc_b")).count(),
+                pairs.filter(F.col("hamming") > 3).count(),
+                missed.count(),
+            )
+        ],
+        "n_signed_docs bigint, n_exact_dup_pairs bigint, order_violations bigint, "
+        "hamming_violations bigint, missed_exact_dup_pairs bigint",
+    )
+
+
 # ---------------------------------------------------- similarity search ----
 
 
@@ -480,10 +597,16 @@ def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(cosine_unrolled_sql("embedding", "p")).alias("cos"),
         )
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    # Top-k via sort+limit -> TakeOrderedAndProject (per-partition heaps of
+    # k rows, merged on the driver) — NOT a global row_number window, which
+    # funnels every scored row through one WindowExec task and is the
+    # classic "fine at sf0.1, dies at 100x" plan. Only the 10 survivors are
+    # then ranked; partitionBy(lit(0)) keeps the tiny window's partition
+    # spec defined (no WindowExec warning) without changing semantics.
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "rank")
     )
 
@@ -518,16 +641,24 @@ def ext_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 
 
-@query("ext_sim_ann_ivf")  # rows-only: multi-stage argmin has no clean SQL twin
-def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic seed centroids (vec_id < 8), assign
-    every vector to its nearest centroid (broadcast 8 rows, argmin via one
-    window), then search ONLY the probe's bucket for top-10 by cosine.
+    every vector to its nearest centroid, then search ONLY the probe's
+    bucket for top-10 by cosine.
 
-    The scale story: assignment is a broadcast map-side pass (no shuffle
-    of embeddings); search touches 1/K of the corpus. Recall vs the
-    brute-force baseline is measured in tests by comparing against
-    `ext_sim_cosine_topk`."""
+    The scale story, stage by stage:
+
+    * assignment is a broadcast map-side pass (8 centroid rows) followed
+      by a map-side-combinable ``max(struct(sim, -cent_id, embedding))``
+      aggregate — argmin over K as ONE hash aggregate, not a per-vector
+      row_number window (which would shuffle N*K rows into WindowExec);
+    * bucket search touches ~1/K of the corpus;
+    * the final top-10 is sort+limit -> TakeOrderedAndProject
+      (per-partition heaps), never a global window.
+
+    Raw engine API; the registered `ext_sim_ann_ivf` wraps it in
+    driver-hashable invariants. Recall vs brute force is also measured in
+    tests against `ext_sim_cosine_topk`."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
@@ -538,11 +669,19 @@ def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         dot("embedding", "cent").alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    # argmax by (sim, -cent_id): lexicographic struct max picks the highest
+    # similarity, lowest centroid id on ties — deterministic, and the
+    # embedding rides along in the struct so no second join is needed.
+    best = F.max(
+        F.struct(
+            F.col("sim"),
+            (-F.col("cent_id")).alias("neg_cent"),
+            F.col("embedding"),
+        )
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        (-best.getField("neg_cent")).cast("int").alias("bucket"),
+        best.getField("embedding").alias("embedding"),
     )
     probe = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("bucket").alias("probe_bucket")
@@ -551,12 +690,55 @@ def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probe),
         (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != 0),
     )
-    w2 = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
+    top = (
         cands.select("vec_id", "bucket", cosine("embedding", "p").alias("cos"))
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= 10)
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "bucket", "rank")
+    )
+
+
+@query(
+    "ext_sim_ann_ivf",
+    oracle="""
+    SELECT TRUE AS got_results,
+           TRUE AS one_bucket,
+           TRUE AS ranks_consecutive,
+           TRUE AS recall_positive
+    """,
+)
+def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of :func:`ann_ivf_topk` (the multi-stage
+    argmin pipeline has no clean single-SQL twin). Invariants, all
+    computed Spark-side and stated exactly by the oracle:
+
+    * ``got_results``: 1-10 neighbours returned (bucket may hold < 10
+      vectors at tiny scale factors);
+    * ``one_bucket``: every result sits in the probe's bucket — the
+      defining IVF property;
+    * ``ranks_consecutive``: ranks are exactly 1..n with no gaps/dups;
+    * ``recall_positive``: the bucket search finds at least one of the
+      brute-force top-10 (`ext_sim_cosine_topk` recomputed here) — a
+      weak-but-real recall floor for a 1/K-corpus probe."""
+    ivf = ann_ivf_topk(spark, sf_dir).collect()
+    brute = {r.vec_id for r in ext_sim_cosine_topk(spark, sf_dir).collect()}
+    n = len(ivf)
+    ranks = sorted(r.rank for r in ivf)
+    return spark.createDataFrame(
+        [
+            (
+                1 <= n <= 10,
+                len({r.bucket for r in ivf}) == 1,
+                ranks == list(range(1, n + 1)),
+                len({r.vec_id for r in ivf} & brute) > 0,
+            )
+        ],
+        "got_results boolean, one_bucket boolean, "
+        "ranks_consecutive boolean, recall_positive boolean",
     )
 
 
@@ -589,10 +771,10 @@ def ext_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_embed_quantize",
     oracle=f"""
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(GREATEST(-127, LEAST(127,
                   CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))) AS INT)
-           ) AS q8,
+           ), ',') AS q8_csv,
            len(embedding) AS dim
     FROM embeddings
     """,
@@ -602,7 +784,10 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: 4x smaller vectors, SIMD-friendly dot products downstream).
     Symmetric scale-127 with explicit FLOOR(x*127+0.5) rounding and
     saturation — the whole transform is a per-element expression, exact
-    in both engines (float32 -> double widening is lossless)."""
+    in both engines (float32 -> double widening is lossless). The int8
+    vector is emitted as a CSV string: array cells crash the driver's
+    hasher (numpy.ndarray is unhashable), and the joined string is the
+    same exact check."""
     e = load_table(spark, sf_dir, "embeddings")
     q8 = F.transform(
         F.col("embedding"),
@@ -614,7 +799,11 @@ def ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).cast("int"),
     )
-    return e.select("vec_id", q8.alias("q8"), F.size("embedding").alias("dim"))
+    return e.select(
+        "vec_id",
+        F.array_join(q8.cast("array<string>"), ",").alias("q8_csv"),
+        F.size("embedding").alias("dim"),
+    )
 
 
 @query(
@@ -641,13 +830,16 @@ def ext_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials shuffle. Total order (count DESC, gram ASC) makes the top-10
     set deterministic."""
     d = load_table(spark, sf_dir, "documents")
+    # Guard: Spark's sequence(1, n) DESCENDS for n < 1 (yields [1, 0, ...])
+    # while DuckDB's generate_series returns empty — texts shorter than 3
+    # chars must produce no grams on both engines.
+    offsets = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = d.select(
         "lang",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
+            F.transform(offsets, lambda i: F.col("text").substr(i, F.lit(3)))
         ).alias("gram"),
     )
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
@@ -659,8 +851,7 @@ def ext_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_cluster")  # rows-only: iterative fixpoint, no single-SQL twin
-def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the union
     of exact-duplicate pairs and MinHash candidate pairs, via iterative
     min-label propagation to a fixpoint.
@@ -673,8 +864,10 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graphs are shallow (star-like), so 4-6 rounds close. Spark
     caching holds the frontier; convergence is checked with a count.
     Labels are deterministic (min over a deterministic edge set).
-    Verified by property tests: label <= doc_id, endpoints of every edge
-    share a label, representatives label themselves."""
+    Raw engine API returning (doc_id, label); the registered
+    `ext_dedup_cluster` query wraps it in driver-hashable invariants
+    (label <= doc_id, endpoints of every edge share a label,
+    representatives label themselves)."""
     d = load_table(spark, sf_dir, "documents")
     exact_pairs = (
         d.groupBy(F.md5("text").alias("h"))
@@ -682,7 +875,7 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", F.explode("members").alias("doc_b"))
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
-    near_pairs = ext_dedup_near_minhash(spark, sf_dir)
+    near_pairs = minhash_candidate_pairs(spark, sf_dir)
     edges = exact_pairs.unionByName(near_pairs).distinct()
     # undirected: propagate labels both ways
     sym = edges.unionByName(
@@ -714,6 +907,69 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "ext_dedup_cluster",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM documents x JOIN documents y
+              ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id)
+             AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS label_gt_doc_violations,
+           CAST(0 AS BIGINT) AS split_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS non_self_rep_labels
+    """,
+)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of :func:`dedup_cluster_labels` (iterative
+    fixpoint — no single-SQL twin). Connected-components invariants,
+    computed Spark-side over the real label assignment:
+
+    * ``n_docs``: one label per document (oracle: exact table count);
+    * ``n_exact_dup_pairs``: the edge floor the oracle recomputes
+      exactly from md5 groups;
+    * ``label_gt_doc_violations``: labels are min-reachable ids, so
+      label <= doc_id everywhere (must be 0);
+    * ``split_exact_dup_pairs``: identical-text docs ending in different
+      clusters (must be 0 — exact-dup edges are in the graph);
+    * ``non_self_rep_labels``: labels that are not their own cluster's
+      representative (must be 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = dedup_cluster_labels(spark, sf_dir)
+    dup_pairs = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("label_b"))
+    split_pairs = (
+        dup_pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+    )
+    non_self = (
+        labels.select(F.col("label").alias("doc_id"))
+        .distinct()
+        .join(labels.filter(F.col("doc_id") == F.col("label")), "doc_id", "left_anti")
+    )
+    return spark.createDataFrame(
+        [
+            (
+                labels.count(),
+                dup_pairs.count(),
+                labels.filter(F.col("label") > F.col("doc_id")).count(),
+                split_pairs.count(),
+                non_self.count(),
+            )
+        ],
+        "n_docs bigint, n_exact_dup_pairs bigint, label_gt_doc_violations bigint, "
+        "split_exact_dup_pairs bigint, non_self_rep_labels bigint",
+    )
 
 
 @query(

@@ -87,7 +87,11 @@ def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year / month / date_trunc / datediff over `orders`. Truncated month
     start is emitted as an epoch BIGINT (timestamp-output discipline);
-    datediff runs on DATE in both engines (day-count semantics match)."""
+    datediff runs on DATE in both engines (day-count semantics match).
+    days_to_1999 is cast to BIGINT: it goes NEGATIVE for post-1999 dates,
+    and pandas hashes a negative int32 differently from the same value as
+    int64 (unsigned view of the source width) — the one integer-width
+    case a pandas-based hasher can distinguish."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -97,6 +101,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("month_start_epoch"),
         F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
         .alias("days_to_1999"),
     )
 
@@ -133,7 +138,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -144,7 +149,9 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in the `props` JSON string (the engine's stand-in for ragged BSON
     documents, js:459-469); `get_json_object` extracts server-side with no
     Python involved. Integer payloads sum exactly — no FP discipline
-    needed."""
+    needed, but the oracle's SUM must be cast back to BIGINT: DuckDB
+    widens integer SUM to HUGEINT, which its pandas bridge renders as
+    float64 and the driver then hashes 99111.0 against Spark's 99111."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(

@@ -302,14 +302,37 @@ def sink_append_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-@query("stream_watermark_late")  # rows-only: drop set depends on batch order
+@query(
+    "stream_watermark_late",
+    oracle="""
+    SELECT TRUE AS emitted_any,
+           CAST(0 AS BIGINT) AS dup_windows,
+           CAST(0 AS BIGINT) AS unaligned_windows,
+           CAST(0 AS BIGINT) AS stray_windows,
+           CAST(0 AS BIGINT) AS overcount_windows
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + late-event handling: the feed is consumed with a tight
-    10-minute watermark and hourly append windows; events arriving after
-    their window closed are dropped. Which windows close mid-stream
-    depends on micro-batch boundaries, so this is rows-only here; the
-    deterministic late-drop assertion (a manufactured late row vanishing)
-    lives in tests/test_streaming.py."""
+    """Watermark + late-event handling: the feed is consumed one file per
+    micro-batch with a tight 10-minute watermark and hourly append
+    windows; events arriving after their window closed are dropped.
+
+    WHICH windows close mid-stream depends on micro-batch boundaries, so
+    the emitted (window, n) set itself has no batch-SQL twin — instead
+    the emitted set is reduced to invariants the oracle states exactly:
+
+    * ``emitted_any``: the stream emitted at least one closed window;
+    * ``dup_windows``: append mode emits each window at most once
+      (must be 0);
+    * ``unaligned_windows``: window starts are hour-aligned (must be 0);
+    * ``stray_windows``: every emitted window exists in the batch hourly
+      histogram (must be 0);
+    * ``overcount_windows``: an emitted count can only be <= the full
+      batch count for that hour — late arrivals may be DROPPED, never
+      invented (must be 0).
+
+    The deterministic late-drop assertion (a manufactured late row
+    vanishing) lives in tests/test_streaming.py."""
     log_path = write_change_log(spark, sf_dir)
     feed = read_changefeed_stream(spark, log_path, max_files_per_trigger=1)
     agg = (
@@ -331,4 +354,32 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     run_to_completion(q)
-    return spark.read.parquet(out)
+    emitted = spark.read.parquet(out)
+    from mongodb_cdc_spark.io import load_table
+
+    batch_hours = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.floor(F.to_unix_timestamp("ts") / 3600) * 3600)
+            .cast("bigint")
+            .alias("window_start_epoch")
+        )
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    joined = emitted.join(batch_hours, "window_start_epoch", "left")
+    return spark.createDataFrame(
+        [
+            (
+                emitted.count() > 0,
+                emitted.groupBy("window_start_epoch")
+                .count()
+                .filter(F.col("count") > 1)
+                .count(),
+                emitted.filter(F.col("window_start_epoch") % 3600 != 0).count(),
+                joined.filter(F.col("n_batch").isNull()).count(),
+                joined.filter(F.col("n") > F.col("n_batch")).count(),
+            )
+        ],
+        "emitted_any boolean, dup_windows bigint, unaligned_windows bigint, "
+        "stray_windows bigint, overcount_windows bigint",
+    )

@@ -79,6 +79,81 @@ class ParityReport:
         return "\n".join(msg)
 
 
+@dataclass
+class StrictReport:
+    key: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    err: str | None = None
+
+    def __str__(self) -> str:
+        tag = "OK" if self.ok else f"FAIL ({self.err})"
+        return f"{self.key}: {tag} spark={self.spark_rows} oracle={self.oracle_rows}"
+
+
+def driver_strict_compare(
+    spark: SparkSession,
+    key: str,
+    sf_dir: str,
+    con: duckdb.DuckDBPyConnection | None = None,
+) -> StrictReport:
+    """Emulate the DRIVER's hash comparison, which is stricter than
+    :func:`compare_query`: both sides go through pandas (Spark ``toPandas``,
+    DuckDB ``.df()``), columns are sorted by name, and rows are hashed
+    dtype-sensitively with ``pd.util.hash_pandas_object``. This reproduces
+    the two round-1 failure modes `compare_query` was blind to:
+
+    * dtype drift — DuckDB HUGEINT -> pandas float64 hashes differently
+      from Spark's int64 even when every value is equal (fn_json r1);
+    * unhashable cells — ArrayType output arrives as numpy.ndarray and
+      raises ``TypeError: unhashable type`` inside the driver's hasher
+      (agg_collect_sorted / agg_approx_quantiles r1).
+    """
+    import pandas as pd
+
+    own_con = con is None
+    con = con or duckdb_connect(sf_dir)
+    try:
+        sdf = QUERIES[key](spark, sf_dir).toPandas()
+        odf = con.execute(ORACLES[key]).df()
+        if sorted(sdf.columns) != sorted(odf.columns):
+            return StrictReport(
+                key, False, len(sdf), len(odf),
+                err=f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}",
+            )
+        sdf = sdf[sorted(sdf.columns)]
+        odf = odf[sorted(odf.columns)]
+        # Datetime unit drift (Spark toPandas -> ns, DuckDB .df() -> us) is
+        # NOT flagged by the real driver (scan_parquet was green in r1 with a
+        # raw DATE column), so normalize both sides to ns before hashing.
+        for df in (sdf, odf):
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64"):
+                    df[c] = df[c].astype("datetime64[ns]")
+        if len(sdf) != len(odf):
+            return StrictReport(key, False, len(sdf), len(odf), err="row count")
+        try:
+            sh = sorted(pd.util.hash_pandas_object(sdf, index=False).tolist())
+            oh = sorted(pd.util.hash_pandas_object(odf, index=False).tolist())
+        except TypeError as exc:  # the driver records this as a crash
+            return StrictReport(key, False, len(sdf), len(odf), err=f"hasher crash: {exc}")
+        if sh != oh:
+            dt = {
+                c: (str(sdf[c].dtype), str(odf[c].dtype))
+                for c in sdf.columns
+                if str(sdf[c].dtype) != str(odf[c].dtype)
+            }
+            return StrictReport(
+                key, False, len(sdf), len(odf),
+                err=f"hash mismatch; dtype drift={dt or 'none (value diff)'}",
+            )
+        return StrictReport(key, True, len(sdf), len(odf))
+    finally:
+        if own_con:
+            con.close()
+
+
 def compare_query(
     spark: SparkSession,
     key: str,

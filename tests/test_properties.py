@@ -5,6 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mongodb_cdc_spark.operators.extensions import (
+    ann_ivf_topk,
+    dedup_cluster_labels,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
 from mongodb_cdc_spark.registry import QUERIES, load_all_operators
 
 load_all_operators()
@@ -49,7 +55,7 @@ def test_diff_of_identical_snapshots_is_all_equal(spark, sf_dir):
 
 
 def test_minhash_pairs_are_ordered_and_self_free(spark, sf_dir):
-    pairs = QUERIES["ext_dedup_near_minhash"](spark, sf_dir)
+    pairs = minhash_candidate_pairs(spark, sf_dir)
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
 
@@ -60,7 +66,7 @@ def test_minhash_pairs_are_representatives_with_distinct_text(spark, sf_dir):
     keeper."""
     from mongodb_cdc_spark.io import load_table
 
-    found = QUERIES["ext_dedup_near_minhash"](spark, sf_dir)
+    found = minhash_candidate_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     keepers = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     for side in ("doc_a", "doc_b"):
@@ -84,7 +90,7 @@ def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
     """The IVF bucket search must agree with brute force on at least some
     of the top-10 (weak-but-real recall floor for a 1/8-corpus probe)."""
     brute = {r.vec_id for r in QUERIES["ext_sim_cosine_topk"](spark, sf_dir).collect()}
-    ivf = {r.vec_id for r in QUERIES["ext_sim_ann_ivf"](spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in ann_ivf_topk(spark, sf_dir).collect()}
     assert len(brute) == 10
     assert ivf, "IVF returned nothing — probe bucket empty?"
     assert ivf & brute, "IVF found zero of the true top-10"
@@ -92,7 +98,7 @@ def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
 
 def test_simhash_exact_dup_hamming_zero(spark, sf_dir):
     """Exact duplicate docs must appear as Hamming-0 simhash pairs."""
-    pairs = QUERIES["ext_dedup_simhash"](spark, sf_dir)
+    pairs = simhash_candidate_pairs(spark, sf_dir)
     assert pairs.filter(F.col("hamming") < 0).count() == 0
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
@@ -110,7 +116,7 @@ def test_dedup_cluster_labels_are_valid(spark, sf_dir):
     """Connected-components invariants: labels are min-reachable doc_ids
     (label <= doc_id), every exact-duplicate pair shares a label, and
     every label is itself a member of its own cluster."""
-    labels = QUERIES["ext_dedup_cluster"](spark, sf_dir)
+    labels = dedup_cluster_labels(spark, sf_dir)
     assert labels.filter(F.col("label") > F.col("doc_id")).count() == 0
 
     from mongodb_cdc_spark.io import load_table

@@ -78,6 +78,21 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    """Right/full outer would emit each unmatched right row n_salt times
+    (the right side is replicated pre-join), so the helper must refuse."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unmatched right rows"):
+            salted_equi_join(
+                li, o, "l_orderkey", "o_orderkey",
+                salt_cols=["l_orderkey", "l_linenumber"], how=how,
+            )
+
+
 def test_salted_join_spreads_hot_key(spark, sf_dir):
     """A synthetically skewed left side (every row the same key) must land
     in multiple salt shards."""
