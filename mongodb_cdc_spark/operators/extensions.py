@@ -877,10 +877,13 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near_pairs = minhash_candidate_pairs(spark, sf_dir)
     edges = exact_pairs.unionByName(near_pairs).distinct()
-    # undirected: propagate labels both ways
+    # undirected: propagate labels both ways. Materialize ONCE — the edge
+    # set is re-joined every propagation round, and without this the whole
+    # upstream MinHash LSH pipeline would re-execute per round (measured
+    # ~8x the total cost at small SFs).
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(8):  # log2(diameter) bound; dedup graphs are shallow
         neighbor_min = (
@@ -897,13 +900,17 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # checkpoint FIRST (cut lineage), then count changes between two
+        # materialized frames — counting before the checkpoint would
+        # re-execute the round's joins a second time.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels

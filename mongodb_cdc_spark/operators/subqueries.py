@@ -67,6 +67,30 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark >= 4.0): a month date-spine spanning the
     orders range, left-joined back so EMPTY months appear with zero —
     the gap-filling idiom plain GROUP BY cannot express (it has no row to
-    group). Output is (yyyymm int, count): no timestamps to hash."""
+    group). Output is (yyyymm int, count): no timestamps to hash.
+
+    The spine bounds are resolved to literals FIRST (one 2-scalar
+    aggregate): Spark's recursion re-evaluates the step query each
+    iteration, so a correlated ``(SELECT MAX(..) FROM orders)`` inside
+    the step rescans the fact table once per month — ~80 scans for this
+    range (measured 16 s at sf0.001 vs 0.2 s with literal bounds). The
+    oracle keeps the self-contained form; DuckDB's recursion evaluates
+    its step subquery against a materialized result, so it does not pay
+    the rescan."""
     register_views(spark, sf_dir)
-    return spark.sql(_DATE_SPINE)
+    lo, hi = spark.sql(
+        "SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS STRING), "
+        "       CAST(date_trunc('month', MAX(o_orderdate)) AS STRING) FROM orders"
+    ).first()
+    return spark.sql(f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '{lo}'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '{hi}'
+        )
+        SELECT year(m) * 100 + month(m) AS ym,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY year(m) * 100 + month(m)
+    """)

@@ -207,3 +207,78 @@ def test_crash_mid_stream_then_restart_converges(spark, sf_dir):
     }
     recovered = {k: v[:3] for k, v in _final_state(spark, target).items()}
     assert recovered == batch, "post-recovery state != clean-run state"
+
+
+def test_mongo_stream_options_shape():
+    """Prod-connector seam (reference js:235-245 watch() options): the
+    option dict must use the mongo-spark-connector v10 option names
+    exactly — a typo here only surfaces on a real cluster, so pin the
+    names in a unit test."""
+    from mongodb_cdc_spark.sources.changefeed import mongo_stream_options
+
+    opts = mongo_stream_options(
+        "mongodb://example:27017", "appdb", "user_events"
+    )
+    assert opts == {
+        "connection.uri": "mongodb://example:27017",
+        "database": "appdb",
+        "collection": "user_events",
+        "change.stream.publish.full.document.only": "false",
+        "change.stream.lookup.full.document": "updateLookup",
+    }
+    assert all(isinstance(v, str) for v in opts.values()), (
+        "spark .options(**opts) requires string values"
+    )
+    assert (
+        mongo_stream_options("u", "d", "c", full_document="whenAvailable")[
+            "change.stream.lookup.full.document"
+        ]
+        == "whenAvailable"
+    )
+
+
+def test_bucketed_upsert_touches_only_batch_buckets(spark, sf_dir):
+    """Scale contract of ParquetUpsertTarget: per-batch work is
+    O(batch + touched buckets). Merge a full feed, then a 1-key batch;
+    every bucket the key does NOT hash into must keep its exact prior
+    committed version directory (no rewrite), and the touched bucket
+    must advance."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.upsert import upsert_projection
+
+    target = ParquetUpsertTarget(new_scratch_dir("bucket_target"), n_buckets=8)
+    events = upsert_projection(derive_change_log(spark, sf_dir))
+    target.merge_batch(events, epoch_id=0)
+
+    before = {
+        b: target._bucket_versions(b) for b in range(target.n_buckets)
+    }
+    import pyspark.sql.functions as F2
+
+    # update derived from the state's own latest row: strictly newer by
+    # the merge's ordering key, else the semilattice correctly discards
+    # it as a stale replay
+    one = (
+        target.current(spark)
+        .orderBy("_id")
+        .limit(1)
+        .withColumn("value", F2.lit(999.0))
+        .withColumn("cluster_ts", F2.col("cluster_ts") + F2.expr("INTERVAL 1 HOUR"))
+    )
+    [key] = [r["_id"] for r in one.select("_id").collect()]
+    [key_bucket] = [
+        r[0]
+        for r in one.select(
+            F2.pmod(F2.xxhash64("_id"), F2.lit(target.n_buckets))
+        ).collect()
+    ]
+    target.merge_batch(one, epoch_id=1)
+    after = {b: target._bucket_versions(b) for b in range(target.n_buckets)}
+    for b in range(target.n_buckets):
+        if b == key_bucket:
+            assert after[b][-1] != before[b][-1], "touched bucket did not advance"
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+    cur = {r["_id"]: r["value"] for r in target.current(spark).collect()}
+    assert cur[key] == 999.0

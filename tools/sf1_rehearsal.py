@@ -1,0 +1,100 @@
+"""sf1 scale rehearsal (VERDICT r1 item 8).
+
+No /root/testdata/sf1 exists, so synthesize a 10x replica of sf0.1
+into the gitignored .scratch/ — each copy's keys shifted by a large
+stride so key cardinality scales 10x too (dedup/join semantics stay
+non-degenerate: text/embedding payloads repeat, which if anything
+STRESSES the dedup paths with 10x more true duplicate groups). Then
+run the heavy operators end-to-end and print per-query timings.
+
+Dimension tables (region/nation/customer/supplier/part) are copied
+1x unchanged — at 100 TB the facts grow, the dims don't; fact FK
+columns are left in-range so joins keep matching.
+
+Run:  python tools/sf1_rehearsal.py            # build + run
+      python tools/sf1_rehearsal.py --reuse    # skip rebuild
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mongodb_cdc_spark.session import get_spark  # noqa: E402
+from mongodb_cdc_spark.sources.changefeed import scratch_root  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+STRIDE = 10_000_000  # far above any sf0.1 key
+
+# fact table -> columns to shift per copy (payload columns repeat)
+FACTS = {
+    "events": ["event_id"],  # user_id kept: 10x events per user (realistic)
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey"],  # o_custkey kept in-range for joins
+    "lineitem": ["l_orderkey"],  # same stride as orders: FK stays consistent
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+HEAVY = [
+    "agg_hash_groupby",
+    "join_asof_latest",
+    "win_latest_per_key",
+    "cdc_apply_upsert",
+    "ext_dedup_exact",
+    "ext_dedup_near_minhash",
+    "ext_dedup_simhash",
+    "ext_sim_cosine_topk",
+    "ext_sim_ann_ivf",
+    "ext_text_wordcount",
+    "topk_orders",
+]
+
+
+def build(spark, out: str) -> None:
+    for t, keys in FACTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        shifted = None
+        for i in range(COPIES):
+            c = src
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+            shifted = c if shifted is None else shifted.unionByName(c)
+        shifted.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"  built {t}: {spark.read.parquet(f'{out}/{t}.parquet').count()} rows")
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    out = os.path.join(scratch_root(), "sf1ish")
+    spark = get_spark(app_name="sf1-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--reuse" not in sys.argv or not os.path.isdir(out):
+        t0 = time.time()
+        build(spark, out)
+        print(f"build: {time.time() - t0:.1f}s")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    timings = {}
+    for name in HEAVY:
+        t0 = time.time()
+        n = qs[name](spark, out).count()
+        timings[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {timings[name]}s ({n} rows)")
+    print(json.dumps({"sf": "1ish(10x sf0.1)", "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()
