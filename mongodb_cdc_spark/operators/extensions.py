@@ -884,36 +884,48 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    # Iterate ONLY over edge endpoints: an isolated doc's label is itself
+    # and can never change, so carrying all |docs| rows through every
+    # round (as the naive form does) multiplies each round's join/shuffle
+    # by corpus size for zero information. In a dedup graph the endpoint
+    # set is the duplicate minority — at 100 TB this is the difference
+    # between rounds over ~1% of the corpus and rounds over all of it.
+    # Isolated docs are joined back once, after the fixpoint.
+    labels = (
+        sym.select("doc_a").distinct().select(F.col("doc_a").alias("doc_id"))
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(8):  # log2(diameter) bound; dedup graphs are shallow
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the changed flag IN the round's frame: checkpoint cuts
+        # lineage and materializes once, and the convergence check is
+        # then a filter-count over the checkpointed rows — no extra
+        # join-the-old-frame job per round.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
+                    "new_label"
                 ),
+                F.col("label").alias("old_label"),
             )
+            .localCheckpoint(eager=True)
         )
-        # checkpoint FIRST (cut lineage), then count changes between two
-        # materialized frames — counting before the checkpoint would
-        # re-execute the round's joins a second time.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
 
 
 @query(

@@ -107,15 +107,14 @@ class ParquetUpsertTarget:
         return spark.read.parquet(*paths).select(*STATE_COLUMNS)
 
     # ------------------------------------------------------------ merge ---
-    def _write_staged(self, df: DataFrame, stage: str, n_parts: int) -> None:
-        """Reduce to latest-per-key and stage-write partitioned by bucket
-        in ONE shuffle: ``repartition(n, __bucket)`` then
-        ``groupBy(__bucket, _id)`` — hash partitioning on __bucket alone
-        satisfies the aggregate's clustered distribution on
-        (__bucket, _id) because __bucket is a function of _id, so Catalyst
-        inserts no second exchange, and the aggregate output is already
-        laid out one-task-per-bucket for the partitioned write (~1 file
-        per bucket, no sliver files).
+    def _reduce(self, df: DataFrame, n_parts: int) -> DataFrame:
+        """Latest-per-key, bucket-partitioned, in ONE shuffle:
+        ``repartition(n, __bucket)`` then ``groupBy(__bucket, _id)`` —
+        hash partitioning on __bucket alone satisfies the aggregate's
+        clustered distribution on (__bucket, _id) because __bucket is a
+        function of _id, so Catalyst inserts no second exchange, and the
+        output stays laid out one-task-per-bucket for a partitioned write
+        (~1 file per bucket, no sliver files).
 
         Latest-per-key is ``max(struct(cluster_ts, token, payload...))``:
         lexicographic struct comparison with the ordering columns leading
@@ -124,7 +123,7 @@ class ParquetUpsertTarget:
         m = F.max(
             F.struct("cluster_ts", "token", "event_type", "value", "props")
         ).alias("m")
-        (
+        return (
             df.withColumn("__bucket", self._bucket_col())
             .repartition(n_parts, "__bucket")
             .groupBy("__bucket", "_id")
@@ -138,9 +137,6 @@ class ParquetUpsertTarget:
                 F.col("m.cluster_ts").alias("cluster_ts"),
                 F.col("m.token").alias("token"),
             )
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(stage)
         )
 
     def _commit_staged(self, stage: str, version: str, buckets: list[int]) -> None:
@@ -160,13 +156,12 @@ class ParquetUpsertTarget:
         """MERGE: latest-per-key of (touched-bucket state ∪ batch),
         decided by (cluster_ts, token) — idempotent under replay by
         construction. Only buckets containing a batch key are read and
-        rewritten, and touched-bucket discovery is free: the batch is
-        first reduced and stage-written partitioned by bucket (the ONLY
-        action against the streaming source, so input metrics stay
-        honest), and the staged directory listing names the touched
-        buckets driver-side. Staged buckets with no prior state commit by
-        rename alone; only buckets with existing state pay a second
-        (small) merge job over staged + current rows."""
+        rewritten. Two jobs, one parquet write: the batch is reduced to
+        latest-per-key and CACHED (the only scan of the streaming source,
+        so input metrics stay honest; the touched-bucket list is a tiny
+        collect over the cache), then one job unions the cached rows with
+        the touched buckets' current state, re-reduces, and stage-writes
+        partitioned by bucket; commit is per-bucket rename + marker."""
         spark = batch.sparkSession
         aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
         if not self.aqe_in_merge:
@@ -194,31 +189,28 @@ class ParquetUpsertTarget:
     def _merge_batch_inner(self, spark: SparkSession, batch: DataFrame) -> None:
         version = self._next_version()
         stage = os.path.join(self.path, ".staging", version)
-        self._write_staged(batch.select(*STATE_COLUMNS), stage, self.n_buckets)
-        touched = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(stage)
-            if d.startswith("__bucket=")
-        )
-        if not touched:
-            shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
-            return
-
-        to_merge = [b for b in touched if self._bucket_versions(b)]
-        fresh = [b for b in touched if not self._bucket_versions(b)]
-        self._commit_staged(stage, version, fresh)
-
-        if to_merge:
-            staged_paths = [os.path.join(stage, f"__bucket={b}") for b in to_merge]
-            cur_paths = self._latest_bucket_paths(to_merge)
-            # one multi-path read -> one file index for staged + current
-            combined = spark.read.parquet(*staged_paths, *cur_paths).select(
-                *STATE_COLUMNS
+        reduced = self._reduce(batch.select(*STATE_COLUMNS), self.n_buckets).persist()
+        try:
+            # partial collect_set per cache partition + 1-task final: far
+            # cheaper than distinct() (which would shuffle into
+            # spark.sql.shuffle.partitions tasks for a <= n_buckets result)
+            touched = sorted(
+                reduced.agg(F.collect_set("__bucket")).first()[0]
             )
-            stage2 = os.path.join(self.path, ".staging", version + "m")
-            self._write_staged(combined, stage2, len(to_merge))
-            self._commit_staged(stage2, version, to_merge)
-        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+            if not touched:
+                return
+            cur_paths = self._latest_bucket_paths(touched)
+            out = reduced
+            if cur_paths:
+                combined = reduced.select(*STATE_COLUMNS).unionByName(
+                    spark.read.parquet(*cur_paths).select(*STATE_COLUMNS)
+                )
+                out = self._reduce(combined, max(len(touched), 1))
+            out.write.partitionBy("__bucket").mode("overwrite").parquet(stage)
+            self._commit_staged(stage, version, touched)
+        finally:
+            reduced.unpersist()
+            shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
 
     def _prune(self, b: int) -> None:
         """Bound disk: drop all but the last ``keep_versions`` committed
