@@ -445,10 +445,20 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc signatures + banded pair join: same LSH scale shape as
     MinHash, cheaper signatures, Hamming verify instead of Jaccard.
 
+    Exact-duplicate groups collapse to one representative BEFORE
+    signing — the same scale guard as MinHash (identical texts have
+    identical signatures, so a k-copy group alone would emit k²/2
+    Hamming-0 pairs that `ext_dedup_exact` already finds for free; the
+    10x-replica rehearsal measured 4.3x super-linear growth from exactly
+    this before the guard). Pairs are therefore between DISTINCT texts.
+
     Raw pair-producing engine API; the registered `ext_dedup_simhash`
     query wraps it in driver-hashable invariants."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
+    reps = d.groupBy(F.md5("text").alias("md5h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    tok = reps.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )
     bit_sums = tok.groupBy("doc_id").agg(
@@ -509,59 +519,64 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_simhash",
     oracle=f"""
-    SELECT (SELECT COUNT(*) FROM documents
-            WHERE len({tokens_sql('text')}) > 0) AS n_signed_docs,
-           (SELECT COUNT(*) FROM documents x JOIN documents y
-              ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id)
-             AS n_exact_dup_pairs,
+    SELECT (SELECT COUNT(DISTINCT md5(text)) FROM documents
+            WHERE len({tokens_sql('text')}) > 0) AS n_signed_reps,
            CAST(0 AS BIGINT) AS order_violations,
            CAST(0 AS BIGINT) AS hamming_violations,
-           CAST(0 AS BIGINT) AS missed_exact_dup_pairs
+           CAST(0 AS BIGINT) AS non_rep_endpoints,
+           CAST(0 AS BIGINT) AS identical_text_pairs
     """,
 )
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable form of :func:`simhash_candidate_pairs`
-    (xxhash64 signatures have no DuckDB twin). Invariants:
+    (xxhash64 signatures have no DuckDB twin). Same rep-level contract
+    as `ext_dedup_near_minhash`: exact-dup groups collapse to their min
+    doc_id before signing, so pairs relate DISTINCT texts and within-
+    group pairs are `ext_dedup_exact`'s job. Invariants:
 
-    * ``n_signed_docs``: every tokenizable document got a signature
-      (oracle: count of docs with >= 1 token — recomputed independently
-      from the raw table);
-    * ``n_exact_dup_pairs``: the recall floor the oracle recomputes
-      exactly — identical texts hash to identical signatures, share all
-      four bands, and therefore MUST surface as Hamming-0 candidates;
-    * ``missed_exact_dup_pairs``: exact-dup pairs absent from the
-      candidate set (must be 0 — the hard recall guarantee of the LSH);
+    * ``n_signed_reps``: every tokenizable distinct text got exactly one
+      signature (oracle recomputes the distinct-md5 count independently);
     * ``order_violations`` / ``hamming_violations``: doc_a < doc_b and
-      Hamming <= 3 respected (must be 0)."""
+      Hamming <= 3 respected (must be 0);
+    * ``non_rep_endpoints``: every pair endpoint is its text group's min
+      doc_id (must be 0);
+    * ``identical_text_pairs``: no emitted pair joins two identical
+      texts (must be 0 — reps are distinct texts by construction)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = simhash_candidate_pairs(spark, sf_dir)
     n_signed = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id")
+        d.filter(F.size(tokens("text")) > 0)
+        .select(F.md5("text"))
         .distinct()
         .count()
     )
-    exact_pairs = (
-        d.alias("x")
-        .join(
-            d.alias("y"),
-            F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    rep_ids = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
     )
-    missed = exact_pairs.join(pairs, ["doc_a", "doc_b"], "left_anti")
+    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    non_rep = endpoints.join(rep_ids, "doc_id", "left_anti")
+    texts = d.select("doc_id", F.md5("text").alias("md5h"))
+    same_text = (
+        pairs.join(texts.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("md5h", "md5_a")
+        .join(texts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(F.col("md5_a") == F.col("md5h"))
+    )
     return spark.createDataFrame(
         [
             (
                 n_signed,
-                exact_pairs.count(),
                 pairs.filter(F.col("doc_a") >= F.col("doc_b")).count(),
                 pairs.filter(F.col("hamming") > 3).count(),
-                missed.count(),
+                non_rep.count(),
+                same_text.count(),
             )
         ],
-        "n_signed_docs bigint, n_exact_dup_pairs bigint, order_violations bigint, "
-        "hamming_violations bigint, missed_exact_dup_pairs bigint",
+        "n_signed_reps bigint, order_violations bigint, "
+        "hamming_violations bigint, non_rep_endpoints bigint, "
+        "identical_text_pairs bigint",
     )
 
 

@@ -97,7 +97,8 @@ def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
 
 
 def test_simhash_exact_dup_hamming_zero(spark, sf_dir):
-    """Exact duplicate docs must appear as Hamming-0 simhash pairs."""
+    """Simhash pairs are rep-level (exact dups collapse before signing):
+    hamming in [0, 3] and doc_a < doc_b ordering hold for every pair."""
     pairs = simhash_candidate_pairs(spark, sf_dir)
     assert pairs.filter(F.col("hamming") < 0).count() == 0
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
