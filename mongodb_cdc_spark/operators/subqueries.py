@@ -76,7 +76,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (measured 16 s at sf0.001 vs 0.2 s with literal bounds). The
     oracle keeps the self-contained form; DuckDB's recursion evaluates
     its step subquery against a materialized result, so it does not pay
-    the rescan."""
+    the rescan.
+
+    Iteration count is a driver-side cost (one job per recursion round):
+    the anchor seeds the first YEAR of months (capped at hi) and the
+    step advances by 1 YEAR, so rounds = #years (~7), not #months (~80)
+    — same spine, ~10× fewer driver round trips (2.8 s -> 1.5 s at
+    sf0.1; the rest is the bounds scalar + the spine-to-orders join)."""
     register_views(spark, sf_dir)
     lo, hi = spark.sql(
         "SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS STRING), "
@@ -84,10 +90,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     return spark.sql(f"""
         WITH RECURSIVE months(m) AS (
-          SELECT TIMESTAMP '{lo}'
+          SELECT explode(sequence(
+                   TIMESTAMP '{lo}',
+                   least(TIMESTAMP '{lo}' + INTERVAL 11 MONTH, TIMESTAMP '{hi}'),
+                   INTERVAL 1 MONTH)) AS m
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months
-          WHERE m < TIMESTAMP '{hi}'
+          SELECT m + INTERVAL 1 YEAR FROM months
+          WHERE m + INTERVAL 1 YEAR <= TIMESTAMP '{hi}'
         )
         SELECT year(m) * 100 + month(m) AS ym,
                COUNT(o_orderkey) AS n_orders
