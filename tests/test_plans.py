@@ -88,3 +88,11 @@ def test_text_ops_have_no_python(spark, sf_dir):
 def test_cosine_topk_broadcasts_probe(spark, sf_dir):
     df = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
     assert_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_cosine_topk_uses_partial_topk_not_global_window(spark, sf_dir):
+    """The top-10 must come from per-partition heaps
+    (TakeOrderedAndProject), never a global unpartitioned WindowExec over
+    every scored row — the single-task plan that dies at corpus scale."""
+    df = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
