@@ -114,6 +114,18 @@ def main() -> None:
     QUERIES["udf_pandas_scalar"](spark, SF_DIR).limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    # The streaming tiers have their own cold paths (state-store init,
+    # the applyInPandasWithState python worker protocol, the foreachBatch
+    # merge plans) — warm them at sf0.001 (~600 events, seconds of setup
+    # that would otherwise be billed to the first streaming query).
+    warm_sf = SF_DIR.replace("sf0.1", "sf0.001")
+    if warm_sf != SF_DIR and os.path.isdir(warm_sf):
+        QUERIES["stream_stateful_upsert"](spark, warm_sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        QUERIES["sink_upsert_foreachbatch"](spark, warm_sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, raw_fn in HEADLINE:
