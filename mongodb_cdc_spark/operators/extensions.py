@@ -1052,3 +1052,40 @@ def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@query(
+    "ext_corpus_mix",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len({tokens_sql('text')})) AS n_tokens,
+           (SUM(len({tokens_sql('text')})) * 10000)
+             // (SUM(SUM(len({tokens_sql('text')}))) OVER ()) AS token_share_bp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture report: per-source document and token counts
+    plus each source's token share in integer basis points — the number
+    a data-mixing pipeline actually samples against. Share is integer
+    arithmetic end to end ((tokens * 10000) DIV total): exact in both
+    engines, no float division to disagree on.
+
+    Plan: one partial-aggregated shuffle on source (tiny key space), then
+    the grand total via a single-row window over the aggregated frame —
+    |sources| rows, not a second scan of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * 10000) DIV SUM(n_tokens) OVER ()").alias(
+            "token_share_bp"
+        ),
+    )

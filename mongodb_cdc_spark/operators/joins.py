@@ -265,3 +265,72 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_orderkey",
         F.to_unix_timestamp("asof_t").cast("bigint").alias("asof_order_epoch"),
     )
+
+
+_RANGE_BINNED_ORACLE = """
+WITH p AS (SELECT event_id, ts FROM events WHERE value > 250)
+SELECT p.event_id,
+       COUNT(*) AS n_events_1h,
+       COUNT(DISTINCT e.user_id) AS n_users_1h
+FROM p JOIN events e
+  ON (epoch_ns(e.ts) // 1000000000) >= (epoch_ns(p.ts) // 1000000000)
+ AND (epoch_ns(e.ts) // 1000000000) <
+     (epoch_ns(p.ts) // 1000000000) + 3600
+ AND e.event_id <> p.event_id
+GROUP BY p.event_id
+"""
+
+
+@query("join_range_binned", oracle=_RANGE_BINNED_ORACLE)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equi-key, made scale-safe by binning:
+    for each high-value probe event (value > 250), count all events —
+    any user — in the hour after it (the anomaly-impact window).
+
+    The naive plan for ``e.sec BETWEEN p.sec AND p.sec + w`` is
+    BroadcastNestedLoopJoin / cartesian: O(|probes| x |events|) row
+    comparisons, the quadratic trap. The fix is the same banding trick
+    the LSH dedups use, applied to time: bin both sides at the window
+    width w (bin = sec DIV w), explode each probe to its two candidate
+    bins (a w-wide window starting in bin b can only reach rows in b and
+    b+1), equi-join on the bin, and refine the exact range inside the
+    bin. Every true pair co-occurs in exactly one of the probe's two
+    candidate bins, so no dedup pass is needed.
+
+    Scale: the shuffle is keyed on time-bin — burst hours make hot bins,
+    which AQE skew-split handles; and because the probe side is a
+    filtered sliver, runtime stats usually turn the join into a
+    broadcast, removing the event-side shuffle entirely. Comparisons are
+    whole-second epochs (integer, exact in both engines — the
+    established cross-engine timestamp idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = 3600
+    sec = F.to_unix_timestamp("ts").cast("bigint")
+    base = ev.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        sec.alias("sec"),
+        F.expr("CAST(to_unix_timestamp(ts) AS BIGINT) DIV 3600").alias("bin"),
+    )
+    probes = (
+        ev.filter(F.col("value") > 250)
+        .select(
+            F.col("event_id").alias("probe_id"),
+            sec.alias("p_sec"),
+            F.expr("CAST(to_unix_timestamp(ts) AS BIGINT) DIV 3600").alias(
+                "p_bin"
+            ),
+        )
+        .withColumn(
+            "bin", F.explode(F.array(F.col("p_bin"), F.col("p_bin") + 1))
+        )
+    )
+    joined = base.join(probes, "bin").filter(
+        (F.col("sec") >= F.col("p_sec"))
+        & (F.col("sec") < F.col("p_sec") + F.lit(w))
+        & (F.col("event_id") != F.col("probe_id"))
+    )
+    return joined.groupBy(F.col("probe_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_events_1h"),
+        F.count_distinct("user_id").alias("n_users_1h"),
+    )

@@ -96,3 +96,13 @@ def test_cosine_topk_uses_partial_topk_not_global_window(spark, sf_dir):
     every scored row — the single-task plan that dies at corpus scale."""
     df = QUERIES["ext_sim_cosine_topk"](spark, sf_dir)
     assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_range_binned_join_avoids_nested_loop(spark, sf_dir):
+    """The binned interval join must be an equi-join on the time bin —
+    never BroadcastNestedLoopJoin/CartesianProduct over probes x events
+    (the quadratic plan binning exists to prevent)."""
+    df = QUERIES["join_range_binned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

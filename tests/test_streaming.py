@@ -282,3 +282,39 @@ def test_bucketed_upsert_touches_only_batch_buckets(spark, sf_dir):
 
     cur = {r["_id"]: r["value"] for r in target.current(spark).collect()}
     assert cur[key] == 999.0
+
+
+def test_upsert_versions_monotonic_across_restart(spark, sf_dir):
+    """A restarted writer (new ParquetUpsertTarget instance on the same
+    path — the driver-restart scenario) must commit versions that sort
+    AFTER every existing one, or readers would pin the old state forever.
+    Wall-clock alone can step backwards; _next_version clamps above the
+    max committed version."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.upsert import upsert_projection
+
+    path = new_scratch_dir("restart_target")
+    t1 = ParquetUpsertTarget(path, n_buckets=4)
+    events = upsert_projection(derive_change_log(spark, sf_dir))
+    t1.merge_batch(events, epoch_id=0)
+    before = {b: t1._bucket_versions(b)[-1] for b in range(4)}
+
+    # simulate restart: fresh instance, then a clock that went backwards
+    t2 = ParquetUpsertTarget(path, n_buckets=4)
+    import mongodb_cdc_spark.streaming.upsert as U
+
+    real_time_ns = U.time.time_ns
+    U.time.time_ns = lambda: 1  # hostile clock: far in the past
+    try:
+        t2.merge_batch(events.limit(50), epoch_id=1)
+    finally:
+        U.time.time_ns = real_time_ns
+    for b in range(4):
+        vs = t2._bucket_versions(b)
+        assert vs[-1] >= before[b], (
+            f"bucket {b}: committed version {vs[-1]} sorts before "
+            f"pre-restart {before[b]}"
+        )
+    assert any(
+        t2._bucket_versions(b)[-1] > before[b] for b in range(4)
+    ), "no bucket advanced at all"
