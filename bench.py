@@ -40,6 +40,8 @@ HEADLINE = [
     ("join_asof_latest", None),
     ("win_latest_per_key", None),
     ("win_moving_agg", None),
+    ("win_session_gap", None),
+    ("join_range_binned", None),
     ("topk_orders", None),
     ("cdc_apply_upsert", None),
     ("cdc_diff_fieldwise", None),

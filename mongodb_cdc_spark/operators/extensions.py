@@ -1064,9 +1064,10 @@ def ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len({tokens_sql('text')})) AS n_tokens,
-           (SUM(len({tokens_sql('text')})) * 10000)
-             // (SUM(SUM(len({tokens_sql('text')}))) OVER ()) AS token_share_bp
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens,
+           CAST((SUM(len({tokens_sql('text')})) * 10000)
+             // (SUM(SUM(len({tokens_sql('text')}))) OVER ()) AS BIGINT)
+             AS token_share_bp
     FROM documents
     GROUP BY source
     """,

@@ -219,3 +219,72 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event_id"),
         F.last("event_id").over(w).alias("last_event_id"),
     )
+
+
+_SESSION_GAP_ORACLE = """
+WITH secs AS (
+  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS sec FROM events
+), seq AS (
+  SELECT user_id, sec, event_id,
+         CASE WHEN sec - LAG(sec)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                   > 1800
+              OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM secs
+), sess AS (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM seq
+)
+SELECT user_id,
+       CAST(MAX(sess_idx) AS BIGINT) AS n_sessions,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       MAX(cnt) AS max_session_events
+FROM (
+  SELECT user_id, sess_idx, COUNT(*) AS cnt
+  FROM sess GROUP BY user_id, sess_idx
+) GROUP BY user_id
+"""
+
+
+@query("win_session_gap", oracle=_SESSION_GAP_ORACLE)
+def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    at >30-minute gaps (lag + conditional running sum — the classic
+    gap-session idiom), then per-user session stats. The batch complement
+    of `stream_session_window` (same 30-min gap semantics, computed over
+    the closed log instead of a live watermark).
+
+    One shuffle on user_id serves all three windows (lag, running sum)
+    and the first aggregate — they share the partitioning, so Catalyst
+    plans a single Exchange. Gap math is integer epoch seconds (exact
+    cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.to_unix_timestamp("ts").cast("bigint")
+    # both windows order by (sec, event_id) — integer seconds, so the
+    # ordering (and therefore the session assignment) is bit-identical
+    # cross-engine even if two events collide inside one second
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("sec").asc(), F.col("event_id").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = ev.select("user_id", "event_id", sec.alias("sec")).withColumn(
+        "prev", F.lag("sec").over(w)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull() | (F.col("sec") - F.col("prev") > 1800), 1
+        ).otherwise(0),
+    )
+    sess = seq.withColumn("sess_idx", F.sum("is_new").over(run))
+    per_session = sess.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("sess_idx").alias("n_sessions"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("max_session_events"),
+    )

@@ -127,10 +127,13 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "agg_approx_count_distinct",
     "agg_approx_quantiles",
     "agg_collect_sorted",
-    # flagship greens re-pinned inside the window as canaries
-    "agg_hash_groupby",
-    "join_asof_latest",
-    "scan_parquet",
+    # keys added in round 2 (no driver row yet); the r1-green flagship
+    # canaries they displaced (agg_hash_groupby, join_asof_latest,
+    # scan_parquet) follow immediately after the window in registration
+    # order, so they are re-checked whenever the driver looks past 50 keys
+    "join_range_binned",
+    "ext_corpus_mix",
+    "win_session_gap",
 )
 
 
