@@ -411,7 +411,10 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       near-dup candidates (must be 0 — that is ext_dedup_exact's job).
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(spark, sf_dir)
+    # materialize the candidate pairs ONCE — three invariant checks
+    # consume them, and without this each action re-executes the whole
+    # LSH pipeline (shingle -> minhash -> band join)
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
     reps = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
@@ -422,11 +425,18 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.alias("y"), pairs.doc_b == F.col("y.doc_id"))
         .filter(F.expr("md5(x.text) = md5(y.text)"))
     )
+    order_violations = int(
+        pairs.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("doc_a") >= F.col("doc_b"), 1)), F.lit(0)
+            ).alias("v")
+        ).collect()[0][0]
+    )
     return spark.createDataFrame(
         [
             (
                 reps.count(),
-                pairs.filter(F.col("doc_a") >= F.col("doc_b")).count(),
+                order_violations,
                 stray.count(),
                 texted.count(),
             )
@@ -543,7 +553,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``identical_text_pairs``: no emitted pair joins two identical
       texts (must be 0 — reps are distinct texts by construction)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = simhash_candidate_pairs(spark, sf_dir)
+    # materialize ONCE — four invariant checks consume the pairs, and the
+    # signing pipeline (64 conditional sums + band join) is the expensive
+    # part; without this each action re-executes it from the scan
+    pairs = simhash_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
     n_signed = (
         d.filter(F.size(tokens("text")) > 0)
         .select(F.md5("text"))
@@ -564,12 +577,20 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(texts.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .filter(F.col("md5_a") == F.col("md5h"))
     )
+    viol = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("doc_a") >= F.col("doc_b"), 1)), F.lit(0)
+        ).alias("order_v"),
+        F.coalesce(F.sum(F.when(F.col("hamming") > 3, 1)), F.lit(0)).alias(
+            "hamming_v"
+        ),
+    ).collect()[0]
     return spark.createDataFrame(
         [
             (
                 n_signed,
-                pairs.filter(F.col("doc_a") >= F.col("doc_b")).count(),
-                pairs.filter(F.col("hamming") > 3).count(),
+                int(viol["order_v"]),
+                int(viol["hamming_v"]),
                 non_rep.count(),
                 same_text.count(),
             )
@@ -975,7 +996,10 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``non_self_rep_labels``: labels that are not their own cluster's
       representative (must be 0)."""
     d = load_table(spark, sf_dir, "documents")
-    labels = dedup_cluster_labels(spark, sf_dir)
+    # materialize ONCE — the fixpoint frontier is already checkpointed
+    # inside dedup_cluster_labels, but the final isolated-doc join is
+    # not, and four invariant checks consume the labels
+    labels = dedup_cluster_labels(spark, sf_dir).localCheckpoint(eager=True)
     dup_pairs = (
         d.alias("x")
         .join(
@@ -996,12 +1020,18 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(labels.filter(F.col("doc_id") == F.col("label")), "doc_id", "left_anti")
     )
+    lab_stats = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") > F.col("doc_id"), 1)), F.lit(0)
+        ).alias("gt_v"),
+    ).collect()[0]
     return spark.createDataFrame(
         [
             (
-                labels.count(),
+                int(lab_stats["n"]),
                 dup_pairs.count(),
-                labels.filter(F.col("label") > F.col("doc_id")).count(),
+                int(lab_stats["gt_v"]),
                 split_pairs.count(),
                 non_self.count(),
             )
