@@ -58,6 +58,7 @@ HEADLINE = [
     ("ext_dedup_cluster", "dedup_cluster_labels"),
     ("ext_sim_cosine_topk", None),
     ("ext_sim_ann_ivf", "ann_ivf_topk"),
+    ("ext_sim_lsh_topk", None),
     ("ext_multimodal_join", None),
     ("udf_pandas_scalar", None),
 ]

@@ -60,3 +60,32 @@ def dot(a: Column | str, b: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Fold-style cosine for non-oracle paths."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# ------------------------------------------- random-hyperplane LSH ----
+
+LSH_BITS = 16  # signature width; production widens this with corpus size
+LSH_BANDS = 4  # 4 bands of 4 bits
+
+
+def hyperplane_sign(bit: int, i: int) -> float:
+    """Deterministic ±1 hyperplane component for signature bit ``bit``,
+    vector dimension ``i`` (1-based) — Knuth multiplicative hash of the
+    (bit, dim) index, folded to one bit. Pure integer arithmetic: the
+    same literal constants are baked into the Spark plan and the DuckDB
+    oracle, so the hyperplanes are shared by construction (no RNG, no
+    seed-state to ship cross-engine)."""
+    x = ((bit * DIM + i + 1) * 2654435761) % (2**32)
+    x ^= x >> 16
+    return 1.0 if x & 1 else -1.0
+
+
+def lsh_bit_sum_sql(bit: int, arr: str, dim: int = DIM, dialect: str = "spark") -> str:
+    """Left-associative signed sum Σ ±arr[i] for one signature bit —
+    the same IEEE-754 sequence in both dialects, so the sign test
+    (``> 0``) and hence every signature bit is bit-identical
+    cross-engine (same determinism argument as the unrolled cosine)."""
+    return " + ".join(
+        f"({hyperplane_sign(bit, i)} * CAST({_ix(arr, i, dialect)} AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )

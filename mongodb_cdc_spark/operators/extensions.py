@@ -37,7 +37,14 @@ from mongodb_cdc_spark.functions.text import (
     tokens,
     tokens_sql,
 )
-from mongodb_cdc_spark.functions.vectors import cosine, cosine_unrolled_sql, dot
+from mongodb_cdc_spark.functions.vectors import (
+    LSH_BANDS,
+    LSH_BITS,
+    cosine,
+    cosine_unrolled_sql,
+    dot,
+    lsh_bit_sum_sql,
+)
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.operators._util import avg2, avg2_sql, round2_sql
 from mongodb_cdc_spark.registry import query
@@ -780,6 +787,160 @@ def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "got_results boolean, one_bucket boolean, "
         "ranks_consecutive boolean, recall_positive boolean",
+    )
+
+
+_LSH_PROBES = 32
+_LSH_MAX_BUCKET = 256  # degenerate-bucket guard, mirrored in the oracle
+
+
+def _lsh_bits_sql(arr: str, dialect: str) -> str:
+    """16 signature-bit SELECT items (``bit0`` .. ``bit15``)."""
+    return ",\n           ".join(
+        f"CASE WHEN ({lsh_bit_sum_sql(b, arr, dialect=dialect)}) > 0 "
+        f"THEN 1 ELSE 0 END AS bit{b}"
+        for b in range(LSH_BITS)
+    )
+
+
+def _lsh_band_exprs() -> list:
+    """Band hash columns h0..h3: 4 bits each, packed big-endian."""
+    return [
+        (
+            F.col(f"bit{4 * k}") * 8
+            + F.col(f"bit{4 * k + 1}") * 4
+            + F.col(f"bit{4 * k + 2}") * 2
+            + F.col(f"bit{4 * k + 3}")
+        ).alias(f"h{k}")
+        for k in range(LSH_BANDS)
+    ]
+
+
+_LSH_TOPK_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id,
+           {_lsh_bits_sql('embedding', 'duck')}
+      FROM embeddings
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {k} AS band, "
+          f"bit{4 * k} * 8 + bit{4 * k + 1} * 4 + bit{4 * k + 2} * 2 "
+          f"+ bit{4 * k + 3} AS h FROM sig"
+          for k in range(LSH_BANDS)
+      )}
+    ), kept AS (
+      SELECT band, h FROM bands GROUP BY band, h
+      HAVING COUNT(*) <= {_LSH_MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+      FROM bands p JOIN kept USING (band, h)
+      JOIN bands c ON p.band = c.band AND p.h = c.h
+                  AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < {_LSH_PROBES}
+    ), scored AS (
+      SELECT probe_id, neighbor_id,
+             {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')} AS c
+      FROM cand JOIN embeddings x ON x.vec_id = probe_id
+                JOIN embeddings y ON y.vec_id = neighbor_id
+    )
+    SELECT probe_id, rk, neighbor_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
+    FROM (SELECT probe_id, neighbor_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY c DESC, neighbor_id ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+
+@query("ext_sim_lsh_topk", oracle=_LSH_TOPK_ORACLE)
+def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures (16 sign bits),
+    4-band bucket join, exact-cosine rank of each probe's bucket-mates —
+    top-3 neighbours for the first 32 vec_ids. The third ANN tier next to
+    brute force (`ext_sim_cosine_topk`) and IVF (`ext_sim_ann_ivf`).
+
+    Unlike the MinHash/SimHash text ops (xxhash64 signatures, invariant
+    oracles), this pipeline is EXACTLY mirrored in DuckDB: the ±1
+    hyperplanes are literal constants (functions/vectors.py
+    ``hyperplane_sign``) and each sign bit is a left-associative IEEE
+    double sum — the same determinism argument as the unrolled cosine —
+    so signatures, buckets, candidates, and ranks all hash-match.
+
+    Scale shape: signatures are one map-side pass (O(bits x dim) per
+    row, no shuffle); the band join shuffles (band, h) keys only; the
+    degenerate-bucket guard drops buckets > 256 before the join
+    (bucket population grows linearly with corpus at fixed band width —
+    production widens bands with scale, the cap bounds the worst case
+    either way); bucket membership counts are <= bands x 2^4 rows,
+    broadcast. The rank window partitions by probe_id — bounded by the
+    probe set, never the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bit_cols = [
+        F.when(
+            F.expr(lsh_bit_sum_sql(b, "embedding", dialect="spark")) > 0, 1
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(LSH_BITS)
+    ]
+    sig = e.select("vec_id", *bit_cols).select("vec_id", *_lsh_band_exprs())
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"h{k}").alias("h"))
+                    for k in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("vec_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    kept = (
+        bands.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _LSH_MAX_BUCKET)
+        .select("band", "h")
+    )
+    probes = bands.filter(F.col("vec_id") < _LSH_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "band", "h"
+    )
+    cand = (
+        probes.join(F.broadcast(kept), ["band", "h"])
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"), ["band", "h"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
+            "probe_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.expr(cosine_unrolled_sql("pe", "ne")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id",
+            "rk",
+            "neighbor_id",
+            F.floor(F.col("c") * 1000000).cast("bigint").alias("cos_e6"),
+        )
     )
 
 
