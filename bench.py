@@ -35,6 +35,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     ("agg_hash_groupby", None),
     ("agg_cube", None),
+    ("agg_stats_moments", None),
+    ("join_skew_salted", None),
     ("join_inner_equi", None),
     ("join_broadcast_dims", None),
     ("join_asof_latest", None),

@@ -324,3 +324,72 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
     )
+
+
+# Shared template for the moments op: q = FLOOR(value * 100) is one IEEE
+# multiply + exact floor per row (bit-identical cross-engine); every
+# aggregate is then an exact BIGINT sum, and the derived moments are the
+# SAME double expression tree over those exact integers in both engines.
+_MOM_DERIVE = """
+       CAST(n AS BIGINT) AS n,
+       (CAST(s1 AS DOUBLE) / (100.0 * n)) AS mean_value,
+       ((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (10000.0 * n * n)) AS var_value,
+       CASE WHEN (n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) = 0
+              OR (n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) = 0
+            THEN 0.0
+            ELSE (n * CAST(svh AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sh AS DOUBLE))
+                 / (sqrt(n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    * sqrt(n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)))
+       END AS corr_value_hour
+"""
+
+_MOMENTS_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS qv,
+         CAST(hour(ts) AS BIGINT) AS h
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(qv) AS s1, SUM(qv * qv) AS s2,
+         SUM(h) AS sh, SUM(h * h) AS shh, SUM(qv * h) AS svh
+  FROM q GROUP BY event_type
+)
+SELECT event_type, {_MOM_DERIVE}
+FROM s
+"""
+
+
+@query("agg_stats_moments", oracle=_MOMENTS_ORACLE)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile per event_type: count, mean, population
+    variance, and the value-vs-hour-of-day Pearson correlation — the
+    data-quality / drift numbers a pipeline monitors per batch.
+
+    Determinism: built-in corr()/var_pop() accumulate doubles in
+    partial-aggregation order (nondeterministic across partitionings and
+    engines), so every moment here is DERIVED from exact fixed-point
+    BIGINT sums (q = FLOOR(value*100), exact per-row) via one shared
+    double expression tree — correctly-rounded IEEE ops over identical
+    operands, hence hash-exact cross-engine.
+
+    Scale: one map-side-combinable hash aggregate; the shuffle carries 7
+    BIGINTs per (partition, event_type). Overflow bound: SUM(qv*qv) <=
+    rows_per_group * 3.2e9 — safe under BIGINT to ~2.9e9 rows per group;
+    beyond that swap the accumulators to DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("qv"),
+        F.hour("ts").cast("bigint").alias("h"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+        F.sum("h").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("qv") * F.col("h")).alias("svh"),
+    )
+    return s.selectExpr("event_type", *_MOM_DERIVE.split(",\n"))

@@ -1286,3 +1286,38 @@ def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share_bp"
         ),
     )
+
+
+@query(
+    "ext_token_histogram",
+    oracle=f"""
+    SELECT (len({tokens_sql('text')}) // 16) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len({tokens_sql('text')})) AS BIGINT) AS min_tokens,
+           CAST(MAX(len({tokens_sql('text')})) AS BIGINT) AS max_tokens,
+           CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY bucket
+    """,
+)
+def ext_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 16-token buckets — the length
+    distribution a corpus-quality dashboard plots (and the input to
+    truncation/packing decisions in a training pipeline). Bucketing is
+    integer division of the exact token count: no width_bucket/log2
+    float boundaries to disagree on cross-engine.
+
+    Scale: tokenize + bucket are map-side expressions; one hash
+    aggregate on a small integer key."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens("text"))
+    return (
+        d.select(nt.alias("ntok"))
+        .groupBy(F.expr("ntok DIV 16").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ntok").cast("bigint").alias("min_tokens"),
+            F.max("ntok").cast("bigint").alias("max_tokens"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+        )
+    )

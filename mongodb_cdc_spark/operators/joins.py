@@ -334,3 +334,41 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events_1h"),
         F.count_distinct("user_id").alias("n_users_1h"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically salted equi-join (functions/skew.py
+    ``salted_equi_join``), driver-proven equivalent to the plain join:
+    the oracle is the UNSALTED join — any row the salting duplicated,
+    dropped, or mis-keyed breaks the hash match.
+
+    The mechanism under test is the 100 TB hot-key treatment: the fact
+    side's key is sharded into 8 sub-keys via a deterministic hash of the
+    row's unique id (never rand() — retried tasks must re-salt
+    identically), the dimension side replicated once per shard, so one
+    straggler partition becomes 8 even ones. Price sum is fixed-point
+    BIGINT (exact in any aggregation order)."""
+    from mongodb_cdc_spark.functions.skew import salted_equi_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_equi_join(
+        o, c, "o_custkey", "c_custkey", salt_cols="o_orderkey", n_salt=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -106,3 +106,14 @@ def test_range_binned_join_avoids_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_topk_rank_is_group_limited_and_partitioned(spark, sf_dir):
+    """The LSH ANN rank must (a) partition its window by probe_id (never
+    a global unpartitioned WindowExec over all scored candidates) and
+    (b) get Spark's WindowGroupLimit pushdown so each task keeps only
+    rank<=3 rows before the probe_id exchange."""
+    df = QUERIES["ext_sim_lsh_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
