@@ -885,17 +885,27 @@ def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(LSH_BITS)
     ]
     sig = e.select("vec_id", *bit_cols).select("vec_id", *_lsh_band_exprs())
-    bands = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band"), F.col(f"h{k}").alias("h"))
-                    for k in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    ).select("vec_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # Materialize the signature table ONCE: `bands` feeds three plan arms
+    # (bucket counts, probe side, neighbor side), and the 16 x 64-term
+    # sign expressions are far too big for whole-stage codegen — without
+    # this they re-evaluate interpreted once per arm (measured 3x the
+    # query cost at sf0.1). At scale this is the signature table you'd
+    # persist anyway before the band join.
+    bands = (
+        sig.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(k).alias("band"), F.col(f"h{k}").alias("h"))
+                        for k in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("vec_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .localCheckpoint(eager=True)
+    )
     kept = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1319,5 +1329,64 @@ def ext_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ntok").cast("bigint").alias("min_tokens"),
             F.max("ntok").cast("bigint").alias("max_tokens"),
             F.sum("ntok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "ext_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len({tokens_sql('text')}) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - 1)
+               // {_PACK_BUDGET} AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign documents (per language,
+    in doc_id order) to fixed-budget context windows of 2048 tokens via a
+    running token cumsum — pack_id = (cumsum - 1) DIV budget. Documents
+    may straddle a pack boundary (the token-level splitter downstream
+    cuts them); what the engine owns is the deterministic, distributed
+    assignment. Integer arithmetic end to end.
+
+    Scale: one shuffle on lang partitions both the running-sum window
+    and the pack aggregate (shared partitioning, single Exchange). A
+    single giant language would make that window one task — production
+    sub-shards the partition key (lang, doc_id DIV N) and offsets pack
+    ids per shard with a precomputed per-shard token base; at fixture
+    scale the plain form is the honest plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.size(tokens("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", F.expr(f"(cum - 1) DIV {_PACK_BUDGET}"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )
