@@ -393,3 +393,84 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qv") * F.col("h")).alias("svh"),
     )
     return s.selectExpr("event_type", *_MOM_DERIVE.split(",\n"))
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, (epoch_ns(ts) // 1000000000) AS sec FROM events
+), s1 AS (
+  SELECT user_id, MIN(sec) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, MIN(sec) AS t2
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE event_type = 'click' AND sec > t1
+  GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, MIN(sec) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND sec > t2
+  GROUP BY ev.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_after_click,
+       ((SELECT COUNT(*) FROM s2) * 10000) // (SELECT COUNT(*) FROM s1)
+         AS step2_bp,
+       ((SELECT COUNT(*) FROM s3) * 10000) // (SELECT COUNT(*) FROM s1)
+         AS step3_bp
+"""
+
+
+@query("agg_funnel_steps", oracle=_FUNNEL_ORACLE)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click; reported as per-step user counts
+    and integer-basis-point conversion (exact integer division — no
+    float ratio to disagree on). Timestamps compare as integer epoch
+    seconds.
+
+    The ordering dependency (step N's window starts at step N-1's time)
+    is three min-aggregates chained by equi-joins — ALL keyed on
+    user_id, so one shuffle partitioning serves every stage; the joined
+    sides after stage 1 are one row per qualifying user. The
+    alternative single-pass form (sort each user's events through a
+    session window) shuffles every event row instead of per-user
+    minima."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("sec") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("sec") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.expr("(n_click_after_view * 10000) DIV n_view").alias("step2_bp"),
+        F.expr("(n_purchase_after_click * 10000) DIV n_view").alias("step3_bp"),
+    )
