@@ -36,7 +36,9 @@ HEADLINE = [
     ("agg_hash_groupby", None),
     ("agg_cube", None),
     ("agg_stats_moments", None),
+    ("agg_funnel_steps", None),
     ("join_skew_salted", None),
+    ("ext_pack_sequences", None),
     ("join_inner_equi", None),
     ("join_broadcast_dims", None),
     ("join_asof_latest", None),

@@ -474,3 +474,51 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_click_after_view * 10000) DIV n_view").alias("step2_bp"),
         F.expr("(n_purchase_after_click * 10000) DIV n_view").alias("step3_bp"),
     )
+
+
+_MODE_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         ((epoch_ns(ts) // 1000000000) // 3600) % 24 AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr AS modal_hour, n AS n_at_mode
+FROM (SELECT event_type, hr, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hr ASC) AS rk
+      FROM h)
+WHERE rk = 1
+"""
+
+
+@query("agg_mode_disc", oracle=_MODE_ORACLE)
+def agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent hour-of-day per event_type
+    (count DESC, hour ASC tiebreak — engines have no common builtin
+    mode() tiebreak contract, so the rank spells it out). Hour is pure
+    integer arithmetic on epoch seconds, immune to session-timezone and
+    timestamp-precision differences.
+
+    Scale: count-per-(type, hour) partial-aggregates map-side to at most
+    |types| x 24 rows; the rank window runs over that aggregate, never
+    the event rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    h = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(CAST(to_unix_timestamp(ts) AS BIGINT) DIV 3600) % 24"
+            ).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("hr").asc())
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("hr").alias("modal_hour"), F.col("n").alias("n_at_mode"))
+    )
