@@ -80,7 +80,17 @@ def test_theta_join_is_not_cartesian(spark, sf_dir):
 
 
 def test_text_ops_have_no_python(spark, sf_dir):
-    for key in ("ext_text_wordcount", "ext_text_quality", "ext_dedup_exact"):
+    for key in (
+        "ext_text_wordcount",
+        "ext_text_quality",
+        "ext_dedup_exact",
+        "ext_token_histogram",
+        "ext_pack_sequences",
+        "agg_stats_moments",
+        "agg_funnel_steps",
+        "agg_mode_disc",
+        "win_session_gap",
+    ):
         plan = formatted_plan(QUERIES[key](spark, sf_dir))
         assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
 
