@@ -1344,9 +1344,12 @@ _PACK_BUDGET = 2048  # tokens per packed training sequence
       FROM documents
     ), packed AS (
       SELECT lang, doc_id, n_tokens,
-             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - 1)
-               // {_PACK_BUDGET} AS pack_id
+             -- CAST: windowed SUM is HUGEINT in DuckDB, which pandas
+             -- renders as float64 — the driver's dtype-sensitive hasher
+             -- would see 3.0 vs Spark's bigint 3 (round-1 fn_json lesson)
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - 1)
+               // {_PACK_BUDGET} AS BIGINT) AS pack_id
       FROM toks
     )
     SELECT lang, pack_id,

