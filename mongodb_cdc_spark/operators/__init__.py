@@ -22,6 +22,7 @@ MODULES = (
     "streams",
     "subqueries",
     "udfs",
+    "textpipe",
 )
 
 _loaded = False

@@ -1,0 +1,376 @@
+"""Corpus-preparation operators beyond the core text/dedup tier: split
+contamination checking, stratified sampling, vocabulary heavy-hitters,
+TF-IDF ranking, and denylist scrubbing. These are the remaining standard
+stages of a 100 TB training-data pipeline (the reference engine has no
+text surface at all — its analytics stop at CDC aggregates, js:478-538 —
+so this whole module is north-star extension surface per SURVEY.md §2B).
+
+Scale design notes:
+
+* Contamination check: the train×test overlap join runs on *hashed*
+  shingles (16-hex md5 prefix), so the shuffle carries 16-byte keys, not
+  raw text; strided shingling (every 8th offset) cuts the exploded row
+  count 8× while still catching any overlap of 31+ chars. Both sides are
+  de-duplicated (`DISTINCT`) *before* the join — vocabulary-sized inputs,
+  not corpus-sized.
+* Stratified sampling is a seeded-hash threshold per stratum — no rand()
+  (unstable across retries/engines), no per-stratum count pass. The rate
+  table joins as a broadcast dim.
+* Heavy-hitters and TF-IDF both reduce to (key, count) partial aggregates
+  before any window: the rank window partitions on lang / doc_id, never
+  globally.
+* Scrubbing compiles the denylist to ONE alternation regex evaluated in
+  codegen; counts are exact integers. At a real 100 TB run the denylist
+  lives in a broadcast variable feeding `regexp_count` the same way.
+
+Integer-arithmetic discipline throughout (round-1 `fn_json` lesson):
+every aggregate and every score is BIGINT on both engines — TF-IDF is
+integer-scaled (`tf * 1_000_000 DIV df`), never a double log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mongodb_cdc_spark.functions.text import tokens, tokens_sql
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+# Shingle geometry for the contamination check: window of 24 chars, one
+# shingle every 8 offsets. Any verbatim overlap of >= 24 + 8 - 1 chars
+# between a train and a test document is guaranteed to share a sampled
+# shingle (the classic stride/window coverage bound).
+_GRAM_LEN = 24
+_GRAM_STRIDE = 8
+
+# Deterministic split assignment — same seed and bucketing as
+# `ext_data_split` so the two operators describe the same holdout.
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split-seed-1'), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+def _split_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+@query(
+    "ext_split_contamination",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_SPLIT_BUCKET_SQL} AS bucket
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, bucket,
+             substring(md5(substring(text, i, {_GRAM_LEN})), 1, 16) AS gram
+      FROM docs, unnest(generate_series(1, len(text) - {_GRAM_LEN - 1}, {_GRAM_STRIDE})) AS t(i)
+      WHERE len(text) >= {_GRAM_LEN}
+    ), train_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE bucket < 90
+    ), test_docs AS (
+      SELECT DISTINCT doc_id, lang FROM docs WHERE bucket >= 95
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN train_grams t USING (gram)
+      WHERE g.bucket >= 95
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_test_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM test_docs d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    GROUP BY d.lang
+    """,
+)
+def ext_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination audit: which held-out documents share a
+    verbatim 24-char shingle with any training document. The eval-set
+    integrity check every training pipeline runs before release.
+
+    Plan shape: strided shingles are hashed to 16-hex keys in codegen,
+    both sides de-duplicated, then one equi-join on the hash — shuffle
+    payload is (16-byte key) + doc_id, never text. A left join back to
+    the per-lang test roster makes clean languages report 0 instead of
+    disappearing."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _split_bucket().alias("bucket")
+    )
+    offsets = F.when(
+        F.length("text") >= _GRAM_LEN,
+        F.sequence(
+            F.lit(1), F.length("text") - (_GRAM_LEN - 1), F.lit(_GRAM_STRIDE)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("doc_id", "lang", "bucket", "text", F.explode(offsets).alias("i"))
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.substring(
+                F.md5(F.expr(f"substring(text, i, {_GRAM_LEN})")), 1, 16
+            ).alias("gram"),
+        )
+    )
+    train_grams = grams.filter(F.col("bucket") < 90).select("gram").distinct()
+    test_docs = d.filter(F.col("bucket") >= 95).select("doc_id", "lang").distinct()
+    contaminated = (
+        grams.filter(F.col("bucket") >= 95)
+        .join(train_grams, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+# Per-language sampling rates in basis points (of 10_000). A real pipeline
+# would load these from config; the operator's point is the deterministic
+# threshold mechanism, with the rate table joined as a broadcast dim.
+_SAMPLE_RATES_BPS: dict[str, int] = {
+    "en": 1000,
+    "de": 2500,
+    "fr": 2500,
+    "es": 2500,
+    "zh": 5000,
+}
+
+_SAMPLE_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sample-seed-1'), 1, 8)) "
+    "AS BIGINT) % 10000"
+)
+
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {bps}" for lang, bps in _SAMPLE_RATES_BPS.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "ext_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang, {_SAMPLE_BUCKET_SQL} AS bucket,
+             {_RATE_CASE_SQL} AS rate_bps
+      FROM documents
+    )
+    WHERE bucket < rate_bps
+    """,
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (en 10 %, zh 50 %,
+    rest 25 %): keep a document iff its seeded 0..9999 hash bucket falls
+    under the stratum's basis-point rate. Deterministic across runs,
+    engines, and partitionings — the property `rand() < p` sampling loses
+    on any retry — and one codegen filter over the scan: no per-stratum
+    count pass, no shuffle. The rate table is a broadcast dim (5 rows
+    here; thousands of strata at production scale still broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_SAMPLE_RATES_BPS.items()), "lang string, rate_bps int"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":sample-seed-1"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang", "left")
+        .filter(F.col("bucket") < F.coalesce(F.col("rate_bps"), F.lit(0)))
+        .select("doc_id", "lang")
+    )
+
+
+_TOPK_TOKENS = 10
+
+
+@query(
+    "ext_topk_tokens",
+    oracle=f"""
+    SELECT lang, token, n, rk
+    FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+      FROM (
+        SELECT lang, token, COUNT(*) AS n
+        FROM (SELECT lang, unnest({tokens_sql('text')}) AS token FROM documents)
+        GROUP BY lang, token
+      )
+    )
+    WHERE rk <= {_TOPK_TOKENS}
+    """,
+)
+def ext_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary heavy-hitters (count desc, token asc
+    tiebreak). The aggregate runs FIRST — the rank window sees one row per
+    (lang, token), vocabulary-sized, not corpus-sized — and partial
+    aggregation combines map-side before the single shuffle. The window
+    partitions by lang: parallelism = #languages at the window stage,
+    which is fine because its input is tiny by then. (For top-k over
+    millions of groups, TakeOrderedAndProject-per-group via the same
+    agg-then-window shape still holds; never window the raw tokens.)"""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK_TOKENS)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+_TFIDF_DOC_LIMIT = 50  # bound the ranked output; df is still corpus-wide
+_TFIDF_TOP = 3
+
+
+@query(
+    "ext_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE doc_id < {_TFIDF_DOC_LIMIT}
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_ppm
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df, score_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_ppm DESC, token ASC) AS rk
+      FROM scored
+    )
+    WHERE rk <= {_TFIDF_TOP}
+    """,
+)
+def ext_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by integer-scaled TF-IDF:
+    ``score_ppm = tf * 1_000_000 DIV df`` (term count in the doc, scaled
+    by inverse document frequency). Integer arithmetic end to end — a
+    float ``log`` idf would be the one transcendental in the engine's
+    exact-oracle tier, so the monotone rational form is used instead (it
+    ranks identically to tf/df).
+
+    Plan shape: two partial aggregates (corpus-wide document frequency,
+    per-doc term frequency over the ranked slice), one equi-join on
+    token, then a window partitioned by doc_id over <= |vocab| rows per
+    doc. At 100 TB the df table is vocabulary-sized — it broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < _TFIDF_DOC_LIMIT)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("CAST(tf * 1000000 DIV df AS BIGINT)").alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select("doc_id", "token", "tf", "df", "score_ppm")
+    )
+
+
+# Denylist scrub: terms chosen to actually occur in the synthetic corpus
+# so the mechanism is exercised with non-zero counts.
+_DENYLIST = ("customer", "vector")
+_DENY_RE = r"\b(" + "|".join(_DENYLIST) + r")\b"
+
+
+@query(
+    "ext_pii_scrub",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+           CAST(SUM(hits) AS BIGINT) AS n_hits,
+           CAST(SUM(len(text) - len(regexp_replace(text, '{_DENY_RE}', '', 'g')))
+             AS BIGINT) AS chars_redacted
+    FROM (
+      SELECT source, text,
+             len(regexp_extract_all(text, '{_DENY_RE}')) AS hits
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing audit per source: documents hit, total matches,
+    and characters a redaction pass would remove. Stand-in for PII
+    removal (emails, phone numbers, names): the mechanism — compile the
+    denylist to one alternation regex, count and strip matches in codegen
+    — is exactly the production shape; only the pattern differs. Both
+    engines run RE2-compatible syntax here (word-boundary alternation),
+    and the redacted-size delta is computed as a length difference so no
+    rewritten text leaves the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count("text", F.lit(_DENY_RE))
+    redacted_delta = F.length("text") - F.length(
+        F.regexp_replace("text", _DENY_RE, "")
+    )
+    return (
+        d.select("source", hits.alias("hits"), redacted_delta.alias("delta"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("bigint").alias("docs_hit"),
+            F.sum("hits").cast("bigint").alias("n_hits"),
+            F.sum("delta").cast("bigint").alias("chars_redacted"),
+        )
+    )

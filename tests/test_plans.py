@@ -127,3 +127,54 @@ def test_lsh_topk_rank_is_group_limited_and_partitioned(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_textpipe_ops_have_no_python(spark, sf_dir):
+    """The corpus-prep tier (contamination, sampling, heavy-hitters,
+    TF-IDF, scrubbing) is pure codegen — any EvalPython is a regression
+    off the JVM path."""
+    for key in (
+        "ext_split_contamination",
+        "ext_sample_stratified",
+        "ext_topk_tokens",
+        "ext_tfidf_topterms",
+        "ext_pii_scrub",
+    ):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
+
+
+def test_stratified_sample_broadcasts_rate_dim(spark, sf_dir):
+    df = QUERIES["ext_sample_stratified"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_broadcasts_df_and_group_limits_rank(spark, sf_dir):
+    """The document-frequency side must broadcast (vocabulary-sized), and
+    the per-doc rank must get WindowGroupLimit pushdown so each task
+    keeps only rk<=3 rows before the doc_id exchange."""
+    df = QUERIES["ext_tfidf_topterms"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_topk_tokens_aggregates_before_window(spark, sf_dir):
+    """Heavy-hitters must rank the (lang, token) aggregate, not raw
+    tokens: partial aggregation plus WindowGroupLimit, and no global
+    unpartitioned window."""
+    df = QUERIES["ext_topk_tokens"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_contamination_join_is_hash_equi(spark, sf_dir):
+    """The train x test shingle overlap must be an equi-join on the gram
+    hash — never a nested-loop/cartesian over document pairs."""
+    df = QUERIES["ext_split_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
