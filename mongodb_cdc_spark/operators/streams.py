@@ -394,3 +394,83 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emitted_any boolean, dup_windows bigint, unaligned_windows bigint, "
         "stray_windows bigint, overcount_windows bigint",
     )
+
+
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT printf('%012d', a.event_id) AS p_token,
+           printf('%012d', b.event_id) AS c_token,
+           a.user_id,
+           CAST(((epoch_ns(a.ts) // 1000) - (epoch_ns(b.ts) // 1000))
+             // 1000000 AS BIGINT) AS delta_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND (epoch_ns(b.ts) // 1000)
+         BETWEEN (epoch_ns(a.ts) // 1000) - 3600000000
+             AND (epoch_ns(a.ts) // 1000)
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (StreamingSymmetricHashJoin — the one
+    stateful streaming shape the other operators don't exercise): each
+    purchase event joins the same user's click events from the preceding
+    hour, both sides unbounded streams over the change feed with event-
+    time watermarks. The time-range predicate lets Spark bound the join
+    state — each side's buffered rows expire one hour past its watermark
+    — which is what makes the operator runnable forever at production
+    rates; without the range the state is append-only.
+
+    Determinism: inner-join pair set at the drained fixpoint, independent
+    of micro-batching (watermark is set far wider than the data's
+    lateness, so nothing is dropped). The oracle is the equivalent batch
+    self-join with timestamps truncated to MICROSECONDS — Spark
+    timestamps are µs-valued while the raw parquet carries ns, so the
+    boundary arithmetic must compare at µs on both engines."""
+    log_path = write_change_log(spark, sf_dir)
+
+    def _leg(event_type: str, prefix: str) -> DataFrame:
+        return (
+            read_changefeed_stream(spark, log_path)
+            .filter(
+                F.col("operationType").isin("insert", "update")
+                & (F.col("fullDocument.event_type") == event_type)
+            )
+            .select(
+                F.col("documentKey._id").alias(f"{prefix}_user"),
+                F.col("clusterTime").alias(f"{prefix}_ts"),
+                F.col("_id").alias(f"{prefix}_token"),
+            )
+            .withWatermark(f"{prefix}_ts", "365 days")
+        )
+
+    purchases = _leg("purchase", "p")
+    clicks = _leg("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "inner",
+    )
+    out = new_scratch_dir("ssj_out")
+    q = (
+        joined.select(
+            "p_token",
+            "c_token",
+            F.col("p_user").alias("user_id"),
+            ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000))
+            .cast("bigint")
+            .alias("delta_s"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", new_scratch_dir("ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return spark.read.parquet(out)
