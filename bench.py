@@ -64,6 +64,9 @@ HEADLINE = [
     ("ext_sim_ann_ivf", "ann_ivf_topk"),
     ("ext_sim_lsh_topk", None),
     ("ext_multimodal_join", None),
+    ("ext_split_contamination", None),
+    ("ext_tfidf_topterms", None),
+    ("stream_join_interval", None),
     ("udf_pandas_scalar", None),
 ]
 
@@ -131,6 +134,9 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
         QUERIES["sink_upsert_foreachbatch"](spark, warm_sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        QUERIES["stream_join_interval"](spark, warm_sf).write.format(
             "noop"
         ).mode("overwrite").save()
 

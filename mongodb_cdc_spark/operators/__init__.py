@@ -23,6 +23,7 @@ MODULES = (
     "subqueries",
     "udfs",
     "textpipe",
+    "maintenance",
 )
 
 _loaded = False

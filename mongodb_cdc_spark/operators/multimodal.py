@@ -89,3 +89,62 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole Arrow plumbing (binary transfer, batch iteration, output
     schema) is hash-verified even though the decoder is fake."""
     return binary_table(spark, sf_dir).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+# Frame-sampling geometry: fixed-size "frames" of the blob, every Nth
+# kept — the video-ingest shape (decode container -> sample frames ->
+# per-frame features) with a byte-chunk stub standing in for real frames.
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: one input row fans out to one row per
+    sampled frame — the 1->N batch-explode pattern real frame extraction
+    has (mapInPandas output length is decoupled from input length)."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError("no blob: real decoder would fetch/skip")
+            n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = bytes(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    -- DuckDB substring() has no BLOB overload, so frames are recomputed
+    -- over the VARCHAR: exact because the fixture text is pure ASCII
+    -- (1 char == 1 byte) and md5(VARCHAR) hashes its UTF-8 bytes.
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(least({FRAME_BYTES}, length(text) - i * {FRAME_BYTES})
+             AS INT) AS frame_len,
+           md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM documents,
+         unnest(generate_series(0,
+           CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT) - 1,
+           {FRAME_STRIDE})) AS t(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media: chunk each blob into fixed-size
+    frames, keep every {stride}th, emit per-frame length + content hash.
+    The fan-out (one blob row -> many frame rows) runs inside one
+    mapInPandas pass — no shuffle, no explode materializing the blob N
+    times; at 100 TB the frame pass is scan-bandwidth-bound exactly like
+    the decode pass. The oracle recomputes frames relationally via blob
+    substrings, so the 1->N Arrow plumbing is hash-verified."""
+    return binary_table(spark, sf_dir).mapInPandas(frame_sample, FRAME_SCHEMA)
