@@ -38,6 +38,7 @@ from mongodb_cdc_spark.streaming.pipeline import (
     new_scratch_dir,
     run_to_completion,
     start_cdc_replication,
+    state_partitions,
 )
 from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
 
@@ -211,15 +212,16 @@ def stream_stateful_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_name = f"stateful_upsert_{uuid.uuid4().hex[:12]}"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", new_scratch_dir("state_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_to_completion(q)
+    with state_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", new_scratch_dir("state_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
     snapshots = spark.table(sink_name)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), F.col("token").desc()
@@ -260,15 +262,16 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("documentKey._id").alias("user_id"),
     )
     out = new_scratch_dir("dedup_out")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", new_scratch_dir("dedup_ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_to_completion(q)
+    with state_partitions(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", new_scratch_dir("dedup_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
     return spark.read.parquet(out)
 
 
@@ -456,21 +459,22 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     out = new_scratch_dir("ssj_out")
-    q = (
-        joined.select(
-            "p_token",
-            "c_token",
-            F.col("p_user").alias("user_id"),
-            ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000))
-            .cast("bigint")
-            .alias("delta_s"),
+    with state_partitions(spark):
+        q = (
+            joined.select(
+                "p_token",
+                "c_token",
+                F.col("p_user").alias("user_id"),
+                ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000))
+                .cast("bigint")
+                .alias("delta_s"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", new_scratch_dir("ssj_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", new_scratch_dir("ssj_ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_to_completion(q)
+        run_to_completion(q)
     return spark.read.parquet(out)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,32 @@ def new_scratch_dir(prefix: str) -> str:
     path = os.path.join(scratch_root(), f"{prefix}_{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` while a stateful stream is
+    STARTED (the value is frozen into the query's state layout at start;
+    later changes don't affect it).
+
+    Why: every state partition pays fixed per-micro-batch overhead — an
+    HDFS-backed state store instance, a delta file write + commit per
+    batch — so partition count should track STATE SIZE, not the batch
+    shuffle default. Locally (thousands of keys) 32 partitions is 4-8x
+    pure overhead: measured 11.1 s -> 3.1 s on the stream-stream interval
+    join and 12.5 s -> 5.0 s on the keyed-state upsert at sf0.1. At
+    production scale the same knob goes UP (each partition's state must
+    fit an executor's memory); ``SPARK_GRAFT_STATE_PARTITIONS`` overrides
+    the local default of 8. Note a stream's state partitioning is fixed
+    for the life of its checkpoint — resizing requires a new checkpoint
+    (offsets can be re-read; state cannot be re-bucketed in place)."""
+    n = n or int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def start_cdc_replication(
