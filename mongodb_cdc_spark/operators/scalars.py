@@ -348,3 +348,34 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("next_year_epoch"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS BIGINT) AS missing_k
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark >= 4.0) — the engine's native answer to ragged BSON
+    documents (SURVEY.md §1.2): `parse_json` builds the binary
+    semi-structured value once, then `variant_get` extracts typed fields
+    by path WITHOUT re-parsing the JSON text per access — at 100 TB the
+    parse-once/extract-many split is the difference between one string
+    parse per row and one per extraction (`fn_json`'s get_json_object
+    re-parses each call). `try_variant_get` on an absent path yields
+    NULL instead of raising — the schema-drift posture a CDC consumer
+    needs. The oracle states the same typed extractions over DuckDB's
+    JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.absent", "bigint").alias("missing_k"),
+    )

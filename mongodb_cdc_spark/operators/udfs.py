@@ -167,3 +167,63 @@ def udtf_explode_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL quantity_buckets(l_orderkey, l_linenumber, l_quantity) t
         """
     )
+
+
+def _cogroup_profile(evdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key pandas merge over BOTH frames: activity profile from the
+    event side + order side together. Integer outputs only (counts and
+    key maxima) — exact under any shuffle order."""
+    uid = (
+        evdf["user_id"].iloc[0]
+        if len(evdf)
+        else odf["o_custkey"].iloc[0]
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [int(uid)],
+            "n_events": [len(evdf)],
+            "n_orders": [len(odf)],
+            "last_event_id": [int(evdf["event_id"].max()) if len(evdf) else -1],
+            "last_order_key": [int(odf["o_orderkey"].max()) if len(odf) else -1],
+        }
+    )
+
+
+@query(
+    "udf_cogrouped_profile",
+    oracle="""
+    SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(e.last_event_id, -1) AS BIGINT) AS last_event_id,
+           CAST(COALESCE(o.last_order_key, -1) AS BIGINT) AS last_order_key
+    FROM (SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id
+          FROM events GROUP BY user_id) e
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderkey) AS last_order_key
+          FROM orders GROUP BY o_custkey) o
+      ON e.user_id = o.o_custkey
+    """,
+)
+def udf_cogrouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the last pandas API tier): events and
+    orders cogrouped on user key, each group's BOTH frames handed to one
+    Python function — the shape for per-key logic that genuinely needs
+    two tables at once (custom as-of matching, per-entity reconciliation).
+    This particular profile IS relationally expressible (that's what
+    makes it exactly oracle-checkable — two aggregates + full outer
+    join), so like `udf_python_scalar` it's surface-parity tier: at scale
+    prefer the relational form; reach for cogroup only past SQL's edge.
+    Scale shape: one shuffle per side on the key, then per-group Arrow
+    batches; no state, no collect."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    out_schema = (
+        "user_id bigint, n_events bigint, n_orders bigint, "
+        "last_event_id bigint, last_order_key bigint"
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(lambda e, o: _cogroup_profile(e, o), out_schema)
+    )
