@@ -132,6 +132,36 @@ def cmd_health(cfg: CDCConfig, args) -> int:
     return 0 if status == "healthy" else 1
 
 
+def cmd_compact(cfg: CDCConfig, args) -> int:
+    """Small-file compaction of a parquet directory (the maintenance the
+    reference never needs because Mongo compacts server-side; a parquet
+    target must own it — see streaming/maintenance.py)."""
+    from mongodb_cdc_spark.streaming.maintenance import (
+        compact_parquet_dir,
+        parquet_file_count,
+    )
+
+    spark = get_spark("cdc-compact")
+    before = parquet_file_count(args.path)
+    n_rows = spark.read.parquet(args.path).count()
+    compact_parquet_dir(
+        spark, args.path, args.target_files, args.max_records_per_file
+    )
+    after = parquet_file_count(args.path)
+    ok = spark.read.parquet(args.path).count() == n_rows
+    print(
+        json.dumps(
+            {
+                "status": "compacted" if ok else "row-count-mismatch",
+                "filesBefore": before,
+                "filesAfter": after,
+                "rows": n_rows,
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc", description=__doc__)
     p.add_argument("--source", help="change feed path (or mongodb:// URI)")
@@ -156,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("health", help="health check (entry 4)")
     sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser("compact", help="compact a parquet dir's small files")
+    sp.add_argument("path")
+    sp.add_argument("--target-files", type=int, default=8)
+    sp.add_argument("--max-records-per-file", type=int, default=0)
+    sp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     overrides = {

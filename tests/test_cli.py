@@ -54,3 +54,52 @@ def test_compare_single_id(replicated, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["existsInSource"] and out["existsInTarget"]
+
+
+def test_compact_cli_preserves_rows_and_reduces_files(spark, sf_dir, capsys):
+    """`cdc compact`: fragment a table, compact through the CLI, verify
+    row preservation + file-count reduction from the CLI's own report."""
+    import os
+
+    from mongodb_cdc_spark.io import load_table
+
+    frag = new_scratch_dir("cli_compact")
+    load_table(spark, sf_dir, "events").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    rc = cli.main(["compact", frag, "--target-files", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["status"] == "compacted"
+    assert out["filesBefore"] == 16
+    assert out["filesAfter"] == 2
+    assert out["rows"] == spark.read.parquet(frag).count()
+
+
+def test_compact_crash_leaves_table_readable(spark, sf_dir):
+    """A compaction that died mid-write leaves a stale .compacting dir;
+    the original table must stay readable and a retry must succeed
+    (staging-then-swap contract of compact_parquet_dir)."""
+    import os
+
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.streaming.maintenance import (
+        compact_parquet_dir,
+        parquet_file_count,
+    )
+
+    path = new_scratch_dir("crash_compact")
+    load_table(spark, sf_dir, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n = spark.read.parquet(path).count()
+    # simulate a dead compaction: stale partial staging output
+    staging = path.rstrip("/") + ".compacting"
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert spark.read.parquet(path).count() == n  # original intact
+    compact_parquet_dir(spark, path, 2)  # retry overwrites stale staging
+    assert spark.read.parquet(path).count() == n
+    assert parquet_file_count(path) == 2
+    assert not os.path.exists(staging)

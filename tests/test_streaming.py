@@ -318,3 +318,55 @@ def test_upsert_versions_monotonic_across_restart(spark, sf_dir):
     assert any(
         t2._bucket_versions(b)[-1] > before[b] for b in range(4)
     ), "no bucket advanced at all"
+
+
+def test_stream_join_restart_emits_no_duplicates(spark, sf_dir):
+    """Restarting a drained stream-stream join from its checkpoint must
+    emit nothing new (commit-log exactly-once on the file sink): the
+    joined pair set is a fixpoint, so a second availableNow run sees no
+    unprocessed offsets."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.sources.changefeed import read_changefeed_stream
+
+    log_path = write_change_log(spark, sf_dir)
+    out = new_scratch_dir("ssj_restart_out")
+    ckpt = new_scratch_dir("ssj_restart_ckpt")
+
+    def leg(event_type, prefix):
+        return (
+            read_changefeed_stream(spark, log_path, max_files_per_trigger=1)
+            .filter(
+                F.col("operationType").isin("insert", "update")
+                & (F.col("fullDocument.event_type") == event_type)
+            )
+            .select(
+                F.col("documentKey._id").alias(f"{prefix}_user"),
+                F.col("clusterTime").alias(f"{prefix}_ts"),
+                F.col("_id").alias(f"{prefix}_token"),
+            )
+            .withWatermark(f"{prefix}_ts", "365 days")
+        )
+
+    def run_once():
+        joined = leg("purchase", "p").join(
+            leg("click", "c"),
+            F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+            "inner",
+        )
+        q = (
+            joined.select("p_token", "c_token")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+        return spark.read.parquet(out).count()
+
+    first = run_once()
+    second = run_once()  # same checkpoint: no offsets left, no new rows
+    assert first > 0
+    assert second == first
