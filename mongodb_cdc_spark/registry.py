@@ -136,6 +136,15 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "win_session_gap",
 )
 
+# Round-3 rotation TODO: front these keys (registered late in round 2,
+# positions 101-113 — no driver CORRECTNESS row yet; pytest + the verify
+# recipe cover them meanwhile): fn_variant, ext_sim_lsh_topk,
+# ext_token_histogram, ext_pack_sequences, mm_frame_sample,
+# stream_join_interval, udf_cogrouped_profile, ext_split_contamination,
+# ext_sample_stratified, ext_topk_tokens, ext_tfidf_topterms,
+# ext_pii_scrub, maintenance_compact — plus a couple of r2-green
+# canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check rounds.
+
 
 def driver_ordered(mapping: dict[str, object]) -> dict:
     """Return ``mapping`` reordered so DRIVER_KEY_PRIORITY keys come first
