@@ -178,3 +178,12 @@ def test_contamination_join_is_hash_equi(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multimodal_passes_have_no_shuffle(spark, sf_dir):
+    """Decode and frame-sample are per-partition mapInPandas passes: any
+    Exchange in their plans means blob bytes are crossing the wire —
+    scan-bandwidth-bound is the contract."""
+    for key in ("mm_decode_features", "mm_frame_sample"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in plan, f"{key} shuffles blobs:\n{plan}"
