@@ -374,3 +374,166 @@ def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").cast("bigint").alias("chars_redacted"),
         )
     )
+
+
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents whose
+# token stream is dominated by repeats are low-quality pretraining data.
+# Flag threshold: > 50% repeated tokens (the synthetic corpus straddles it).
+_REP_FLAG_PPM = 500_000
+
+
+@query(
+    "ext_repetition_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_tok_d,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      FROM (SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents)
+    ), scored AS (
+      SELECT lang,
+             CAST((n_tok - n_tok_d) * 1000000 // greatest(n_tok, 1) AS BIGINT)
+               AS rep_tok_ppm,
+             CAST((len(bigrams) - len(list_distinct(bigrams))) * 1000000
+                  // greatest(len(bigrams), 1) AS BIGINT) AS rep_big_ppm
+      FROM per_doc
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(rep_tok_ppm) // COUNT(*) AS BIGINT) AS mean_rep_tok_ppm,
+           CAST(SUM(rep_big_ppm) // COUNT(*) AS BIGINT) AS mean_rep_big_ppm,
+           CAST(SUM(CASE WHEN rep_tok_ppm > {_REP_FLAG_PPM} THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_flagged
+    FROM scored GROUP BY lang
+    """,
+)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per language: mean repeated-token and
+    repeated-bigram fractions (ppm) plus a >50%-repeated-tokens flag count
+    — the duplicated-n-gram family of filters every large pretraining
+    corpus applies (Gopher/C4 lineage; the reference has no text tier).
+
+    Scale shape: repetition is computed ENTIRELY map-side with array
+    expressions — ``array_distinct`` over the token and bigram arrays
+    inside whole-stage codegen, no explode, no per-document shuffle. The
+    only exchange is the final tiny per-language aggregate, so the
+    operator is a single scan-stage pass at any corpus size. Fractions
+    are integer ppm (``* 1_000_000 DIV n``) end to end — the round-1
+    `fn_json` dtype lesson — so both engines emit identical BIGINTs."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks)-1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    per_doc = (
+        d.select("lang", tokens("text").alias("toks"))
+        .select(
+            "lang",
+            F.size("toks").alias("n_tok"),
+            F.size(F.array_distinct("toks")).alias("n_tok_d"),
+            bigrams.alias("bigrams"),
+        )
+        .select(
+            "lang",
+            "n_tok",
+            "n_tok_d",
+            F.size("bigrams").alias("n_big"),
+            F.size(F.array_distinct("bigrams")).alias("n_big_d"),
+        )
+    )
+    scored = per_doc.select(
+        "lang",
+        F.expr(
+            "CAST((n_tok - n_tok_d) * 1000000 DIV greatest(n_tok, 1) AS BIGINT)"
+        ).alias("rep_tok_ppm"),
+        F.expr(
+            "CAST((n_big - n_big_d) * 1000000 DIV greatest(n_big, 1) AS BIGINT)"
+        ).alias("rep_big_ppm"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(rep_tok_ppm) DIV count(1) AS BIGINT)").alias(
+            "mean_rep_tok_ppm"
+        ),
+        F.expr("CAST(sum(rep_big_ppm) DIV count(1) AS BIGINT)").alias(
+            "mean_rep_big_ppm"
+        ),
+        F.sum((F.col("rep_tok_ppm") > _REP_FLAG_PPM).cast("int"))
+        .cast("bigint")
+        .alias("docs_flagged"),
+    )
+
+
+# Chunk geometry: 32-token windows every 16 tokens (50% overlap) — the
+# standard fixed-stride context-window prep ahead of sequence packing
+# (`ext_pack_sequences` consumes whole documents; this operator is the
+# long-document splitter that runs before it in a real pipeline).
+_CHUNK_W = 32
+_CHUNK_S = 16
+
+
+@query(
+    "ext_doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(c AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, c*{_CHUNK_S}+1, c*{_CHUNK_S}+{_CHUNK_W}))
+             AS BIGINT) AS n_chunk_tokens,
+           substring(md5(array_to_string(
+             list_slice(toks, c*{_CHUNK_S}+1, c*{_CHUNK_S}+{_CHUNK_W}), ' ')), 1, 16)
+             AS chunk_hash
+    FROM (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (greatest(len(toks),1)-1) // {_CHUNK_S})) AS c
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents)
+    )
+    """,
+)
+def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token chunking: split every document into 32-token
+    windows at stride 16 (50% overlap), emitting per-chunk token counts
+    and a 64-bit content hash — the long-document splitter that feeds
+    context-window packing and chunk-level dedup in a pretraining
+    pipeline.
+
+    Scale shape: pure map-side — tokenize, ``explode`` a per-document
+    chunk-index sequence (fan-out ≈ n_tokens/stride, bounded and known),
+    ``slice`` + hash each window inside codegen. NO shuffle at all: the
+    plan is scan → project → generate, so it streams at any corpus size
+    and the output is chunk-hash rows ready for a downstream exact-dedup
+    group-by. Spark's 1-based ``slice``/``element_at`` mirrors DuckDB's
+    1-based ``list_slice`` exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST((greatest(size(toks),1)-1)"
+                    f" DIV {_CHUNK_S} AS INT))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c").cast("bigint").alias("chunk_idx"),
+            F.expr(
+                f"CAST(size(slice(toks, c*{_CHUNK_S}+1, {_CHUNK_W})) AS BIGINT)"
+            ).alias("n_chunk_tokens"),
+            F.expr(
+                f"substring(md5(array_join(slice(toks, c*{_CHUNK_S}+1,"
+                f" {_CHUNK_W}), ' ')), 1, 16)"
+            ).alias("chunk_hash"),
+        )
+    )

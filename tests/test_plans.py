@@ -187,3 +187,22 @@ def test_multimodal_passes_have_no_shuffle(spark, sf_dir):
     for key in ("mm_decode_features", "mm_frame_sample"):
         plan = formatted_plan(QUERIES[key](spark, sf_dir))
         assert "Exchange" not in plan, f"{key} shuffles blobs:\n{plan}"
+
+
+def test_doc_chunks_is_shuffle_free_map_pass(spark, sf_dir):
+    """Chunking is scan -> tokenize -> explode -> hash, all map-side: an
+    Exchange would mean token arrays crossing the wire for no reason."""
+    plan = formatted_plan(QUERIES["ext_doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan, f"chunking shuffles:\n{plan}"
+    assert "Generate" in plan, plan  # the explode stays in the scan stage
+
+
+def test_repetition_stats_shuffles_only_aggregates(spark, sf_dir):
+    """Repetition signals are computed map-side with array_distinct (no
+    explode): exactly one exchange — the final per-language partial agg —
+    and no Generate node (exploding bigrams would shuffle-amplify the
+    corpus ~54x at the observed mean document length)."""
+    plan = formatted_plan(QUERIES["ext_repetition_stats"](spark, sf_dir))
+    # formatted plans name each node twice (tree + detail) — count tree nodes
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Generate" not in plan, plan

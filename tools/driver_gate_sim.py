@@ -116,6 +116,9 @@ def main() -> int:
     first = None
     if "--first" in sys.argv:
         first = int(sys.argv[sys.argv.index("--first") + 1])
+    only = None
+    if "--keys" in sys.argv:
+        only = sys.argv[sys.argv.index("--keys") + 1].split(",")
 
     import __spark_entry__ as entry
     from mongodb_cdc_spark.session import get_spark
@@ -126,6 +129,8 @@ def main() -> int:
     keys = list(entry.queries())
     if first:
         keys = keys[:first]
+    if only:
+        keys = [k for k in keys if k in only]
     failures = 0
     for i, key in enumerate(keys, 1):
         r = check_key(spark, con, key, sf_dir)
