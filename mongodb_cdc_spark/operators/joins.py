@@ -372,3 +372,79 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+           TRUE AS shuffle_free_join
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join, driver-proven: write orders and
+    lineitem bucketed 8 ways on the order key (the one-time ingest
+    shuffle), join them with broadcast disabled, and assert from the
+    executed plan that the join ran with ZERO Exchange operators — the
+    write-once-shuffle-never contract that makes repeated fact-fact joins
+    affordable at 100 TB. The plan invariant travels as the
+    ``shuffle_free_join`` column so the driver hash-checks it alongside
+    the join's actual aggregate (which must equal the plain-scan oracle
+    join exactly: any row bucketing duplicated or dropped breaks the
+    hash).
+
+    The few-row result is materialized eagerly (same pattern as
+    `maintenance_compact`) because the temp bucketed tables are dropped
+    before returning."""
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    names = {}
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            tbl = f"bkt_{name}_{tag}"
+            names[name] = tbl
+            (
+                load_table(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(names["orders"]).join(
+                spark.table(names["lineitem"]),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            join_plan = joined._jdf.queryExecution().executedPlan().toString()
+            shuffle_free = "Exchange" not in join_plan
+            rows = (
+                joined.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.expr("CAST(l_quantity * 100 AS BIGINT)"))
+                    .cast("bigint")
+                    .alias("qty_cents"),
+                )
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for tbl in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(
+                f"{warehouse.removeprefix('file:')}/{tbl}", ignore_errors=True
+            )
+    return spark.createDataFrame(
+        [(r["o_orderstatus"], r["n_lines"], r["qty_cents"], shuffle_free) for r in rows],
+        "o_orderstatus string, n_lines bigint, qty_cents bigint, shuffle_free_join boolean",
+    )
