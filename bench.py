@@ -63,6 +63,10 @@ HEADLINE = [
     ("ext_sim_cosine_topk", None),
     ("ext_sim_ann_ivf", "ann_ivf_topk"),
     ("ext_sim_lsh_topk", None),
+    ("ext_sim_knn_join", None),
+    ("ext_repetition_stats", None),
+    ("ext_doc_chunks", None),
+    ("join_bucketed", None),
     ("ext_multimodal_join", None),
     ("ext_split_contamination", None),
     ("ext_tfidf_topterms", None),

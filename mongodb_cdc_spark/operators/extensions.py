@@ -1393,3 +1393,65 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# Batch k-NN geometry: 8 probe vectors, 5 neighbors each.
+_KNN_PROBES = 8
+_KNN_K = 5
+
+
+@query(
+    "ext_sim_knn_join",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS p
+      FROM embeddings WHERE vec_id < {_KNN_PROBES}
+    ), scored AS (
+      SELECT probe_id, e.vec_id AS vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY {cosine_unrolled_sql('e.embedding', 'p', dialect='duck')} DESC,
+                        e.vec_id ASC) AS rank
+      FROM embeddings e, probes
+      WHERE e.vec_id >= {_KNN_PROBES}
+    )
+    SELECT probe_id, vec_id, rank FROM scored WHERE rank <= {_KNN_K}
+    """,
+)
+def ext_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-5 cosine neighbors for EACH of 8 probe
+    vectors in one pass — the many-query form of `ext_sim_cosine_topk`
+    (one scan serves the whole probe batch instead of one scan per
+    probe). Ids + rank only; the unrolled bit-exact cosine keeps rank
+    order identical across engines, vec_id tiebreak closes score ties.
+
+    Scale shape: probes broadcast (a query batch is KB-to-MB); the
+    corpus is scanned once and scored against all probes map-side. The
+    per-probe rank<=k filter lets Spark plan a WindowGroupLimit partial
+    pass BEFORE the probe_id exchange — each input partition forwards at
+    most k rows per probe, so the shuffle carries O(probes x k x
+    partitions) id/score triples, never the corpus-x-probes cross
+    product (tests/test_plans.py pins that node). For probe batches too
+    large to broadcast, the IVF bucket route (`ext_sim_ann_ivf`) is the
+    handoff."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= _KNN_PROBES)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.expr(cosine_unrolled_sql("embedding", "p")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("probe_id", "vec_id", "rank")
+    )

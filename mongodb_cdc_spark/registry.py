@@ -137,13 +137,15 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-3 rotation TODO: front these keys (registered late in round 2,
-# positions 101-113 — no driver CORRECTNESS row yet; pytest + the verify
+# beyond position 50 — no driver CORRECTNESS row yet; pytest + the verify
 # recipe cover them meanwhile): fn_variant, ext_sim_lsh_topk,
 # ext_token_histogram, ext_pack_sequences, mm_frame_sample,
 # stream_join_interval, udf_cogrouped_profile, ext_split_contamination,
 # ext_sample_stratified, ext_topk_tokens, ext_tfidf_topterms,
-# ext_pii_scrub, maintenance_compact — plus a couple of r2-green
-# canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check rounds.
+# ext_pii_scrub, maintenance_compact, ext_repetition_stats,
+# ext_doc_chunks, join_bucketed, ext_sim_knn_join — plus a couple of
+# r2-green canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check
+# rounds.
 
 
 def driver_ordered(mapping: dict[str, object]) -> dict:

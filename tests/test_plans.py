@@ -206,3 +206,15 @@ def test_repetition_stats_shuffles_only_aggregates(spark, sf_dir):
     # formatted plans name each node twice (tree + detail) — count tree nodes
     assert plan.count("+- Exchange") == 1, plan
     assert "Generate" not in plan, plan
+
+
+def test_knn_join_prunes_before_shuffle(spark, sf_dir):
+    """The batch k-NN join must plan a partial WindowGroupLimit BEFORE the
+    probe_id exchange — each input partition forwards at most k rows per
+    probe, so the shuffle never carries the corpus x probes product. The
+    probe side must be the broadcast build side."""
+    plan = formatted_plan(QUERIES["ext_sim_knn_join"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    # Partial (pre-shuffle) AND Final (post-shuffle) passes both present
+    assert "Partial" in plan and "Final" in plan, plan
+    assert "BroadcastExchange" in plan, plan

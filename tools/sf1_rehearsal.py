@@ -55,6 +55,10 @@ HEAVY = [
     "ext_sim_ann_ivf",
     "ext_text_wordcount",
     "topk_orders",
+    "ext_repetition_stats",
+    "ext_doc_chunks",
+    "ext_sim_knn_join",
+    "join_bucketed",
 ]
 
 
