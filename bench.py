@@ -50,6 +50,9 @@ HEADLINE = [
     ("cdc_apply_upsert", None),
     ("cdc_diff_fieldwise", None),
     ("cdc_window_audit", None),
+    ("cdc_schema_drift", None),
+    ("agg_countmin_sketch", None),
+    ("agg_hll_partial_merge", None),
     ("stream_tumbling_window", None),
     ("stream_session_window", None),
     ("stream_stateful_upsert", None),

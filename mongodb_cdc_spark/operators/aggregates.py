@@ -522,3 +522,181 @@ def agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("hr").alias("modal_hour"), F.col("n").alias("n_at_mode"))
     )
+
+
+# Count-Min sketch geometry: 4 hash rows x 32 counters. Width is chosen
+# SMALL relative to the 150-user key space at test SF so hash collisions
+# actually occur and the estimate/error machinery is exercised — not just
+# trivially exact. md5-derived slot hashing is identical in both engines,
+# so every counter (and thus every estimate) is the same BIGINT on both
+# sides: the sketch is exact-oracle checkable, collisions and all.
+_CMS_D = 4
+_CMS_W = 32
+_CMS_PROBES = 10
+
+
+def _cms_slot_sql(key_expr: str, j: int, dialect: str) -> str:
+    """Depth-``j`` counter slot for ``key_expr`` (md5-prefix hash mod W),
+    written identically for Spark and DuckDB."""
+    salted = (
+        f"CAST({key_expr} AS STRING) || ':cms:{j}'"
+        if dialect == "spark"
+        else f"CAST({key_expr} AS VARCHAR) || ':cms:{j}'"
+    )
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({salted}), 1, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+    return f"CAST(('0x' || substring(md5({salted}), 1, 8)) AS BIGINT) % {_CMS_W}"
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH depths AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    counters AS (
+      SELECT d, slot, COUNT(*) AS c
+      FROM (
+        SELECT d.d AS d,
+               CASE d.d {' '.join(f"WHEN {j} THEN {_cms_slot_sql('user_id', j, 'duck')}" for j in range(_CMS_D))} END AS slot
+        FROM events, depths d
+      )
+      GROUP BY d, slot
+    ),
+    probes AS (
+      SELECT user_id, COUNT(*) AS exact_cnt
+      FROM events WHERE user_id < {_CMS_PROBES} GROUP BY user_id
+    ),
+    probe_slots AS (
+      SELECT p.user_id, p.exact_cnt, d.d AS d,
+             CASE d.d {' '.join(f"WHEN {j} THEN {_cms_slot_sql('p.user_id', j, 'duck')}" for j in range(_CMS_D))} END AS slot
+      FROM probes p, depths d
+    ),
+    n AS (SELECT COUNT(*) AS total FROM events)
+    SELECT user_id,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c) AS BIGINT) AS cms_est,
+           MIN(c) >= exact_cnt AS never_underestimates,
+           MIN(c) - exact_cnt <= 2 * (SELECT total FROM n) // {_CMS_W} AS within_error_bound
+    FROM probe_slots JOIN counters USING (d, slot)
+    GROUP BY user_id, exact_cnt
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries, exact-oracle checkable: build a
+    4x32 counter matrix over the event stream's user ids (each row
+    explodes into 4 (depth, slot) pairs; slot = md5-prefix hash, identical
+    across engines), then estimate 10 probe keys' frequencies as the
+    min counter across depths. Emits the estimate next to the exact count
+    plus the two sketch guarantees as checked booleans: CMS never
+    underestimates, and the (deterministic, collision-driven) overestimate
+    stays within 2N/W.
+
+    This is the mergeable-sketch tier the reference's counters (js:166-184
+    per-batch stats) can't reach: at 100 TB the counter matrix is a FIXED
+    4x32 integers regardless of input size — partial aggregation per
+    partition IS the sketch merge (counters add), the shuffle carries at
+    most D*W rows per input partition, and pre-aggregated per-hour/per-day
+    sketches combine by elementwise sum. The probe join broadcasts the
+    128-counter table."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def slots(key: str) -> F.Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        F.expr(_cms_slot_sql(key, j, "spark")).alias("slot"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        )
+
+    counters = (
+        ev.select(slots("user_id").alias("p"))
+        .select("p.d", "p.slot")
+        .groupBy("d", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = ev.count()
+    probes = (
+        ev.filter(F.col("user_id") < _CMS_PROBES)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_slots = probes.select(
+        "user_id", "exact_cnt", slots("user_id").alias("p")
+    ).select("user_id", "exact_cnt", "p.d", "p.slot")
+    return (
+        probe_slots.join(F.broadcast(counters), ["d", "slot"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+            (F.col("cms_est") - F.col("exact_cnt") <= F.lit(2 * total // _CMS_W)).alias(
+                "within_error_bound"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_hll_partial_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+           TRUE AS merge_matches_oneshot,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL mergeability, driver-proven (Spark >= 3.5
+    ``hll_sketch_agg`` / ``hll_union_agg``): build one sketch per
+    (event_type, day), union the per-day sketches per event_type, and
+    check the merged estimate (a) equals the one-shot whole-column sketch
+    (HLL registers are max-combined, so pre-partitioned merge is exactly
+    associative) and (b) lands within 5% of the exact distinct count.
+    Both checks travel as booleans next to exact BIGINTs the oracle can
+    state.
+
+    This is THE pre-aggregation pattern for distinct counting at 100 TB:
+    daily (or per-shard) sketches are a few KB each, stored once, and any
+    date-range distinct-count query merges sketches instead of rescanning
+    raw events — `agg_approx_count_distinct` answers one query, this
+    answers all of them. The per-day sketch build shuffles sketch bytes
+    (KB per group), never user ids."""
+    ev = load_table(spark, sf_dir, "events")
+    lgk = F.lit(12)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", lgk).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+            "merged_est"
+        ),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    oneshot = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk)).alias(
+            "oneshot_est"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.join(oneshot, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("n_day_sketches").cast("bigint").alias("n_day_sketches"),
+        (F.col("merged_est") == F.col("oneshot_est")).alias(
+            "merge_matches_oneshot"
+        ),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("within_tol"),
+    )

@@ -215,3 +215,92 @@ def cdc_checkpoint_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("head_epoch") - F.col("last_seen_epoch")).alias("lag_s"),
         ((F.col("head_epoch") - F.col("last_seen_epoch")) < 300).alias("healthy"),
     )
+
+
+@query(
+    "cdc_schema_drift",
+    oracle="""
+    WITH docs AS (
+      SELECT event_type,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS epoch_day,
+             CASE event_id % 3
+               WHEN 0 THEN json_object('amount', value)
+               WHEN 1 THEN json_object('amount', value, 'uid', user_id)
+               ELSE json_object('amount', value, 'uid', user_id,
+                                'kind', event_type)
+             END AS doc
+      FROM events
+    ), fields AS (
+      SELECT event_type, epoch_day, unnest(json_keys(doc)) AS field
+      FROM docs
+    ), totals AS (
+      SELECT event_type, COUNT(*) AS total FROM events GROUP BY event_type
+    )
+    SELECT f.event_type,
+           field,
+           COUNT(*) AS n_present,
+           CAST(COUNT(*) * 1000000 // t.total AS BIGINT) AS coverage_ppm,
+           CAST(MIN(epoch_day) AS INT) AS first_seen_day,
+           CAST(MAX(epoch_day) AS INT) AS last_seen_day
+    FROM fields f JOIN totals t USING (event_type)
+    GROUP BY f.event_type, field, t.total
+    """,
+)
+def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift registry over ragged change documents — the audit a
+    schemaless CDC source (the reference's BSON events, js:157-165,
+    carry whatever fields the writer sent) needs when the upstream
+    document shape evolves: per (collection-ish event_type, field) the
+    presence count, coverage fraction, and first/last day the field was
+    seen. Three deterministic document versions are synthesized from the
+    fixture (v0 {amount}, v1 +uid, v2 +kind — keyed off event_id so both
+    engines build byte-identical JSON), and field discovery runs through
+    the real JSON-introspection surface (`json_object_keys` /
+    `json_keys`), not a hardcoded field list.
+
+    Scale shape: key explosion is map-side (fan-out = fields per doc,
+    small constant); the audit aggregate shuffles (event_type, field)
+    pairs — schema-registry-sized, not corpus-sized. The per-type totals
+    join broadcasts. Coverage is integer ppm; days are epoch-day INTs
+    (timestamps never reach the hashed output)."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.expr(
+        """
+        CASE event_id % 3
+          WHEN 0 THEN to_json(struct(value AS amount))
+          WHEN 1 THEN to_json(struct(value AS amount, user_id AS uid))
+          ELSE to_json(struct(value AS amount, user_id AS uid,
+                              event_type AS kind))
+        END
+        """
+    )
+    docs = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("epoch_day"),
+        doc.alias("doc"),
+    )
+    fields = docs.select(
+        "event_type",
+        "epoch_day",
+        F.explode(F.json_object_keys("doc")).alias("field"),
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        fields.groupBy("event_type", "field")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.min("epoch_day").alias("first_day"),
+            F.max("epoch_day").alias("last_day"),
+        )
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "field",
+            "n_present",
+            F.expr("CAST(n_present * 1000000 DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+            F.col("first_day").cast("int").alias("first_seen_day"),
+            F.col("last_day").cast("int").alias("last_seen_day"),
+        )
+    )

@@ -143,9 +143,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
 # stream_join_interval, udf_cogrouped_profile, ext_split_contamination,
 # ext_sample_stratified, ext_topk_tokens, ext_tfidf_topterms,
 # ext_pii_scrub, maintenance_compact, ext_repetition_stats,
-# ext_doc_chunks, join_bucketed, ext_sim_knn_join — plus a couple of
-# r2-green canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check
-# rounds.
+# ext_doc_chunks, join_bucketed, ext_sim_knn_join, agg_countmin_sketch,
+# agg_hll_partial_merge, cdc_schema_drift — plus a couple of r2-green
+# canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check rounds.
 
 
 def driver_ordered(mapping: dict[str, object]) -> dict:

@@ -218,3 +218,16 @@ def test_knn_join_prunes_before_shuffle(spark, sf_dir):
     # Partial (pre-shuffle) AND Final (post-shuffle) passes both present
     assert "Partial" in plan and "Final" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_sketch_ops_stay_jvm_and_broadcast(spark, sf_dir):
+    """The CMS counter matrix (<= D*W rows) and the HLL per-type totals
+    must broadcast to their probe/merge joins; both sketch tiers are pure
+    JVM (DataSketches/codegen) — EvalPython would mean the sketch left
+    the executor."""
+    for key in ("agg_countmin_sketch", "agg_hll_partial_merge", "cdc_schema_drift"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
+    assert "BroadcastHashJoin" in formatted_plan(
+        QUERIES["agg_countmin_sketch"](spark, sf_dir)
+    )
