@@ -73,6 +73,7 @@ HEADLINE = [
     ("ext_multimodal_join", None),
     ("ext_split_contamination", None),
     ("ext_tfidf_topterms", None),
+    ("ext_corpus_prep_e2e", None),
     ("stream_join_interval", None),
     ("udf_pandas_scalar", None),
 ]

@@ -304,3 +304,45 @@ def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_day").cast("int").alias("last_seen_day"),
         )
     )
+
+
+@query(
+    "cdc_apply_tombstone",
+    oracle="""
+    SELECT user_id, event_type, value,
+           (epoch_ns(ts) // 1000000000) AS ts_epoch
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full delete semantics the reference deliberately lacks (js:159-177
+    drops delete events before applying): replay the feed treating
+    'error' events as tombstones — a key whose LATEST event is a
+    tombstone is absent from final state; a later upsert re-creates it.
+    One ordered pass: latest-event-per-key window (same single keyed
+    shuffle as `cdc_apply_upsert`), then the tombstone filter on the
+    survivor row — never a join against a deletes list, which would
+    double-scan the feed and still miss delete-then-reinsert ordering.
+
+    At scale this is the compaction rule a log-structured CDC target
+    applies at read/merge time (tombstones retained until compaction
+    horizon); the filter costs nothing extra on top of the compaction
+    window the upsert path already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.expr("CAST(to_unix_timestamp(ts) AS BIGINT)").alias("ts_epoch"),
+        )
+    )

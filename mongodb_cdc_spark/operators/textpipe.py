@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mongodb_cdc_spark.functions.text import tokens, tokens_sql
+from mongodb_cdc_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    tokens,
+    tokens_sql,
+)
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
 
@@ -537,3 +542,103 @@ def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# Corpus-prep capstone thresholds: token-count bounds and the repeated-
+# token ceiling (ppm) a document must clear to enter the corpus.
+_PREP_MIN_TOK = 10
+_PREP_MAX_TOK = 5000
+_PREP_REP_MAX_PPM = 700_000
+
+
+@query(
+    "ext_corpus_prep_e2e",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, lang,
+             len({tokens_sql('text')}) AS n_tok,
+             CAST((len({tokens_sql('text')})
+                   - len(list_distinct({tokens_sql('text')}))) * 1000000
+                  // greatest(len({tokens_sql('text')}), 1) AS BIGINT) AS rep_ppm,
+             {fingerprint_sql('text')} AS fp
+      FROM documents
+    ), quality AS (
+      SELECT * FROM staged
+      WHERE n_tok >= {_PREP_MIN_TOK} AND n_tok <= {_PREP_MAX_TOK}
+        AND rep_ppm <= {_PREP_REP_MAX_PPM}
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || ':split-seed-1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || ':split-seed-1'), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+)
+def ext_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep stages composed end to end in ONE lazy plan —
+    quality filter (token bounds + repetition ceiling) → exact near-dup
+    collapse on the normalized fingerprint (keep min doc_id) → seeded
+    train/val/test assignment → per-(lang, split) manifest with doc and
+    token totals. This is the shape of a real pretraining data job: the
+    individual operators (`ext_text_quality`, `ext_repetition_stats`,
+    `ext_dedup_exact`, `ext_data_split`) are its unit-tested stages, and
+    this key driver-proves their COMPOSITION — filters feeding windows
+    feeding aggregates with no materialization barriers between stages.
+
+    Scale shape: quality scoring and fingerprinting are scan-stage
+    codegen; the dedup window shuffles (16-hex fp, small projected cols)
+    once — the text column is pruned before the exchange; split + final
+    manifest reuse nothing heavier than a lang-keyed aggregate. Catalyst
+    pipelines all of it into two exchanges total."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        tokens("text").alias("toks"),
+        fingerprint("text").alias("fp"),
+    ).select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.size("toks").alias("n_tok"),
+        F.expr(
+            "CAST((size(toks) - size(array_distinct(toks))) * 1000000"
+            " DIV greatest(size(toks), 1) AS BIGINT)"
+        ).alias("rep_ppm"),
+    )
+    quality = staged.filter(
+        (F.col("n_tok") >= _PREP_MIN_TOK)
+        & (F.col("n_tok") <= _PREP_MAX_TOK)
+        & (F.col("rep_ppm") <= _PREP_REP_MAX_PPM)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.withColumn("split", _split_bucket_case())
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+def _split_bucket_case() -> F.Column:
+    """train/val/test label from the shared seeded split bucket."""
+    b = _split_bucket()
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")

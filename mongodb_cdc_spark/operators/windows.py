@@ -288,3 +288,39 @@ def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_events"),
         F.max("cnt").alias("max_session_events"),
     )
+
+
+@query(
+    "win_cume_dist_nth",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           cume_dist() OVER w AS cd,
+           nth_value(c_custkey, 2) OVER (
+             w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value — the two ranked-window functions the rest
+    of the window tier doesn't cover. Per nation: each customer's
+    cumulative balance-rank fraction and the nation's second-richest
+    customer key (explicit full-partition ROWS frame — both engines'
+    default nth_value frame stops at CURRENT ROW, which would leave the
+    first row NULL). The custkey tiebreak makes the order total, so the
+    cume_dist ratio is the same small-integer division (IEEE-exact,
+    deterministic) in both engines. One nationkey shuffle serves both
+    functions."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_richest_key"),
+    )

@@ -144,7 +144,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
 # ext_sample_stratified, ext_topk_tokens, ext_tfidf_topterms,
 # ext_pii_scrub, maintenance_compact, ext_repetition_stats,
 # ext_doc_chunks, join_bucketed, ext_sim_knn_join, agg_countmin_sketch,
-# agg_hll_partial_merge, cdc_schema_drift — plus a couple of r2-green
+# agg_hll_partial_merge, cdc_schema_drift, cdc_apply_tombstone,
+# win_cume_dist_nth, ext_corpus_prep_e2e — plus a couple of r2-green
 # canaries (cdc_apply_upsert, ext_dedup_exact) to cross-check rounds.
 
 
