@@ -54,6 +54,53 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (SQL INTERSECT ALL): each orderkey kept
+    min(left-count, right-count) times. Spark plans ``intersectAll`` as a
+    count-per-side aggregate + generate — one shuffle on the row, no
+    pairwise join blow-up; the multiset semantics matter when dedup
+    accounting must preserve multiplicity (e.g. per-occurrence audit
+    counts, unlike the set-semantic `set_intersect`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (SQL EXCEPT ALL): occurrences on the left minus
+    occurrences on the right, floored at zero — the multiset complement
+    of `set_intersect_all`, planned the same shuffle-once way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return a.exceptAll(b)
+
+
+@query(
     "set_intersect",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
