@@ -1144,8 +1144,8 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_dedup_cluster",
     oracle="""
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-           (SELECT COUNT(*) FROM documents x JOIN documents y
-              ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id)
+           (SELECT CAST(COALESCE(SUM((k * (k - 1)) // 2), 0) AS BIGINT)
+              FROM (SELECT COUNT(*) AS k FROM documents GROUP BY md5(text)))
              AS n_exact_dup_pairs,
            CAST(0 AS BIGINT) AS label_gt_doc_violations,
            CAST(0 AS BIGINT) AS split_exact_dup_pairs,
@@ -1159,33 +1159,47 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * ``n_docs``: one label per document (oracle: exact table count);
     * ``n_exact_dup_pairs``: the edge floor the oracle recomputes
-      exactly from md5 groups;
+      exactly from md5 group sizes;
     * ``label_gt_doc_violations``: labels are min-reachable ids, so
       label <= doc_id everywhere (must be 0);
     * ``split_exact_dup_pairs``: identical-text docs ending in different
       clusters (must be 0 — exact-dup edges are in the graph);
     * ``non_self_rep_labels``: labels that are not their own cluster's
-      representative (must be 0)."""
+      representative (must be 0).
+
+    The pair counts are ARITHMETIC, never materialized: a k-member
+    exact-dup group contributes k*(k-1)/2 pairs, of which the pairs whose
+    endpoints share a label are sum over per-(group,label) counts c of
+    c*(c-1)/2; split pairs are exactly the difference. An earlier version
+    enumerated the pairs with an md5 self-join — quadratic in dup-group
+    size (a 10^5-member boilerplate group at 100 TB is 10^10 rows from one
+    key); the group-size aggregation below computes the identical values
+    with one shuffle keyed on (hash, label), never wider than the corpus
+    itself, and subsumes any bounded pairwise probe exactly."""
     d = load_table(spark, sf_dir, "documents")
     # materialize ONCE — the fixpoint frontier is already checkpointed
     # inside dedup_cluster_labels, but the final isolated-doc join is
     # not, and four invariant checks consume the labels
     labels = dedup_cluster_labels(spark, sf_dir).localCheckpoint(eager=True)
-    dup_pairs = (
-        d.alias("x")
-        .join(
-            d.alias("y"),
-            F.expr("md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id"),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    # per-(md5 group, label) member counts: labels covers every doc_id, so
+    # the inner join is lossless; k = group size, same_pairs = pairs whose
+    # two endpoints carry the same cluster label
+    per_label = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .join(labels, "doc_id")
+        .groupBy("h", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("label_a"))
-    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("label_b"))
-    split_pairs = (
-        dup_pairs.join(la, "doc_a")
-        .join(lb, "doc_b")
-        .filter(F.col("label_a") != F.col("label_b"))
+    per_group = per_label.groupBy("h").agg(
+        F.sum("c").alias("k"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("same_pairs"),
     )
+    pair_stats = per_group.agg(
+        F.coalesce(F.sum(F.expr("k * (k - 1) div 2")), F.lit(0)).alias("total_pairs"),
+        F.coalesce(
+            F.sum(F.expr("k * (k - 1) div 2 - same_pairs")), F.lit(0)
+        ).alias("split_pairs"),
+    ).collect()[0]
     non_self = (
         labels.select(F.col("label").alias("doc_id"))
         .distinct()
@@ -1201,9 +1215,9 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(lab_stats["n"]),
-                dup_pairs.count(),
+                int(pair_stats["total_pairs"]),
                 int(lab_stats["gt_v"]),
-                split_pairs.count(),
+                int(pair_stats["split_pairs"]),
                 non_self.count(),
             )
         ],
