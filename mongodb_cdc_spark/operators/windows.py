@@ -150,14 +150,91 @@ def win_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) + percent_rank over account balance, custkey tiebreak in
     the ORDER BY (ntile assigns by position, so the total order must be
-    deterministic). percent_rank = (rank-1)/(n-1): a single small-integer
-    division, engine-stable."""
+    deterministic).
+
+    Computed as a TWO-PASS exact global rank, never a single
+    unpartitioned WindowExec (which funnels the whole table through one
+    task — customer is 15 M rows at sf100, fact-sized at 100 TB-class):
+
+    1. ~equi-depth bucket boundaries on the leading sort key via one
+       ``percentile_approx`` aggregate (map-side combinable); each row is
+       assigned its bucket map-side by counting boundaries below its
+       value. Any consistent value-based bucketing preserves global
+       order across buckets, so boundary-sketch nondeterminism cannot
+       change the result.
+    2. per-bucket counts (<= 64 rows) are collected and turned into
+       cumulative offsets, broadcast back; the rank window partitions by
+       bucket — N parallel tasks — and the exact global rank is
+       offset + local row_number. The total order is unique (custkey
+       tiebreak), so rank == row_number and
+       percent_rank = (rank-1)/(n-1); ntile(4) is reconstructed from the
+       global rank with the standard first-(n mod 4)-buckets-get-
+       ceil(n/4) rule, matching both engines' NTILE definition.
+
+    The two tiny collects are bounded by the bucket count, not the data."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = c.agg(
+        F.percentile_approx("c_acctbal", probs, 10000).alias("b")
+    ).collect()[0]
+    bounds = sorted(set(bounds_row["b"] or []))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket_expr = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("c_acctbal") > b, 1).otherwise(0),
+        )
+    else:  # degenerate constant column: one bucket
+        bucket_expr = F.lit(0)
+    bucketed = c.select("c_custkey", "c_acctbal", bucket_expr.alias("_bkt"))
+    cnts = {
+        row["_bkt"]: row["n"]
+        for row in bucketed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(cnts.values())
+    offsets, acc = {}, 0
+    for b in sorted(cnts):
+        offsets[b] = acc
+        acc += cnts[b]
+    # cumulative offsets as a LITERAL array indexed by bucket id — pure
+    # map-side expression, no join at all (the bucket count bounds the
+    # literal's size, not the data)
+    max_bkt = max(offsets) if offsets else 0
+    off_arr = F.array(
+        *[F.lit(offsets.get(i, 0)).cast("bigint") for i in range(max_bkt + 1)]
+    )
+    wloc = Window.partitionBy("_bkt").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = bucketed.withColumn(
+        "_rn", off_arr.getItem(F.col("_bkt")) + F.row_number().over(wloc)
+    )
+    quot, rem = divmod(n, 4)
+    if quot == 0:  # n < 4: one row per tile
+        quartile = F.col("_rn").cast("int")
+    else:
+        threshold = rem * (quot + 1)
+        quartile = (
+            F.when(
+                F.col("_rn") <= threshold,
+                F.floor((F.col("_rn") - 1) / (quot + 1)) + 1,
+            )
+            .otherwise(rem + F.floor((F.col("_rn") - 1 - threshold) / quot) + 1)
+            .cast("int")
+        )
+    pct = (
+        ((F.col("_rn") - 1).cast("double") / float(n - 1))
+        if n > 1
+        else F.lit(0.0)
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.percent_rank().over(w).alias("bal_pct_rank"),
+        quartile.alias("bal_quartile"),
+        pct.alias("bal_pct_rank"),
     )
 
 

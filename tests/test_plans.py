@@ -108,6 +108,19 @@ def test_cosine_topk_uses_partial_topk_not_global_window(spark, sf_dir):
     assert_in_plan(df, "TakeOrderedAndProject")
 
 
+def test_ntile_pctrank_has_no_global_window(spark, sf_dir):
+    """The global-quartile operator must never plan an UNPARTITIONED
+    WindowExec over the fact-sized input (the single-task sort that dies
+    at 100 TB) — every window in its plan must be partitioned by the
+    range-bucket column; rank parallelism is the bucket count."""
+    df = QUERIES["win_ntile_pctrank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_bkt" in line, f"unpartitioned window:\n{line}\n\n{plan}"
+    assert "windowspecdefinition" in plan  # the bucket-local rank exists
+
+
 def test_range_binned_join_avoids_nested_loop(spark, sf_dir):
     """The binned interval join must be an equi-join on the time bin —
     never BroadcastNestedLoopJoin/CartesianProduct over probes x events
