@@ -193,7 +193,19 @@ def stream_stateful_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The memory sink accumulates one state snapshot per (key, batch); the
     final snapshot per key — selected by the state's own (ts, token)
     order, not arrival order — must equal the batch latest-per-key
-    oracle."""
+    oracle.
+
+    Throughput ceiling, by design: this operator exists to cover the
+    custom-stateful API tier (Arrow-batched, vectorized argmax inside —
+    the fast variant of that tier), but its state transition still runs
+    per-key Python with serialized state rows, which is why it is the
+    slowest bench entry. The PRODUCTION CDC path is the JVM-side
+    ``foreachBatch`` keyed MERGE (streaming/pipeline.py
+    ``start_cdc_replication`` -> streaming/upsert.py): same fixpoint
+    semantics, no Python in the per-event loop, and the path every
+    throughput number in BENCH/SCALING is quoted from. Reach for
+    ``applyInPandasWithState`` only when the state transition genuinely
+    cannot be expressed as a keyed reduce (true custom state machines)."""
     log_path = write_change_log(spark, sf_dir)
     feed = read_changefeed_stream(spark, log_path)
     kept = feed.filter(F.col("operationType").isin("insert", "update")).select(

@@ -24,7 +24,7 @@ from mongodb_cdc_spark.sources.changefeed import (
     scratch_root,
 )
 from mongodb_cdc_spark.streaming.upsert import (
-    ParquetUpsertTarget,
+    MergeTarget,
     foreach_batch_upsert,
 )
 
@@ -64,7 +64,7 @@ def state_partitions(spark: SparkSession, n: int | None = None):
 def start_cdc_replication(
     spark: SparkSession,
     source_path: str,
-    target: ParquetUpsertTarget,
+    target: MergeTarget,
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str = "5 seconds",

@@ -38,12 +38,24 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Columns of the materialized state table.
 STATE_COLUMNS = ("_id", "event_type", "value", "props", "cluster_ts", "token")
+
+
+class MergeTarget(Protocol):
+    """The sink seam: anything with an idempotent keyed ``merge_batch``.
+
+    ``ParquetUpsertTarget`` is the bundled implementation; the 100 TB
+    swap-in is a Delta/Iceberg ``MERGE INTO`` (or the Mongo connector's
+    bulk upsert) behind the same one-method contract — the pipeline
+    builder and ``foreach_batch_upsert`` never see anything beyond it."""
+
+    def merge_batch(self, batch: DataFrame, epoch_id: int) -> None: ...
 
 _COMMIT_MARKER = "_COMMITTED"
 
@@ -236,7 +248,7 @@ def upsert_projection(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_upsert(target: ParquetUpsertTarget):
+def foreach_batch_upsert(target: MergeTarget):
     """The ``foreachBatch`` function: project + MERGE each micro-batch —
     js:251-282's accumulate-and-flush loop, with Spark supplying the
     batching, retries, and offset tracking."""

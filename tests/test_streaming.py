@@ -370,3 +370,118 @@ def test_stream_join_restart_emits_no_duplicates(spark, sf_dir):
     second = run_once()  # same checkpoint: no offsets left, no new rows
     assert first > 0
     assert second == first
+
+
+def test_foreach_batch_upsert_is_target_agnostic(spark, sf_dir):
+    """The sink seam is the one-method MergeTarget protocol, not the
+    bundled parquet implementation: a recording fake driven through the
+    full pipeline builder receives every projected micro-batch — which is
+    exactly what a Delta/Iceberg MERGE (or Mongo bulk upsert) would plug
+    into, so the swap-in claim is load-bearing, not aspirational."""
+    from mongodb_cdc_spark.streaming.pipeline import start_cdc_replication
+    from mongodb_cdc_spark.streaming.upsert import STATE_COLUMNS
+
+    class RecordingTarget:
+        def __init__(self):
+            self.batches = []
+
+        def merge_batch(self, batch, epoch_id):
+            self.batches.append((epoch_id, tuple(batch.columns), batch.count()))
+
+    target = RecordingTarget()
+    log_path = write_change_log(spark, sf_dir)
+    q = start_cdc_replication(
+        spark, log_path, target, new_scratch_dir("fake_target_ckpt")
+    )
+    run_to_completion(q)
+
+    assert target.batches, "no micro-batch reached the fake target"
+    for _, cols, _ in target.batches:
+        assert cols == STATE_COLUMNS, cols
+    kept = (
+        derive_change_log(spark, sf_dir)
+        .filter(F.col("operationType").isin("insert", "update"))
+        .count()
+    )
+    assert sum(n for _, _, n in target.batches) == kept
+
+
+def test_sliding_window_drops_late_slides_under_watermark(spark):
+    """stream_sliding_window's semantics under a REAL trigger: drive a
+    1h/30m sliding aggregate through writeStream (append mode) across
+    two micro-batches. A batch-2 event 100 minutes behind the advanced
+    watermark must be dropped from BOTH of its slides; windows the final
+    watermark has closed are emitted, still-open ones are not."""
+    import uuid as _uuid
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = new_scratch_dir("slide_src")
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+                "value": pa.array([r[1] for r in rows], type=pa.float64()),
+            }
+        )
+        path = os.path.join(src, name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    # batch A: two on-time events + a max-ts event pushing the watermark
+    # to 11:50 for the NEXT batch
+    write_file(
+        "a.parquet",
+        [(base, 1.0), (base + timedelta(minutes=5), 2.0),
+         (base + timedelta(hours=2), 50.0)],
+        1_700_000_000,
+    )
+    # batch B: on-time only — at its end the watermark (11:50) closes and
+    # emits both 10:00-ish slides with n=2
+    write_file(
+        "b.parquet",
+        [(base + timedelta(hours=2, minutes=5), 60.0)],
+        1_700_000_100,
+    )
+    # batch C: 10:10 arrives AFTER its two slides were closed and emitted
+    # -> the watermark filter must drop it from both (a drop only
+    # observable under a real trigger: the state for those windows is
+    # gone, so admitting the row would re-emit them with n=1)
+    write_file(
+        "c.parquet",
+        [(base + timedelta(minutes=10), 100.0)],
+        1_700_000_200,
+    )
+    feed = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        feed.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    sink = f"slide_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", new_scratch_dir("slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        r["w"]["start"].strftime("%H:%M"): (r["n"], r["sum_value"])
+        for r in spark.table(sink).collect()
+    }
+    # the two slides containing 10:00/10:05 closed WITHOUT the late
+    # 10:10 event (no n=3, and no n=1 re-emission after the late row);
+    # the 12:00/12:05 windows are still open and must not be emitted in
+    # append mode
+    assert got == {"09:30": (2, 3.0), "10:00": (2, 3.0)}, got
