@@ -148,8 +148,19 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # SPARK_GRAFT_BENCH_SUBSET="a,b,c" restricts the suite — used to
+    # re-measure a prior round's query list in isolation, separating
+    # genuine per-query regressions from whole-suite JVM contention
+    # (44 queries in one JVM pressure the parquet writers and code
+    # cache in ways a 21-query run does not).
+    subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+    headline = (
+        [(n, f) for n, f in HEADLINE if n in {s.strip() for s in subset.split(",")}]
+        if subset
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
-    for name, raw_fn in HEADLINE:
+    for name, raw_fn in headline:
         timings[name] = round(time_query(spark, name, raw_fn), 3)
 
     stream_secs, eps = time_cdc_stream(spark)

@@ -59,6 +59,17 @@ HEAVY = [
     "ext_doc_chunks",
     "ext_sim_knn_join",
     "join_bucketed",
+    # round-2 tier (VERDICT r2 item 6): the scale-mechanism and
+    # CDC-evolution operators at 10x
+    "ext_sim_lsh_topk",
+    "ext_dedup_cluster",
+    "join_skew_salted",
+    "agg_countmin_sketch",
+    "agg_hll_partial_merge",
+    "cdc_schema_drift",
+    "cdc_apply_tombstone",
+    "ext_split_contamination",
+    "ext_pack_sequences",
 ]
 
 
