@@ -71,3 +71,95 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "files_before int, files_after int, rows_match boolean, content_match boolean",
     )
+
+
+def _zkey_exprs() -> tuple[str, str]:
+    """Bit-interleave expressions for the 32-bit z-order key over
+    (user16, secq16), generated once for both engines from the same
+    loop so they cannot drift. ``u``/``s`` must be bound as BIGINTs in
+    the surrounding query."""
+    spark_terms = []
+    duck_terms = []
+    for i in range(16):
+        spark_terms.append(f"shiftleft(shiftright(u, {i}) & 1, {2 * i})")
+        spark_terms.append(f"shiftleft(shiftright(s, {i}) & 1, {2 * i + 1})")
+        duck_terms.append(f"(((u >> {i}) & 1) << {2 * i})")
+        duck_terms.append(f"(((s >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(spark_terms), " + ".join(duck_terms)
+
+
+_Z_SPARK, _Z_DUCK = _zkey_exprs()
+
+@query(
+    "maintenance_zorder_key",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
+             MIN(epoch_ns(ts) // 1000000000) AS t0,
+             MAX(epoch_ns(ts) // 1000000000) AS t1
+      FROM events
+    ), dims AS (
+      SELECT ((user_id - u0) * 65535) // GREATEST(u1 - u0, 1) AS u,
+             (((epoch_ns(ts) // 1000000000) - t0) * 65535)
+               // GREATEST(t1 - t0, 1) AS s
+      FROM events CROSS JOIN rng
+    ), z AS (
+      SELECT u, s, ({_Z_DUCK}) AS zkey FROM dims
+    )
+    SELECT (zkey >> 24) AS zbucket,
+           COUNT(*) AS n,
+           MIN(u) AS min_u, MAX(u) AS max_u,
+           MIN(s) AS min_s, MAX(s) AS max_s
+    FROM z GROUP BY zbucket
+    """,
+)
+def maintenance_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over the two hot filter dimensions
+    of the events table — user_id and event time — plus the per-z-bucket
+    min/max statistics that make the layout pay off. This is the
+    OPTIMIZE ZORDER BY maintenance pass of a lakehouse table, reduced to
+    its testable core: writing the table sorted by ``zkey`` puts rows
+    near in BOTH dimensions into the same parquet row groups, so
+    min/max row-group stats prune either predicate (``user_id = ?``
+    AND/OR a time range) — a single-column sort only ever prunes one.
+
+    Both dimensions are min-max normalized to 16 bits from a one-row
+    stats aggregate (broadcast, no driver collect) — the same table
+    statistics a real OPTIMIZE consults — so the interleave uses every
+    bit regardless of the raw value ranges. The emitted per-bucket
+    (min,max) spans ARE the proof: each of the 256 z-buckets covers
+    ~1/16 of user space AND ~1/16 of the time range simultaneously,
+    which is exactly the data-skipping index a scan consults. The
+    interleave itself is 64 shift-mask terms of straight-line codegen;
+    zero data shuffles before the rollup — at 100 TB the only cost of
+    the real rewrite is the one range-partitioned sort-write.
+
+    Reference scope note: the reference never compacts or re-clusters
+    (its Mongo target self-maintains, js:188-199); this is the
+    parquet-target equivalent of that missing hygiene, extending
+    `maintenance_compact`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("uid"),
+        F.to_unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    rng = ev.agg(
+        F.min("uid").alias("u0"),
+        F.max("uid").alias("u1"),
+        F.min("sec").alias("t0"),
+        F.max("sec").alias("t1"),
+    )
+    dims = ev.join(F.broadcast(rng)).select(
+        F.expr("((uid - u0) * 65535) div GREATEST(u1 - u0, 1)").alias("u"),
+        F.expr("((sec - t0) * 65535) div GREATEST(t1 - t0, 1)").alias("s"),
+    )
+    z = dims.select("u", "s", F.expr(_Z_SPARK).alias("zkey"))
+    return (
+        z.groupBy(F.expr("zkey >> 24").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.min("s").alias("min_s"),
+            F.max("s").alias("max_s"),
+        )
+    )

@@ -642,3 +642,176 @@ def _split_bucket_case() -> F.Column:
     """train/val/test label from the shared seeded split bucket."""
     b = _split_bucket()
     return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
+@query(
+    "ext_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {tokens_sql('text')} AS t FROM documents),
+    big AS (
+      SELECT t[g] AS w1, t[g+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) u
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w)
+    SELECT b.w1, b.w2, b.c12,
+           (2 * b.c12 * 10000) // (u1.c + u2.c) AS dice_x10000
+    FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w
+    WHERE b.c12 >= 5
+    ORDER BY dice_x10000 DESC, b.w1 ASC, b.w2 ASC LIMIT 20
+    """,
+)
+def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by Dice
+    coefficient ``2*c12/(c1+c2)`` — the classic corpus-analysis signal
+    for multi-word expressions ("new york", boilerplate phrases) that
+    feeds tokenizer-vocabulary and boilerplate-removal decisions.
+
+    Dice over PMI deliberately: it needs no corpus-total term, so the
+    score is a ratio of three counts — integer-scaled (×10000, floor
+    div) it is bit-exact across engines, where a floating log PMI never
+    is; and its magnitudes cannot overflow (2*c12*10000 < 2^63 until
+    c12 ~ 4.6e14 pair occurrences).
+
+    Plan shape at 100 TB: bigram enumeration is a zero-shuffle explode
+    in the scan stage; the two count aggregates are map-side-combinable;
+    the unigram join keys are vocabulary-sized (heavy-tail bounded), and
+    the final top-20 is TakeOrderedAndProject — per-partition heaps,
+    never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    bigrams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr("(2 * c12 * 10000) div (c1 + c2)").alias("dice_x10000"),
+        )
+        .orderBy(
+            F.col("dice_x10000").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "ext_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({tokens_sql('text')}) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT w, COUNT(*) AS cnt,
+           (COUNT(*) * 10000) // (SELECT n FROM tot) AS share_x10000
+    FROM toks GROUP BY w
+    HAVING COUNT(*) * 200 > (SELECT n FROM tot)
+    """,
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitters over the token stream: every token exceeding
+    0.5 % of all corpus tokens, with its exact count and basis-point
+    share. The THRESHOLD-based dual of `ext_topk_tokens`' rank-based
+    contract — stopword/boilerplate detection wants "everything above
+    phi", not "the 10 biggest".
+
+    Exact two-pass formulation: token counts and the corpus total are
+    both map-side-combinable aggregates; the threshold compare is an
+    integer cross-multiply (``cnt * 200 > total``) against a 1-row
+    broadcast — no division, no driver collect. At 100 TB the same
+    contract runs single-pass with a Misra-Gries/SpaceSaving sketch
+    (mergeable partials, like `agg_countmin_sketch`) when the vocabulary
+    itself cannot be shuffled; phi-HH guarantees survive the merge."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * 200 > F.col("total"))
+        .select(
+            "w",
+            "cnt",
+            F.expr("(cnt * 10000) div total").alias("share_x10000"),
+        )
+    )
+
+
+@query(
+    "ext_sample_weighted",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len({tokens_sql('text')}) AS n_tok,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wsample-1'),
+                                     1, 8)) AS BIGINT) AS h32
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h32 * 500 < LEAST(n_tok, 500) * 4294967296
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h32 * 500 < LEAST(n_tok, 500) * 4294967296
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+    FROM scored GROUP BY lang
+    """,
+)
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: each document is kept
+    with probability proportional to its (capped) token count —
+    longer/higher-value documents oversampled, the standard quality-
+    weighted corpus downsampling step. Keep iff
+    ``uniform_hash(doc_id) < min(n_tok, 500)/500``, evaluated as the
+    integer cross-multiply ``h32 * 500 < min(n_tok,500) * 2^32`` — no
+    floats, no rand(): the decision is a pure function of (doc_id,
+    seed), so it is stable across runs, engines, task retries, and
+    repartitioning, and changing the seed string redraws the sample
+    reproducibly. Zero shuffles before the per-lang rollup; the filter
+    and hash run in the scan stage's codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    h32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h32")
+    )
+    scored = d.select("lang", F.size(tokens("text")).alias("n_tok"), h32)
+    keep = F.col("h32") * 500 < F.least(F.col("n_tok"), F.lit(500)) * F.lit(
+        4294967296
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_kept"),
+    )

@@ -111,28 +111,30 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_join_interval",
     "udf_cogrouped_profile",
     "win_cume_dist_nth",
+    # --- keys NEW in round 3 (registered this round, driver row now) ---
+    "cdc_scd2_history",
+    "cdc_point_in_time",
+    "ext_collocations",
+    "ext_heavy_hitters",
+    "ext_sample_weighted",
+    "maintenance_zorder_key",
     # --- cross-round canaries (r2-green, then r1-green flagships) ---
     "cdc_apply_upsert",
     "ext_dedup_exact",
     "agg_hash_groupby",
     "scan_parquet",
     # --- refresh slice: r1-only greens not driver-re-run since round-2
-    # code changes (windows/joins/setops/scalars touched most) ---
+    # code changes (windows/joins/setops/scalars touched most);
+    # win_ntile_pctrank re-fronted after its round-3 two-pass rewrite ---
+    "win_ntile_pctrank",
     "join_asof_latest",
     "join_theta_self",
-    "join_broadcast_dims",
     "win_latest_per_key",
-    "win_moving_agg",
-    "win_ntile_pctrank",
     "agg_rollup",
-    "agg_grouping_sets",
     "topk_orders",
     "set_intersect",
-    "set_except",
     "fn_array",
-    "fn_map",
     "fn_cast_decimal",
-    "filter_compound_pred",
 )
 
 

@@ -79,6 +79,25 @@ def test_theta_join_is_not_cartesian(spark, sf_dir):
     )
 
 
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    """The bigram top-20 must be per-partition heaps, never a global
+    sort of the whole vocabulary-squared pair table."""
+    df = QUERIES["ext_collocations"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_zorder_key_is_single_aggregation_no_python(spark, sf_dir):
+    """The 64-term Morton interleave must run as codegen expressions in
+    the scan stage: no Python eval, no join beyond the broadcast 1-row
+    stats, exactly one shuffle (the zbucket rollup)."""
+    plan = formatted_plan(QUERIES["maintenance_zorder_key"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    # the 1-row stats frame attaches via broadcast — the fact table is
+    # never shuffled for the join, only for the final zbucket rollup
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_text_ops_have_no_python(spark, sf_dir):
     for key in (
         "ext_text_wordcount",
@@ -90,6 +109,10 @@ def test_text_ops_have_no_python(spark, sf_dir):
         "agg_funnel_steps",
         "agg_mode_disc",
         "win_session_gap",
+        "ext_heavy_hitters",
+        "ext_sample_weighted",
+        "cdc_scd2_history",
+        "cdc_point_in_time",
     ):
         plan = formatted_plan(QUERIES[key](spark, sf_dir))
         assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
