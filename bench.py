@@ -76,6 +76,10 @@ HEADLINE = [
     ("ext_corpus_prep_e2e", None),
     ("stream_join_interval", None),
     ("udf_pandas_scalar", None),
+    ("agg_corr_regression", None),
+    ("agg_retention_cohort", None),
+    ("ext_embed_centroids", None),
+    ("ext_bigram_novelty", None),
 ]
 
 

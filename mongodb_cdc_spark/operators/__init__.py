@@ -24,6 +24,8 @@ MODULES = (
     "udfs",
     "textpipe",
     "maintenance",
+    "statistics",
+    "quality",
 )
 
 _loaded = False

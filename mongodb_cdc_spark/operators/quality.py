@@ -1,0 +1,277 @@
+"""Corpus-quality extension operators: per-label embedding centroids,
+incremental (new-batch-vs-corpus) dedup, and cross-document bigram
+novelty scoring. North-star LLM-pipeline surface (the reference engine
+has no text/embedding tier at all — SURVEY.md §2A "explicitly absent").
+
+All three follow the exact-integer oracle discipline: fixed-point
+per-row ints, exact BIGINT sums, positive-only integer division — so
+even the embedding-centroid operator (floats in, floats summed) carries
+an exact DuckDB oracle rather than a tolerance check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    tokens,
+    tokens_sql,
+)
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+# --------------------------------------------------------------------------
+# ext_embed_centroids
+# --------------------------------------------------------------------------
+
+# Per-element fixed-point: widen float32 -> double (exact), one IEEE
+# multiply, exact floor. 1e-6 resolution comfortably exceeds float32 input
+# precision.
+_VI = "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+# Sign-mirrored half-up integer average of the micro-unit sum.
+_AVG_MICRO = (
+    "CASE WHEN S >= 0 THEN (2 * S + n) {div} (2 * n) "
+    "ELSE -(((-2 * S) + n) {div} (2 * n)) END"
+)
+
+
+@query(
+    "ext_embed_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             CAST(pos - 1 AS BIGINT) AS dim,
+             embedding[pos] AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    s AS (
+      SELECT label, dim, SUM({_VI}) AS S, COUNT(*) AS n
+      FROM ex GROUP BY label, dim
+    )
+    SELECT label, dim, n,
+           {_AVG_MICRO.format(div="//")} AS centroid_micro
+    FROM s
+    """,
+)
+def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact micro-units — the training
+    step behind every IVF/k-means index (`ext_sim_ann_ivf` consumes
+    exactly these) and the class-profile drift monitor for embedding
+    pipelines. Float sums are order-nondeterministic, so each element is
+    fixed-pointed to 1e-6 and summed as exact BIGINTs; the mean is an
+    integer half-up division. The result is bit-identical across engines
+    AND across partitionings — which is what lets a 100 TB centroid job
+    be retried/restarted without drift.
+
+    Scale: posexplode is a zero-shuffle scan-stage expansion (64 rows per
+    vector); the aggregate is map-side-combinable on (label, dim) — the
+    shuffle carries labels x dims x partitions rows, independent of
+    corpus size. Same shape incrementally: partial (S, n) pairs merge
+    associatively."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", F.col("dim").cast("bigint").alias("dim"), "v")
+    s = ex.groupBy("label", "dim").agg(
+        F.expr(f"SUM({_VI})").alias("S"), F.count(F.lit(1)).alias("n")
+    )
+    return s.select(
+        "label",
+        "dim",
+        "n",
+        F.expr(_AVG_MICRO.format(div="div")).alias("centroid_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_incremental
+# --------------------------------------------------------------------------
+
+# Deterministic batch split: last 10% of the seeded hash space arrives as
+# the "incoming" batch, the rest is the already-ingested corpus.
+_INCR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':incr-seed-1'), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+def _incr_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":incr-seed-1"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+@query(
+    "ext_dedup_incremental",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {fingerprint_sql("text")} AS h,
+             {_INCR_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT h FROM docs WHERE bucket < 90),
+    incoming AS (SELECT doc_id, lang, h FROM docs WHERE bucket >= 90),
+    keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM incoming GROUP BY h),
+    marked AS (
+      SELECT i.doc_id, i.lang,
+             CASE WHEN e.h IS NOT NULL THEN 'dup_existing'
+                  WHEN i.doc_id <> k.keep_id THEN 'dup_within'
+                  ELSE 'kept' END AS verdict
+      FROM incoming i
+      LEFT JOIN existing e ON i.h = e.h
+      JOIN keepers k ON i.h = k.h
+    )
+    SELECT lang,
+           COUNT(*) AS n_incoming,
+           CAST(SUM(CASE WHEN verdict = 'dup_existing' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_existing,
+           CAST(SUM(CASE WHEN verdict = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_within,
+           CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM marked GROUP BY lang
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an INCOMING batch of documents against
+    the already-ingested corpus — drop docs whose fingerprint exists in
+    the corpus, collapse duplicates within the batch to their min-id
+    representative, keep the rest. This is the shape every continuously-
+    ingesting 100 TB pipeline actually runs (full-corpus re-dedup per
+    batch is not an option); the batch split here is a seeded hash so the
+    fixture is deterministic.
+
+    Scale: the corpus side is reduced to DISTINCT 16-hex fingerprints
+    before the join — the join carries 16-byte keys, never text; the
+    incoming batch is small by construction, so Spark broadcast-joins it
+    (or bloom-prunes the corpus scan). Within-batch collapse is one keyed
+    aggregate on the same fingerprint, reusing the join's partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fingerprint("text").alias("h"), _incr_bucket().alias("b")
+    )
+    existing = docs.filter(F.col("b") < 90).select("h").distinct()
+    incoming = docs.filter(F.col("b") >= 90).select("doc_id", "lang", "h")
+    keepers = incoming.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    marked = (
+        incoming.join(
+            existing.withColumn("in_existing", F.lit(1)), "h", "left"
+        )
+        .join(keepers, "h")
+        .select(
+            "lang",
+            F.when(F.col("in_existing") == 1, "dup_existing")
+            .when(F.col("doc_id") != F.col("keep_id"), "dup_within")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    cnt = lambda v: F.sum(F.when(F.col("verdict") == v, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        cnt("dup_existing").alias("n_dup_existing"),
+        cnt("dup_within").alias("n_dup_within"),
+        cnt("kept").alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_bigram_novelty
+# --------------------------------------------------------------------------
+
+_NOVELTY_TOP = 50
+
+
+@query(
+    "ext_bigram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id, t[g] AS w1, t[g+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) u
+      WHERE len(t) >= 2
+    ),
+    dfreq AS (SELECT w1, w2, COUNT(*) AS df FROM bg GROUP BY w1, w2),
+    per AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM bg b JOIN dfreq d ON b.w1 = d.w1 AND b.w2 = d.w2
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_shared,
+           ((n_bigrams - n_shared) * 1000000) // n_bigrams AS novelty_ppm
+    FROM per
+    ORDER BY novelty_ppm DESC, doc_id ASC LIMIT {_NOVELTY_TOP}
+    """,
+)
+def ext_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty score: for each document, the ppm share of
+    its DISTINCT bigrams that appear in no other document — high scores
+    mark genuinely novel text, low scores mark boilerplate/template
+    documents (the complement of near-dup detection: instead of pairing
+    duplicates it *ranks* documents by how much shared phrasing they
+    carry). Top-50 most-novel docs, integer-ppm scored, unique-key
+    tiebreak.
+
+    Scale: bigram enumeration is a scan-stage explode with per-doc
+    DISTINCT (bounded by doc length); document frequency is one map-side-
+    combinable aggregate on vocabulary-sized keys; the join back is keyed
+    on the same (w1, w2) so the DF table's partitioning is reused. The
+    final top-50 plans as TakeOrderedAndProject (per-partition heaps). At
+    100 TB the df table is the shared artifact — computed once per corpus
+    snapshot, reused by collocations/novelty/TF-IDF alike."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bgp"),
+        )
+        .select("doc_id", "bgp.w1", "bgp.w2")
+        .distinct()
+    )
+    dfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        bg.join(dfreq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_bigrams",
+            "n_shared",
+            F.expr(
+                "((n_bigrams - n_shared) * 1000000) div n_bigrams"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy(F.col("novelty_ppm").desc(), F.col("doc_id").asc())
+        .limit(_NOVELTY_TOP)
+    )

@@ -1,0 +1,338 @@
+"""Statistical-profile operators: histograms, exact-integer regression /
+correlation, retention cohorts, table-stats collection, and the CDC
+op-ratio guard.
+
+The reference's analytics stop at per-batch insert/update/error counters
+(js:155, js:166-184) and a health threshold (js:557 — lag > 300 s =>
+unhealthy). This module generalizes both: the counters become grouped
+statistical profiles (histogram / moments / regression), and the health
+threshold becomes a data-driven anomaly guard over the same change feed
+(`cdc_op_ratio_guard`). Everything follows the registry's exact-integer
+discipline: per-row fixed-point ints, exact BIGINT/DECIMAL(38,0) sums,
+explicit positive-only integer rounding — bit-identical on both engines.
+
+Scale notes per operator are in the docstrings; the common theme is that
+every aggregate here is map-side-combinable (partial_sum/partial_count
+before one shuffle) and output cardinality is bounded by group-key
+cardinality (bins, cohorts, days, columns), never input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import sum2, sum2_sql
+from mongodb_cdc_spark.registry import query
+
+# --------------------------------------------------------------------------
+# agg_histogram_bins
+# --------------------------------------------------------------------------
+
+_BIN_W = 5000  # l_extendedprice bin width; ~20 bins over the TPC-H range
+
+
+@query(
+    "agg_histogram_bins",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_extendedprice / {_BIN_W}) AS BIGINT) AS bin,
+           CAST(FLOOR(l_extendedprice / {_BIN_W}) AS BIGINT) * {_BIN_W} AS bin_lo,
+           COUNT(*) AS n,
+           {sum2_sql("l_extendedprice", "sum_price")[1]}
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``l_extendedprice`` (the engine's
+    equi-width profile primitive, feeding skew diagnostics and bin-packed
+    sampling). The bin id is ``FLOOR(x / w)`` — one IEEE division plus an
+    exact floor, bit-identical across engines, so the whole histogram is
+    an exact oracle, not a sketch.
+
+    Scale: a single hash aggregate on a derived integer key with map-side
+    partial aggregation — the shuffle carries (bins x partitions) rows
+    regardless of input size; output is bounded by the value range, not
+    row count. This is the profile pass you run before choosing join
+    strategies at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.expr(f"CAST(FLOOR(l_extendedprice / {_BIN_W}) AS BIGINT)")
+    return (
+        li.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), sum2("l_extendedprice", "sum_price"))
+        .select(
+            "bin",
+            (F.col("bin") * _BIN_W).alias("bin_lo"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_corr_regression
+# --------------------------------------------------------------------------
+
+# Per-row fixed-point ints (scale 100): one IEEE multiply + exact floor.
+_XI = "CAST(FLOOR(l_quantity * 100) AS BIGINT)"
+_YI = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+# Exact sums in DECIMAL(38,0): sum(yi*yi) overflows BIGINT near sf1
+# (yi ~ 1e7, yi^2 ~ 1e14, 6M rows ~ 6e20 > 2^63), so the accumulator is
+# 38-digit decimal on BOTH engines (DuckDB uses HUGEINT-backed decimals).
+_SUMS = {
+    "n": "COUNT(*)",
+    "sx": f"SUM(CAST({_XI} AS DECIMAL(38,0)))",
+    "sy": f"SUM(CAST({_YI} AS DECIMAL(38,0)))",
+    "sxy": f"SUM(CAST({_XI} * {_YI} AS DECIMAL(38,0)))",
+    "sxx": f"SUM(CAST({_XI} * {_XI} AS DECIMAL(38,0)))",
+    "syy": f"SUM(CAST({_YI} * {_YI} AS DECIMAL(38,0)))",
+}
+
+# Moment combinations, still exact integers (values < 1e26 << 1e38). The
+# arithmetic type is dialect-split: Spark multiplies in DECIMAL(38,0)
+# (capped-precision product, exact while the value fits 38 digits);
+# DuckDB would ERROR on a 38x38-width decimal product, so its side casts
+# to HUGEINT (exact int128) first. Same integers either way.
+
+
+def _moments(cast: str) -> tuple[str, str, str]:
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    num = f"({c('n')} * {c('sxy')} - {c('sx')} * {c('sy')})"
+    denx = f"({c('n')} * {c('sxx')} - {c('sx')} * {c('sx')})"
+    deny = f"({c('n')} * {c('syy')} - {c('sy')} * {c('sy')})"
+    return num, denx, deny
+
+
+# slope = cov/var in original units (the x100 scales cancel); corr is
+# dimensionless. Division happens in DOUBLE on exactly-computed integer
+# moments: int->double conversion is IEEE round-to-nearest in both
+# engines, and the final values are floor-rounded to 4 decimals with the
+# positive-only pattern (corr in [-1,1] scaled via sign-mirrored floor).
+
+
+def _slope_corr(cast: str) -> tuple[str, str]:
+    num, denx, deny = _moments(cast)
+    slope = f"CAST({num} AS DOUBLE) / CAST({denx} AS DOUBLE)"
+    corr = (
+        f"CAST({num} AS DOUBLE) / "
+        f"SQRT(CAST({denx} AS DOUBLE) * CAST({deny} AS DOUBLE))"
+    )
+    return slope, corr
+
+
+_SLOPE, _CORR = _slope_corr("DECIMAL(38,0)")
+_SLOPE_D, _CORR_D = _slope_corr("HUGEINT")
+
+
+def _round4(expr: str) -> str:
+    """Sign-mirrored half-up rounding to 4 decimals, exact-integer form."""
+    return (
+        f"CASE WHEN ({expr}) >= 0 "
+        f"THEN CAST(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 "
+        f"ELSE -(CAST(CAST(FLOOR(-(({expr})) * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0) END"
+    )
+
+
+_CORR_INNER = ", ".join(f"{v} AS {k}" for k, v in _SUMS.items())
+
+
+@query(
+    "agg_corr_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag, {_CORR_INNER}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_round4(_SLOPE_D)} AS slope_price_per_qty,
+           {_round4(_CORR_D)} AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped linear regression + Pearson correlation of
+    (l_quantity, l_extendedprice) per return flag — the `regr_slope` /
+    `corr` surface, but deterministic: builtin corr sums doubles in
+    partial-aggregation order (run-to-run nondeterministic at scale), so
+    this derives all five moments as exact fixed-point DECIMAL(38,0)
+    sums and only enters floating point for the final two divisions on
+    already-exact integers.
+
+    Scale: one map-side-combinable aggregate (five sums + count), one
+    shuffle carrying 6 numbers per (flag, partition); moments merge
+    associatively, so the same shape works as a streaming/incremental
+    profile. The DECIMAL(38,0) accumulator holds to ~sf10000."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        *[F.expr(v).alias(k) for k, v in _SUMS.items()]
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(_round4(_SLOPE)).alias("slope_price_per_qty"),
+        F.expr(_round4(_CORR)).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_retention_cohort
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    coh AS (
+      SELECT user_id, MIN(d) AS cohort_d FROM days GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_d AS VARCHAR) AS cohort_day,
+           CAST(x.d - c.cohort_d AS BIGINT) AS offset_days,
+           COUNT(DISTINCT x.user_id) AS active_users
+    FROM days x JOIN coh c ON x.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, then
+    distinct active users per (cohort, day-offset) — the standard
+    engagement triangle over the event stream.
+
+    Scale: the first-touch table is a keyed aggregate on user_id (one
+    shuffle); the activity join is keyed on the same user_id, so with the
+    aggregate's partitioning reused there is no extra exchange on the big
+    side; the final count-distinct dedups on (cohort, offset, user) —
+    bounded by active (user, day) pairs, not events. At 100 TB the
+    first-touch table is the incrementally-maintained dimension every
+    retention query shares (it never changes for old users)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d"))
+    coh = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        days.join(coh, "user_id")
+        .groupBy(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_d").cast("bigint").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# maintenance_table_stats
+# --------------------------------------------------------------------------
+
+_STATS_COLS = (
+    # (name, ndv_expr, null_expr, int_min, int_max) — min/max only where an
+    # exact cross-engine integer form exists (BIGINT keys; epoch-floored
+    # timestamps). Double/string min-max are format-unstable across
+    # engines and stay out of the hashed surface.
+    ("o_orderkey", "o_orderkey", "o_orderkey", True),
+    ("o_custkey", "o_custkey", "o_custkey", True),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus", False),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority", False),
+)
+
+
+def _stats_select_sql(epoch: str) -> str:
+    rows = []
+    for name, ndv, nul, is_int in _STATS_COLS:
+        mn = f"CAST(MIN({name}) AS BIGINT)" if is_int else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(MAX({name}) AS BIGINT)" if is_int else "CAST(NULL AS BIGINT)"
+        rows.append(
+            f"SELECT '{name}' AS col_name, COUNT(DISTINCT {ndv}) AS ndv, "
+            f"COUNT(*) - COUNT({nul}) AS n_null, {mn} AS min_i, {mx} AS max_i "
+            f"FROM orders"
+        )
+    rows.append(
+        "SELECT 'o_orderdate' AS col_name, COUNT(DISTINCT o_orderdate) AS ndv, "
+        "COUNT(*) - COUNT(o_orderdate) AS n_null, "
+        f"MIN({epoch}) AS min_i, MAX({epoch}) AS max_i FROM orders"
+    )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "maintenance_table_stats",
+    oracle=_stats_select_sql("(epoch_ns(o_orderdate) // 1000000000)"),
+)
+def maintenance_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for `orders`: per-column exact NDV,
+    null count, and integer min/max (epoch seconds for the timestamp) —
+    the inputs a cost-based optimizer and a data-layout service (z-order,
+    compaction) both read.
+
+    Scale: each column's stats are one map-side-combinable aggregate over
+    a single-column projection (column pruning means each branch reads
+    only its own parquet column; min/max often answer from footer stats).
+    Exact NDV is the oracle-checkable tier here; the 100 TB default is
+    `approx_count_distinct` partials maintained incrementally per
+    ingested file — same merge shape as the HLL operator
+    (`agg_hll_partial_merge`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_stats_v")
+    sql = _stats_select_sql(
+        "CAST(to_unix_timestamp(o_orderdate) AS BIGINT)"
+    ).replace("FROM orders", "FROM orders_stats_v")
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# cdc_op_ratio_guard
+# --------------------------------------------------------------------------
+
+_GUARD_PPM = 150_000  # flag any day whose error share exceeds 15%
+
+
+@query(
+    "cdc_op_ratio_guard",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_error,
+           (SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS error_ppm,
+           (SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) > {_GUARD_PPM} AS breached
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_op_ratio_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality circuit breaker over the change feed: per-day event
+    totals, error counts, and integer-ppm error share, flagged when the
+    share breaches a threshold — the batch form of the reference's health
+    verdict (js:557 lag > 300 s => unhealthy; R12's error counters feed
+    it). A replication pipeline at 100 TB gates downstream MERGEs on
+    exactly this signal before applying a suspicious batch.
+
+    Scale: one conditional aggregate per day bucket, map-side combined;
+    the ppm math is integer cross-multiply (no division until the final
+    bounded output). The streaming twin attaches the same expressions to
+    `df.observe()` on the live feed."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.cast("bigint").alias("n_error"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_error",
+            F.expr("(n_error * 1000000) div n_events").alias("error_ppm"),
+            (
+                F.expr("(n_error * 1000000) div n_events") > _GUARD_PPM
+            ).alias("breached"),
+        )
+    )

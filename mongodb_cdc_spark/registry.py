@@ -118,6 +118,14 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_heavy_hitters",
     "ext_sample_weighted",
     "maintenance_zorder_key",
+    "agg_histogram_bins",
+    "agg_corr_regression",
+    "agg_retention_cohort",
+    "maintenance_table_stats",
+    "cdc_op_ratio_guard",
+    "ext_embed_centroids",
+    "ext_dedup_incremental",
+    "ext_bigram_novelty",
     # --- cross-round canaries (r2-green, then r1-green flagships) ---
     "cdc_apply_upsert",
     "ext_dedup_exact",

@@ -267,3 +267,52 @@ def test_sketch_ops_stay_jvm_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in formatted_plan(
         QUERIES["agg_countmin_sketch"](spark, sf_dir)
     )
+
+
+def test_statistics_tier_stays_in_codegen(spark, sf_dir):
+    """The profile aggregates (histogram, exact-moment regression, op-ratio
+    guard) must be single-shuffle map-side-combinable JVM plans: partial
+    aggregation before the exchange, no Python eval, no join at all."""
+    for key in ("agg_histogram_bins", "agg_corr_regression", "cdc_op_ratio_guard"):
+        df = QUERIES[key](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "EvalPython" not in plan, f"{key} fell off the JVM path:\n{plan}"
+        assert "Join" not in plan, f"{key} grew a join:\n{plan}"
+        assert plan.count("+- Exchange") == 1, f"{key} shuffle count:\n{plan}"
+        df.collect()
+        executed = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "partial_" in executed, f"{key} has no map-side combine:\n{executed}"
+
+
+def test_embed_centroids_partial_aggregates_the_explode(spark, sf_dir):
+    """The centroid pass explodes 64 rows/vector in the scan stage
+    (Generate) and must partial-aggregate them map-side — the exchange
+    carries (label x dim) sums, never the exploded element stream."""
+    df = QUERIES["ext_embed_centroids"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
+    df.collect()
+    executed = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "partial_" in executed, f"no map-side combine:\n{executed}"
+
+
+def test_bigram_novelty_topk_is_take_ordered(spark, sf_dir):
+    """The novelty top-50 must plan as per-partition heaps, and the
+    df-join must be an equi join on the bigram key, never a product."""
+    df = QUERIES["ext_bigram_novelty"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohort_joins_on_keys(spark, sf_dir):
+    """The cohort self-join must key on user_id (equi join); the
+    first-touch aggregate and the join share that partitioning."""
+    plan = formatted_plan(QUERIES["agg_retention_cohort"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
