@@ -70,6 +70,22 @@ HEAVY = [
     "cdc_apply_tombstone",
     "ext_split_contamination",
     "ext_pack_sequences",
+    # round-3 tier: SCD2/time-travel CDC, corpus analysis, statistics
+    # and corpus-quality operators
+    "cdc_scd2_history",
+    "cdc_point_in_time",
+    "ext_collocations",
+    "ext_heavy_hitters",
+    "ext_sample_weighted",
+    "maintenance_zorder_key",
+    "agg_histogram_bins",
+    "agg_corr_regression",
+    "agg_retention_cohort",
+    "maintenance_table_stats",
+    "cdc_op_ratio_guard",
+    "ext_embed_centroids",
+    "ext_dedup_incremental",
+    "ext_bigram_novelty",
 ]
 
 
@@ -102,13 +118,28 @@ def main() -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {s.strip() for s in a.split("=", 1)[1].split(",")}
+    names = [n for n in HEAVY if only is None or n in only]
+    baseline = {}
+    if "--baseline" in sys.argv:
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, SRC).count()
+            baseline[name] = round(time.time() - t0, 2)
+            print(f"  [sf0.1] {name}: {baseline[name]}s")
     timings = {}
-    for name in HEAVY:
+    for name in names:
         t0 = time.time()
         n = qs[name](spark, out).count()
         timings[name] = round(time.time() - t0, 2)
         print(f"  {name}: {timings[name]}s ({n} rows)")
-    print(json.dumps({"sf": "1ish(10x sf0.1)", "queries": timings}))
+    rec = {"sf": "1ish(10x sf0.1)", "queries": timings}
+    if baseline:
+        rec["sf0.1_baseline"] = baseline
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
