@@ -448,3 +448,68 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["o_orderstatus"], r["n_lines"], r["qty_cents"], shuffle_free) for r in rows],
         "o_orderstatus string, n_lines bigint, qty_cents bigint, shuffle_free_join boolean",
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           TRUE AS bloom_pruned
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter-pruned fact join, driver-proven: lineitem
+    joins orders filtered to one priority, with Catalyst's
+    InjectRuntimeFilter building a Bloom filter over the selective side's
+    join keys and applying ``might_contain`` AT THE FACT SCAN — ~80% of
+    lineitem rows die before the shuffle instead of after it. This is the
+    100 TB mechanism for "big fact ⋈ selectively-filtered fact" joins
+    where neither side broadcasts: the only rows that pay shuffle I/O are
+    those that can possibly match.
+
+    The engine's 64 MB broadcast threshold would normally turn this small
+    creation side into a broadcast join (which needs no Bloom filter), so
+    the operator disables broadcast for the demonstration — at real scale
+    the filtered side is out of broadcast range and injection is
+    automatic with the engine's default confs. The plan invariant
+    (``might_contain`` present in the optimized plan) travels as the
+    ``bloom_pruned`` column, hash-checked by the driver next to the join
+    aggregate itself, which must exactly equal the plain-join oracle —
+    a Bloom false-negative (impossible by construction) or an
+    over-aggressive prune would break the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    app_thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev_app = spark.conf.get(app_thr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(app_thr, "0")
+    try:
+        agg = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+        )
+        optimized = agg._jdf.queryExecution().optimizedPlan().toString()
+        pruned = "might_contain" in optimized
+        rows = agg.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(app_thr, prev_app)
+    return spark.createDataFrame(
+        [(r["l_returnflag"], r["n_lines"], r["price_cents"], pruned) for r in rows],
+        "l_returnflag string, n_lines bigint, price_cents bigint, bloom_pruned boolean",
+    )

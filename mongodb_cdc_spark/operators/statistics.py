@@ -336,3 +336,41 @@ def cdc_op_ratio_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("breached"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_segment_overlap
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_segment_overlap",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS seg_a, b.event_type AS seg_b, COUNT(*) AS n_users
+    FROM p a JOIN p b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def agg_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: distinct users in every (segment, segment)
+    pair, where a segment is "users who did event type X" — the upper
+    triangle (including the diagonal = segment sizes) of the co-occurrence
+    matrix every campaign/cohort tool draws.
+
+    Scale: the input is first reduced to DISTINCT (user, type) pairs —
+    bounded by users x |types|, not events; the self-join is keyed on
+    user_id with per-user fanout <= |types|^2 (here 25), so the shuffle
+    carries the pair table twice and the output is |types|^2 rows total.
+    At 100 TB the same shape holds for thousands of segments by bounding
+    per-user segment lists (collect_set + size cap) before the pairing."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select("user_id", "event_type").distinct()
+    a = p.select("user_id", F.col("event_type").alias("seg_a"))
+    b = p.select("user_id", F.col("event_type").alias("seg_b"))
+    return (
+        a.join(b, ["user_id"])
+        .filter(F.col("seg_a") <= F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

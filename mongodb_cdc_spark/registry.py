@@ -126,6 +126,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_embed_centroids",
     "ext_dedup_incremental",
     "ext_bigram_novelty",
+    "join_bloom_pruned",
+    "agg_segment_overlap",
     # --- cross-round canaries (r2-green, then r1-green flagships) ---
     "cdc_apply_upsert",
     "ext_dedup_exact",
