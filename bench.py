@@ -77,6 +77,8 @@ HEADLINE = [
     ("stream_join_interval", None),
     ("udf_pandas_scalar", None),
     ("agg_corr_regression", None),
+    ("ext_sim_ann_pq", None),
+    ("join_bloom_pruned", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),
     ("ext_bigram_novelty", None),

@@ -128,6 +128,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_bigram_novelty",
     "join_bloom_pruned",
     "agg_segment_overlap",
+    "ext_sim_ann_pq",
     # --- cross-round canaries (r2-green, then r1-green flagships) ---
     "cdc_apply_upsert",
     "ext_dedup_exact",

@@ -316,3 +316,15 @@ def test_retention_cohort_joins_on_keys(spark, sf_dir):
     first-touch aggregate and the join share that partitioning."""
     plan = formatted_plan(QUERIES["agg_retention_cohort"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encoding_is_codegen_with_broadcast_probe(spark, sf_dir):
+    """PQ encoding (32 distance exprs + 8 argmin CASEs) must stay in the
+    scan stage's codegen; the probe's 32-entry ADC table joins as a
+    broadcast 1-row frame; the top-k is per-partition heaps."""
+    df = QUERIES["ext_sim_ann_pq"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -86,6 +86,9 @@ HEAVY = [
     "ext_embed_centroids",
     "ext_dedup_incremental",
     "ext_bigram_novelty",
+    "ext_sim_ann_pq",
+    "join_bloom_pruned",
+    "agg_segment_overlap",
 ]
 
 
