@@ -17,6 +17,15 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 MAX_HEALTHY_LAG_S = 300  # js:557: unhealthy past 5 minutes
 
+# Delete-storm guard (streaming twin of `cdc_op_ratio_guard`): a batch
+# whose delete share exceeds this ppm threshold marks the stream
+# unhealthy and fires the alert hook BEFORE the next batch applies — the
+# circuit breaker a replication pipeline needs when the upstream
+# accidentally mass-deletes (the reference silently drops deletes,
+# js:159-177; at 100 TB you want to notice a 60%-delete batch, not drop
+# it quietly).
+MAX_DELETE_SHARE_PPM = 500_000
+
 
 @dataclass
 class HealthReport:
@@ -28,6 +37,7 @@ class HealthReport:
     total_updates: int = 0
     total_deletes_dropped: int = 0
     last_batch_lag_s: float | None = None
+    delete_breaches: int = 0
     errors: list[str] = field(default_factory=list)
 
     @property
@@ -35,7 +45,7 @@ class HealthReport:
         lag_ok = self.last_batch_lag_s is None or (
             self.last_batch_lag_s < MAX_HEALTHY_LAG_S
         )
-        return lag_ok and not self.errors
+        return lag_ok and self.delete_breaches == 0 and not self.errors
 
 
 class CDCHealthListener(StreamingQueryListener):
@@ -60,6 +70,12 @@ class CDCHealthListener(StreamingQueryListener):
             self.report.total_inserts += obs["inserts"]
             self.report.total_updates += obs["updates"]
             self.report.total_deletes_dropped += obs["deletes_dropped"]
+            if (
+                obs["events"] > 0
+                and obs["deletes_dropped"] * 1_000_000 // obs["events"]
+                > MAX_DELETE_SHARE_PPM
+            ):
+                self.report.delete_breaches += 1
         try:
             batch_ms = json.loads(p.json).get("durationMs", {}).get("triggerExecution")
             if batch_ms is not None:

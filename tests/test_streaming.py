@@ -485,3 +485,39 @@ def test_sliding_window_drops_late_slides_under_watermark(spark):
     # the 12:00/12:05 windows are still open and must not be emitted in
     # append mode
     assert got == {"09:30": (2, 3.0), "10:00": (2, 3.0)}, got
+
+
+def test_delete_storm_breaches_health_guard(spark, sf_dir):
+    """Streaming twin of `cdc_op_ratio_guard`: a feed whose batches are
+    dominated by deletes must flip the health report unhealthy and fire
+    the alert hook — the circuit breaker for an upstream mass-delete.
+    The normal feed (previous test) stays healthy; this one replays ONLY
+    the delete ops, so every batch breaches the 50% share threshold."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+
+    storm_path = new_scratch_dir("storm_log")
+    (
+        derive_change_log(spark, sf_dir)
+        .filter("operationType = 'delete'")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(storm_path)
+    )
+    alerts = []
+    listener = CDCHealthListener(on_alert=lambda s, m: alerts.append(s))
+    spark.streams.addListener(listener)
+    try:
+        target = ParquetUpsertTarget(new_scratch_dir("storm_target"))
+        q = start_cdc_replication(
+            spark, storm_path, target, new_scratch_dir("storm_ckpt")
+        )
+        run_to_completion(q)
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.report.delete_breaches == 0:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    rep = listener.report
+    assert rep.delete_breaches > 0
+    assert not rep.healthy
+    assert "CDC unhealthy" in alerts
