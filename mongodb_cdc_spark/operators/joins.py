@@ -513,3 +513,74 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["l_returnflag"], r["n_lines"], r["price_cents"], pruned) for r in rows],
         "l_returnflag string, n_lines bigint, price_cents bigint, bloom_pruned boolean",
     )
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           TRUE AS dpp_pruned
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) = (
+            SELECT MIN(EXTRACT(year FROM o_orderdate))
+            FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, driver-proven: lineitem is written
+    partitioned by ship year (the one-time layout decision), then joined
+    to a year value only an AGGREGATE over the dim produces (min urgent
+    year) — a value Catalyst cannot constant-fold at plan time, so it
+    reuses the dim's broadcast to build a RUNTIME partition filter: the
+    fact scan reads one partition directory and never touches the other
+    years' files. (With a literal dim predicate on the join key,
+    constraint propagation prunes statically — also verified here, but
+    that is the easy case; DPP is what survives when the pruning value is
+    data.) This is the partition-level complement of
+    `join_bloom_pruned`'s row-level prune, and with
+    `maintenance_zorder_key` it completes the data-layout story:
+    partition for coarse pruning, z-order within partitions for fine
+    skipping.
+
+    The plan invariant (``dynamicpruning`` expression present in the
+    fact's PartitionFilters) travels as the ``dpp_pruned`` column; the
+    aggregate must equal the oracle's plain year-filtered scan exactly,
+    so over- or under-pruning breaks the hash. Eager-collect pattern
+    (`join_bucketed`): the temp partitioned layout is deleted before
+    returning."""
+    import shutil
+    import uuid
+
+    out = None
+    try:
+        from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+        out = f"{scratch_root()}/dpp_{uuid.uuid4().hex[:12]}"
+        li = load_table(spark, sf_dir, "lineitem")
+        li.withColumn("l_year", F.year("l_shipdate")).write.mode(
+            "overwrite"
+        ).partitionBy("l_year").parquet(out)
+        fact = spark.read.parquet(out)
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .agg(F.min(F.year("o_orderdate")).alias("y"))
+        )
+        agg = fact.join(dim, fact.l_year == dim.y).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("qty_cents"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pruned = "dynamicpruning" in plan.lower()
+        rows = agg.collect()
+    finally:
+        if out:
+            shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["n_lines"], r["qty_cents"], pruned) for r in rows],
+        "n_lines bigint, qty_cents bigint, dpp_pruned boolean",
+    )

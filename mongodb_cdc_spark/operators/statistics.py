@@ -374,3 +374,56 @@ def agg_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_a", "seg_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_cont
+# --------------------------------------------------------------------------
+
+_PCT_IN = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+
+@query(
+    "agg_percentile_cont",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont({_PCT_IN}, [0.25, 0.5, 0.75]) AS p
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           p[1] AS p25_cents, p[2] AS p50_cents, p[3] AS p75_cents
+    FROM q
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of the price distribution per return
+    flag. Exactness without rounding: the input is fixed-pointed to
+    integer cents first, and the quartile fractions (.25/.5/.75) are
+    exact binary fractions — linear interpolation between two integers at
+    those fractions is a handful of exact IEEE ops, identical in both
+    engines (verified: bit-equal at sf0.01), so the interpolated DOUBLE
+    itself is hashable. Both engines implement the same type-7
+    (R default / NIST) quantile definition.
+
+    Scale: exact percentiles sort within each group — the honest
+    contract when the answer must be exact (reconciliation thresholds,
+    SLA cutoffs). The streaming/100 TB default for *monitoring* remains
+    `agg_approx_quantiles` (KLL-style mergeable sketch, no sort); this
+    operator is its exact companion, and the two bound each other in
+    tests/test_properties.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile({_PCT_IN}, array(0.25D, 0.5D, 0.75D))"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("p25_cents"),
+            F.element_at("p", 2).alias("p50_cents"),
+            F.element_at("p", 3).alias("p75_cents"),
+        )
+    )

@@ -103,3 +103,34 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
         GROUP BY year(m) * 100 + month(m)
     """)
+
+
+_LATERAL_TOPN = """
+SELECT n_name, t.c_custkey, t.c_name, t.acctbal_cents
+FROM nation,
+LATERAL (
+  SELECT c_custkey, c_name,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 3
+) t
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_TOPN)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT: the
+    top-3 customers by account balance for every nation — the SQL shape
+    analysts write for grouped top-N, handed to Catalyst's subquery
+    decorrelation (DecorrelateInnerQuery rewrites it to a ranked window,
+    one keyed shuffle — never a per-nation re-scan of customer, which is
+    what the naive nested-loop reading would cost at 100 TB). Identical
+    text runs on DuckDB, which decorrelates the same way — a cross-engine
+    check of decorrelation SEMANTICS, not just one plan.
+
+    Determinism: cents are fixed-pointed, the per-group order carries the
+    unique c_custkey tiebreak, and c_custkey is in the output."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN)

@@ -129,6 +129,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "join_bloom_pruned",
     "agg_segment_overlap",
     "ext_sim_ann_pq",
+    "join_dpp_pruned",
+    "sql_lateral_topn",
+    "agg_percentile_cont",
     # --- cross-round canaries (r2-green, then r1-green flagships) ---
     "cdc_apply_upsert",
     "ext_dedup_exact",

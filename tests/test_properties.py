@@ -143,3 +143,30 @@ def test_dedup_cluster_labels_are_valid(spark, sf_dir):
         .count()
     )
     assert self_labeled == 0, "some cluster label is not its own representative"
+
+
+def test_exact_percentiles_bracket_approx_sketch(spark, sf_dir):
+    """`agg_percentile_cont` (exact, sorted) and `agg_approx_quantiles`
+    (GK sketch) must agree within the sketch's tolerance: the exact
+    quartiles recomputed here sit within 5% of percentile_approx on the
+    same fixed-point input — the two tiers bound each other."""
+    exact = {
+        r["l_returnflag"]: (r["p25_cents"], r["p50_cents"], r["p75_cents"])
+        for r in QUERIES["agg_percentile_cont"](spark, sf_dir).collect()
+    }
+    from mongodb_cdc_spark.io import load_table
+
+    approx_df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(CAST(FLOOR(l_extendedprice * 100) AS BIGINT),"
+                " array(0.25D, 0.5D, 0.75D), 10000)"
+            ).alias("aq")
+        )
+        .collect()
+    )
+    for r in approx_df:
+        for got, want in zip(r["aq"], exact[r["l_returnflag"]]):
+            assert abs(got - want) <= 0.05 * abs(want), (r["l_returnflag"], got, want)
