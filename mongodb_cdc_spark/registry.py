@@ -69,10 +69,10 @@ def load_all_operators() -> None:
 # relational core, round 2 the CDC/streaming/extension/UDF tiers (50/50
 # green). Round 3 (this rotation) fronts the 29 keys registered late in
 # round 2 that had no driver row yet — guaranteed inside the window by
-# putting them FIRST — then cross-round canaries (r2-green and r1-green)
-# and a refresh slice of r1-only greens that have not been driver-re-run
-# since the round-2 code changes. After this round every one of the 125
-# registered operators has a driver CORRECTNESS row on record.
+# putting them FIRST — then two cross-round canaries, the rewritten
+# win_ntile_pctrank, and the 20 operators new in round 3 ordered
+# most-critical-first. Round 4 should front whatever tail the round-3
+# window cut (see the inline note below) plus any round-4 additions.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # --- the 29 round-2 keys with no driver row yet (positions 1-29) ---
     # scale-mechanism joins
@@ -111,36 +111,43 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_join_interval",
     "udf_cogrouped_profile",
     "win_cume_dist_nth",
-    # --- keys NEW in round 3 (registered this round, driver row now) ---
+    # --- cross-round canaries INSIDE the window (positions 30-31):
+    # r2-green and r1-green flagships re-run to prove no regression ---
+    "cdc_apply_upsert",
+    "agg_hash_groupby",
+    # --- win_ntile_pctrank re-fronted after its round-3 two-pass
+    # rewrite: the code changed, so its r1 row is stale (position 32) ---
+    "win_ntile_pctrank",
+    # --- keys NEW in round 3 (positions 33-50), most-critical first:
+    # scale mechanisms and novel-FP contracts before trivial SQL shapes.
+    # The window is ~50 keys, so the tail of this list may be cut; the
+    # last two (cdc_op_ratio_guard, maintenance_table_stats) are the
+    # simplest conditional/UNION aggregates and stay pytest-proven. ---
+    "join_dpp_pruned",
+    "join_bloom_pruned",
+    "ext_sim_ann_pq",
+    "ext_embed_centroids",
+    "agg_corr_regression",
+    "agg_percentile_cont",
+    "sql_lateral_topn",
     "cdc_scd2_history",
     "cdc_point_in_time",
+    "ext_dedup_incremental",
+    "ext_bigram_novelty",
     "ext_collocations",
     "ext_heavy_hitters",
     "ext_sample_weighted",
     "maintenance_zorder_key",
-    "agg_histogram_bins",
-    "agg_corr_regression",
     "agg_retention_cohort",
-    "maintenance_table_stats",
-    "cdc_op_ratio_guard",
-    "ext_embed_centroids",
-    "ext_dedup_incremental",
-    "ext_bigram_novelty",
-    "join_bloom_pruned",
     "agg_segment_overlap",
-    "ext_sim_ann_pq",
-    "join_dpp_pruned",
-    "sql_lateral_topn",
-    "agg_percentile_cont",
-    # --- cross-round canaries (r2-green, then r1-green flagships) ---
-    "cdc_apply_upsert",
+    "agg_histogram_bins",
+    "cdc_op_ratio_guard",
+    "maintenance_table_stats",
+    # --- remaining canaries + refresh slice (outside the ~50 window if
+    # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
+    # these rows are bonus evidence, not load-bearing) ---
     "ext_dedup_exact",
-    "agg_hash_groupby",
     "scan_parquet",
-    # --- refresh slice: r1-only greens not driver-re-run since round-2
-    # code changes (windows/joins/setops/scalars touched most);
-    # win_ntile_pctrank re-fronted after its round-3 two-pass rewrite ---
-    "win_ntile_pctrank",
     "join_asof_latest",
     "join_theta_self",
     "win_latest_per_key",
