@@ -70,3 +70,45 @@ def test_cents_to_double_is_exact(S: int):
     assert abs(decimal.Decimal(a) - decimal.Decimal(S).scaleb(-4)) <= (
         decimal.Decimal("0.005") + ulp
     )
+
+
+def avg_micro(S: int, n: int) -> int:
+    """quality.py `_AVG_MICRO`: sign-mirrored half-up integer mean of a
+    micro-unit sum (centroid operator). Positive-only division keeps
+    Spark `div` (truncate) and DuckDB `//` (floor) identical."""
+    return (2 * S + n) // (2 * n) if S >= 0 else -(((-2 * S) + n) // (2 * n))
+
+
+@given(
+    st.integers(min_value=-(2**52), max_value=2**52),
+    st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=2000)
+def test_avg_micro_is_decimal_half_up(S: int, n: int):
+    want = (decimal.Decimal(S) / n).quantize(
+        decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+    )
+    assert decimal.Decimal(avg_micro(S, n)) == want, (S, n)
+
+
+def round4(x: float) -> float:
+    """statistics.py `_round4`: sign-mirrored FLOOR(x*10000 + 0.5)/10000
+    over a finite double (regression slope / correlation outputs)."""
+    import math
+
+    if x >= 0:
+        return float(math.floor(x * 10000 + 0.5)) / 10000.0
+    return -(float(math.floor(-x * 10000 + 0.5)) / 10000.0)
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=2000)
+def test_round4_sign_symmetric_and_close(x: float):
+    """_round4 must be odd (f(-x) = -f(x)) — no toward-/away-zero bias
+    between engines — and within half a unit of the true value. (Exact
+    half-up ties on DOUBLES are inherently representation-dependent;
+    the operators only apply _round4 to ratios of exact integers, which
+    both engines compute as the same double, so symmetry + closeness is
+    the portable contract.)"""
+    assert round4(-x) == -round4(x)
+    assert abs(round4(x) - x) <= 0.00005 + abs(x) * 1e-12
