@@ -79,6 +79,9 @@ HEADLINE = [
     ("agg_corr_regression", None),
     ("ext_sim_ann_pq", None),
     ("join_bloom_pruned", None),
+    ("sql_tpch_q3", None),
+    ("sql_tpch_q5", None),
+    ("sql_tpch_q10", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),
     ("ext_bigram_novelty", None),

@@ -26,6 +26,7 @@ MODULES = (
     "maintenance",
     "statistics",
     "quality",
+    "benchmarks",
 )
 
 _loaded = False

@@ -140,6 +140,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_zorder_key",
     "agg_retention_cohort",
     "agg_segment_overlap",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q10",
     "agg_histogram_bins",
     "cdc_op_ratio_guard",
     "maintenance_table_stats",

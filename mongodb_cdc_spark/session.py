@@ -77,9 +77,18 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or cpus
 
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    # Driver heap must back the broadcast threshold: the 64 MB limit in
+    # RUNTIME_CONFS is an estimate of compressed SCAN size, and the
+    # in-memory broadcast build runs 5-10x that (decoded rows + hash
+    # relation). Spark's 1 GB default driver heap OOMs building a
+    # ~60 MB-on-disk broadcast (hit at the 10x rehearsal); size the heap
+    # so the threshold is honest. JVM-start-only conf — applies to
+    # sessions this factory creates, not an already-running JVM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

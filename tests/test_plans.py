@@ -328,3 +328,17 @@ def test_pq_encoding_is_codegen_with_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_tpch_shapes_broadcast_dims_and_take_ordered(spark, sf_dir):
+    """The TPC-H composites must plan as star joins: dimension sides
+    broadcast (never a sort-merge of a dim against the fact at this
+    scale), no Cartesian products, and the two top-k queries as
+    per-partition heaps."""
+    for key in ("sql_tpch_q3", "sql_tpch_q10"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{key}:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{key}:\n{plan}"
+    q5 = formatted_plan(QUERIES["sql_tpch_q5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q5, q5
+    assert "CartesianProduct" not in q5, q5

@@ -89,6 +89,9 @@ HEAVY = [
     "ext_sim_ann_pq",
     "join_bloom_pruned",
     "agg_segment_overlap",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q10",
 ]
 
 
