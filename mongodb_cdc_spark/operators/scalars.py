@@ -379,3 +379,39 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.absent", "bigint").alias("missing_k"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT p_partkey,
+           {'brand': p_brand, 'size': p_size}.brand AS brand_out,
+           {'brand': p_brand, 'size': p_size}.size + 1 AS size_plus,
+           ({'a': p_brand, 'b': p_size} = {'a': p_brand, 'b': p_size})
+             AS self_eq,
+           ({'a': p_brand, 'b': p_size} = {'a': p_brand, 'b': p_size + 1})
+             AS shifted_eq
+    FROM part
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT surface: construction, field access, arithmetic on an
+    accessed field, and whole-struct equality (field-wise, null-safe per
+    field on both engines) — the typed-record escape hatch the dynamic
+    document model maps onto (SURVEY §1.2: nested BSON docs become
+    StructType columns). Pure codegen expressions; structs never reach
+    the hashed output (the driver hasher cannot hash them) — only
+    scalars extracted from them."""
+    part = load_table(spark, sf_dir, "part")
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+    a = F.struct(F.col("p_brand").alias("a"), F.col("p_size").alias("b"))
+    a2 = F.struct(
+        F.col("p_brand").alias("a"), (F.col("p_size") + 1).alias("b")
+    )
+    return part.select(
+        "p_partkey",
+        s.getField("brand").alias("brand_out"),
+        (s.getField("size") + 1).alias("size_plus"),
+        (a == a).alias("self_eq"),
+        (a == a2).alias("shifted_eq"),
+    )

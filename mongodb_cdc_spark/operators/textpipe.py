@@ -815,3 +815,60 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tok_kept"),
     )
+
+
+_FIXED_K = 10
+
+
+@query(
+    "ext_sample_topk_hash",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ksample-1'),
+                                     1, 8)) AS BIGINT) AS h32,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ksample-1'),
+                                                1, 8)) AS BIGINT) ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk FROM scored WHERE rk <= {_FIXED_K}
+    """,
+)
+def ext_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample per stratum: exactly k documents per
+    language, selected as the k smallest seeded hashes — the
+    deterministic equivalent of per-group reservoir sampling (a uniform
+    k-subset, stable across runs/retries/engines, reproducibly redrawn
+    by changing the seed). Complements the rate-based samplers:
+    `ext_sample_stratified` fixes the RATE, this fixes the COUNT —
+    what eval-set construction needs.
+
+    Scale: hash + rank plans as WindowGroupLimit — Spark pushes the
+    rank<=k cut BEFORE the exchange (each input partition forwards at
+    most k rows per lang), so the shuffle carries O(langs x k x
+    partitions), never the corpus. The same mechanism as the k-NN join's
+    pruning, applied to sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ksample-1"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("h32").asc(), F.col("doc_id").asc())
+    )
+    return (
+        d.select("doc_id", "lang", h32.alias("h32"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FIXED_K)
+        .select("lang", "doc_id", "rk")
+    )

@@ -342,3 +342,13 @@ def test_tpch_shapes_broadcast_dims_and_take_ordered(spark, sf_dir):
     q5 = formatted_plan(QUERIES["sql_tpch_q5"](spark, sf_dir))
     assert "BroadcastHashJoin" in q5, q5
     assert "CartesianProduct" not in q5, q5
+
+
+def test_fixed_size_sample_prunes_before_shuffle(spark, sf_dir):
+    """The k-per-stratum sample must plan a partial WindowGroupLimit
+    before the lang exchange — the shuffle carries at most k rows per
+    (lang, input partition), never the corpus."""
+    plan = formatted_plan(QUERIES["ext_sample_topk_hash"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert "EvalPython" not in plan, plan
