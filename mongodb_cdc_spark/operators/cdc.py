@@ -452,3 +452,87 @@ def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
         )
     )
+
+
+@query(
+    "cdc_idempotency_audit",
+    oracle="""
+    WITH kept AS (
+      SELECT user_id, event_id, ts, event_type, value FROM events
+      WHERE event_type IN ('signup', 'click', 'view', 'purchase')
+    ),
+    replayed AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM kept
+    ),
+    once AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM kept)
+      WHERE rn = 1
+    ),
+    twice AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM replayed)
+      WHERE rn = 1
+    )
+    SELECT (SELECT COUNT(*) FROM once) AS n_keys,
+           (SELECT COUNT(*) FROM
+              ((SELECT * FROM once EXCEPT SELECT * FROM twice)
+               UNION ALL
+               (SELECT * FROM twice EXCEPT SELECT * FROM once))) AS n_diff,
+           (SELECT COUNT(*) FROM
+              ((SELECT * FROM once EXCEPT SELECT * FROM twice)
+               UNION ALL
+               (SELECT * FROM twice EXCEPT SELECT * FROM once))) = 0
+             AS idempotent
+    """,
+)
+def cdc_idempotency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9's replay-safety contract as a driver-checkable query: apply the
+    kept event log ONCE and TWICE (bag-doubled input) through the
+    latest-per-key upsert semantics and prove the two final states are
+    identical — at-least-once delivery + idempotent apply = exactly-once
+    effect, the exact claim the reference makes for itself (js:114-115
+    "may cause duplication of records on restart" + js:171-173 upsert).
+    The streaming harness proves it under a real trigger
+    (tests/test_streaming.py replay tests); this operator proves it as a
+    hashed cross-engine row so every CORRECTNESS round re-audits the
+    contract.
+
+    Determinism note: the replayed log duplicates every (ts, event_id)
+    pair, so row_number picks between TRUE TIES — safe here precisely
+    because the upsert projects only payload columns, which are equal
+    for tied duplicates; value is compared in exact cents. Scale: two
+    keyed window passes and two anti-joins, all on the same user_id
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(
+        F.col("event_type").isin("signup", "click", "view", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("value_cents"),
+            )
+        )
+
+    once = latest(kept)
+    twice = latest(kept.unionByName(kept))
+    sym_diff = once.exceptAll(twice).unionByName(twice.exceptAll(once))
+    n_keys = once.count()
+    n_diff = sym_diff.count()
+    return spark.createDataFrame(
+        [(n_keys, n_diff, n_diff == 0)],
+        "n_keys bigint, n_diff bigint, idempotent boolean",
+    )

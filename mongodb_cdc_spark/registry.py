@@ -148,6 +148,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_table_stats",
     "ext_sample_topk_hash",
     "fn_struct",
+    "cdc_idempotency_audit",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
