@@ -521,3 +521,48 @@ def test_delete_storm_breaches_health_guard(spark, sf_dir):
     assert rep.delete_breaches > 0
     assert not rep.healthy
     assert "CDC unhealthy" in alerts
+
+
+def test_continuous_trigger_drains_and_stops_gracefully(spark, sf_dir):
+    """R11 under a REAL periodic trigger (not availableNow): start the
+    pipeline with a 1 s processingTime trigger, wait until the upsert
+    target holds the full final state, then query.stop() — the graceful
+    path must leave a committed, batch-equal state behind (js:302-323:
+    close stream, flush residual buffer, final checkpoint)."""
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("cont_target"))
+    q = start_cdc_replication(
+        spark,
+        log_path,
+        target,
+        new_scratch_dir("cont_ckpt"),
+        available_now=False,
+        processing_time="1 second",
+    )
+    try:
+        batch = {
+            r["user_id"]: r["event_type"]
+            for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+        }
+        deadline = time.time() + 120
+        state = {}
+        while time.time() < deadline:
+            try:
+                cur = target.current(spark)
+                if cur is not None:
+                    state = {r["_id"]: r["event_type"] for r in cur.collect()}
+                    if state == batch:
+                        break
+            except Exception:
+                pass  # target mid-commit; retry
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert state == batch, (
+        f"continuous trigger never reached batch truth: "
+        f"{len(state)}/{len(batch)} keys"
+    )
+    # the stop left a readable, committed target behind
+    final = {r["_id"]: r["event_type"] for r in target.current(spark).collect()}
+    assert final == batch
