@@ -53,7 +53,7 @@ _AVG_MICRO = (
       FROM ex GROUP BY label, dim
     )
     SELECT label, dim, n,
-           {_AVG_MICRO.format(div="//")} AS centroid_micro
+           CAST({_AVG_MICRO.format(div="//")} AS BIGINT) AS centroid_micro
     FROM s
     """,
 )

@@ -298,8 +298,8 @@ _GUARD_PPM = 150_000  # flag any day whose error share exceeds 15%
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_error,
-           (SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
-             // COUNT(*) AS error_ppm,
+           CAST((SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS BIGINT) AS error_ppm,
            (SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
              // COUNT(*) > {_GUARD_PPM} AS breached
     FROM events
