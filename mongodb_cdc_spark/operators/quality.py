@@ -399,3 +399,130 @@ def ext_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(_PQ_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# ml_kmeans_refine — exact-integer Lloyd iterations on DataFrames
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_INIT = (-150_000, -50_000, 50_000, 150_000)  # micro-units, per-dim const
+_KM_AVG = (
+    "CASE WHEN {S} >= 0 THEN (2 * {S} + {n}) {div} (2 * {n}) "
+    "ELSE -(((-2 * {S}) + {n}) {div} (2 * {n})) END"
+)
+
+
+def _km_oracle() -> str:
+    init_rows = ", ".join(f"({cid}, {c})" for cid, c in enumerate(_KM_INIT))
+    avg = _KM_AVG.format(div="//", S="SUM(e.vi)", n="COUNT(*)")
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(pos - 1 AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    c0 AS (SELECT * FROM (VALUES {init_rows}) t(cid, c)),
+    d1 AS (
+      SELECT e.vec_id, c.cid, SUM((e.vi - c.c) * (e.vi - c.c)) AS dist
+      FROM ex e CROSS JOIN c0 c GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist ASC, cid ASC) AS rn FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cid, e.dim, CAST({avg} AS BIGINT) AS c
+      FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cid, SUM((e.vi - c.c) * (e.vi - c.c)) AS dist
+      FROM ex e JOIN c1 c ON e.dim = c.dim GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cid, e.dim, CAST({avg} AS BIGINT) AS c
+      FROM ex e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim
+    )
+    SELECT m.cid, m.n_members, s.checksum
+    FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid) m
+    JOIN (SELECT cid, CAST(SUM(c) AS BIGINT) AS checksum FROM c2 GROUP BY cid) s
+      ON m.cid = s.cid
+    """
+
+
+@query("ml_kmeans_refine", oracle=_km_oracle())
+def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding corpus,
+    bit-exact across engines: distances, argmin assignments (unique
+    (dist, cid) tiebreak), and the recomputed centroids (exact BIGINT
+    sums + half-up integer means, the `ext_embed_centroids` machinery)
+    are all integer arithmetic, so a nondeterministic-looking ML
+    training step becomes a hashable cross-engine contract. Output:
+    per-cluster membership count + centroid checksum after the second
+    assignment.
+
+    This is the iterative-refinement template the engine offers for
+    Lloyd/EM-style algorithms at 100 TB (same family as the connected-
+    components loop in `ext_dedup_cluster`): per iteration, the centroid
+    table (K x dims rows — tiny) BROADCAST-joins the exploded vectors,
+    the per-(vector, cluster) distance aggregate combines fully map-side
+    (a vector's 64 elements never span partitions), assignment is one
+    keyed argmin, and the new centroids are a map-combinable aggregate
+    on (cid, dim). No driver collect between iterations; K x dims stays
+    distributed. Fixed-point determinism is what makes retries/restarts
+    safe mid-training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr(
+            "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("vi"),
+    )
+    c0 = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(_KM_INIT)], "cid int, c bigint"
+    )
+    avg = F.expr(
+        _KM_AVG.format(div="div", S="SUM(vi)", n="COUNT(*)")
+    ).cast("bigint")
+
+    def assign(cents: DataFrame, on_dim: bool) -> DataFrame:
+        joined = (
+            ex.join(F.broadcast(cents), "dim")
+            if on_dim
+            else ex.crossJoin(F.broadcast(cents))
+        )
+        d = joined.groupBy("vec_id", "cid").agg(
+            F.sum((F.col("vi") - F.col("c")) * (F.col("vi") - F.col("c"))).alias(
+                "dist"
+            )
+        )
+        return d.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        return (
+            ex.join(assigned, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(avg.alias("c"))
+        )
+
+    a1 = assign(c0, on_dim=False)
+    c1 = recompute(a1)
+    a2 = assign(c1, on_dim=True)
+    c2 = recompute(a2)
+    members = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    checksum = c2.groupBy("cid").agg(
+        F.sum("c").cast("bigint").alias("checksum")
+    )
+    return members.join(checksum, "cid")

@@ -126,6 +126,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "join_dpp_pruned",
     "join_bloom_pruned",
     "ext_sim_ann_pq",
+    "ml_kmeans_refine",
     "ext_embed_centroids",
     "agg_corr_regression",
     "agg_percentile_cont",

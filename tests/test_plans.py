@@ -352,3 +352,13 @@ def test_fixed_size_sample_prunes_before_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_kmeans_iterations_broadcast_centroids(spark, sf_dir):
+    """Each Lloyd iteration must broadcast the K x dims centroid table
+    against the exploded vectors — never shuffle the corpus for the
+    join — and stay pure JVM."""
+    plan = formatted_plan(QUERIES["ml_kmeans_refine"](spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
