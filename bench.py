@@ -82,6 +82,7 @@ HEADLINE = [
     ("sql_tpch_q3", None),
     ("sql_tpch_q5", None),
     ("sql_tpch_q10", None),
+    ("ml_kmeans_refine", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),
     ("ext_bigram_novelty", None),

@@ -245,3 +245,79 @@ def udf_cogrouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("o_custkey"))
         .applyInPandas(lambda e, o: _cogroup_profile(e, o), out_schema)
     )
+
+
+@udtf(returnType="event_type string, n bigint, max_gap_s bigint")
+class _TypeGapProfile:
+    """Per-partition stateful profile: row count and the largest gap
+    (seconds) between consecutive events, consumed in the engine-supplied
+    PARTITION BY event_type ORDER BY (ts_s, event_id) order. All-integer
+    state — exact under any partitioning."""
+
+    def __init__(self):
+        self._type = None
+        self._n = 0
+        self._prev = None
+        self._max_gap = 0
+
+    def eval(self, row):
+        self._type = row["event_type"]
+        self._n += 1
+        if self._prev is not None and row["ts_s"] - self._prev > self._max_gap:
+            self._max_gap = row["ts_s"] - self._prev
+        self._prev = row["ts_s"]
+
+    def terminate(self):
+        if self._n:
+            yield self._type, self._n, self._max_gap
+
+
+@query(
+    "udtf_table_args",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_s
+    FROM (
+      SELECT event_type,
+             (epoch_ns(ts) // 1000000000)
+               - LAG(epoch_ns(ts) // 1000000000) OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_ns(ts) // 1000000000 ASC, event_id ASC
+                 ) AS gap
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (Spark >= 3.5): the
+    engine partitions and orders the input (PARTITION BY event_type
+    ORDER BY (ts_s, event_id)) and streams each partition's rows through
+    per-partition Python state, with terminate() emitting one summary
+    row per partition — the custom-stateful-aggregation API tier in its
+    batch form (`applyInPandasWithState` is the streaming twin). The
+    oracle is the relational formulation (LAG + MAX), proving the
+    Python state machine equals the window algebra exactly.
+
+    Scale: the shuffle is the engine's own hash partition on the
+    PARTITION BY key; Python sees each partition once, sequentially —
+    state is O(1) per partition, and the ordered-iteration contract is
+    what SQL cannot express for genuinely path-dependent logic
+    (sessionization with lookahead, pattern matching)."""
+    ev = load_table(spark, sf_dir, "events")
+    spark.udtf.register("type_gap_profile", _TypeGapProfile)
+    ev.select(
+        "event_type",
+        F.to_unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        "event_id",
+    ).createOrReplaceTempView("_udtf_gap_input")
+    return spark.sql(
+        """
+        SELECT t.event_type, t.n, t.max_gap_s
+        FROM type_gap_profile(
+          TABLE(_udtf_gap_input)
+          PARTITION BY event_type
+          ORDER BY (ts_s, event_id)
+        ) t
+        """
+    )

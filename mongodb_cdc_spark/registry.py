@@ -150,6 +150,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_sample_topk_hash",
     "fn_struct",
     "cdc_idempotency_audit",
+    "udtf_table_args",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

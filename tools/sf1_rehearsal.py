@@ -92,6 +92,9 @@ HEAVY = [
     "sql_tpch_q3",
     "sql_tpch_q5",
     "sql_tpch_q10",
+    "ml_kmeans_refine",
+    "cdc_idempotency_audit",
+    "ext_sample_topk_hash",
 ]
 
 
