@@ -95,6 +95,7 @@ HEAVY = [
     "ml_kmeans_refine",
     "cdc_idempotency_audit",
     "ext_sample_topk_hash",
+    "udtf_table_args",
 ]
 
 
