@@ -526,3 +526,107 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("checksum")
     )
     return members.join(checksum, "cid")
+
+
+# --------------------------------------------------------------------------
+# ext_quality_rules — Gopher-style rule battery as a corpus diagnostic
+# --------------------------------------------------------------------------
+
+# Each rule: (name, spark_fail_predicate, duckdb_fail_predicate) over the
+# per-document features. Integer cross-multiplies only — no ratio floats.
+_QR_TOK = "size(filter(split(text, ' '), t -> t != ''))"
+_QR_TOK_D = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+_QR_WCHARS = "length(replace(text, ' ', ''))"
+_QR_ALPHA = (
+    "size(filter(split(text, ' '), t -> t rlike '[a-z]'))"
+)
+_QR_ALPHA_D = (
+    "len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]')))"
+)
+_QR_DIGIT = "size(filter(split(text, ' '), t -> t rlike '^[0-9]+$'))"
+_QR_DIGIT_D = (
+    "len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$')))"
+)
+
+_QR_RULES: tuple[tuple[str, str, str], ...] = (
+    # word-count band [20, 100000]
+    (
+        "word_count_band",
+        f"NOT ({_QR_TOK} BETWEEN 20 AND 100000)",
+        f"NOT ({_QR_TOK_D} BETWEEN 20 AND 100000)",
+    ),
+    # mean word length in [3, 10]: 10*chars vs n*30 / n*100
+    (
+        "mean_word_len_band",
+        f"NOT ({_QR_WCHARS} * 10 >= {_QR_TOK} * 30 "
+        f"AND {_QR_WCHARS} * 10 <= {_QR_TOK} * 100)",
+        f"NOT ({_QR_WCHARS} * 10 >= {_QR_TOK_D} * 30 "
+        f"AND {_QR_WCHARS} * 10 <= {_QR_TOK_D} * 100)",
+    ),
+    # >= 80% of tokens contain a lowercase letter
+    (
+        "alpha_word_ratio",
+        f"{_QR_ALPHA} * 10 < {_QR_TOK} * 8",
+        f"{_QR_ALPHA_D} * 10 < {_QR_TOK_D} * 8",
+    ),
+    # <= 20% purely-numeric tokens
+    (
+        "digit_token_ratio",
+        f"{_QR_DIGIT} * 10 > {_QR_TOK} * 2",
+        f"{_QR_DIGIT_D} * 10 > {_QR_TOK_D} * 2",
+    ),
+    # punctuation density < 10% of characters
+    (
+        "punct_density",
+        "(length(text) - length(translate(text, '.,!', ''))) * 10"
+        " >= length(text)",
+        "(length(text) - length(replace(replace(replace(text, '.', ''),"
+        " ',', ''), '!', ''))) * 10 >= length(text)",
+    ),
+)
+
+
+def _qr_oracle() -> str:
+    branches = [
+        f"SELECT '{name}' AS rule, "
+        f"CAST(SUM(CASE WHEN {duck} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail, "
+        f"CAST((SUM(CASE WHEN {duck} THEN 1 ELSE 0 END) * 1000000) // COUNT(*) "
+        f"AS BIGINT) AS fail_ppm "
+        f"FROM documents"
+        for name, _, duck in _QR_RULES
+    ]
+    return " UNION ALL ".join(branches)
+
+
+@query("ext_quality_rules", oracle=_qr_oracle())
+def ext_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021's repetition/quality
+    filter family, the public method behind most pre-training corpus
+    gates): word-count band, mean-word-length band, alphabetic-word
+    ratio, numeric-token ratio, punctuation density — evaluated as
+    integer cross-multiplies (no ratio floats), reported as a per-rule
+    failure census over the corpus. This is the diagnostic you run
+    BEFORE committing to a filter config: which rule would remove how
+    much of the corpus. The per-document gate (`ext_text_quality`) and
+    the end-to-end filter (`ext_corpus_prep_e2e`) consume the same
+    predicates.
+
+    Scale: one scan computes every rule's conditional sum map-side (all
+    codegen string/array expressions); the output is |rules| rows. The
+    UNION-of-aggregates form keeps each branch independently prunable;
+    Spark shares the scan via exchange reuse."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for name, sp, _ in _QR_RULES:
+        aggs.append(
+            F.sum(F.when(F.expr(sp), 1).otherwise(0)).cast("bigint").alias(f"f_{name}")
+        )
+    wide = d.agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    stack = ", ".join(f"'{name}', f_{name}" for name, _, _ in _QR_RULES)
+    return wide.selectExpr(
+        f"stack({len(_QR_RULES)}, {stack}) AS (rule, n_fail)", "n_docs"
+    ).selectExpr(
+        "rule",
+        "CAST(n_fail AS BIGINT) AS n_fail",
+        "CAST((n_fail * 1000000) div n_docs AS BIGINT) AS fail_ppm",
+    )

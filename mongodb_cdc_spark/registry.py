@@ -151,6 +151,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "cdc_idempotency_audit",
     "udtf_table_args",
+    "ext_quality_rules",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
