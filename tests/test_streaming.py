@@ -566,3 +566,65 @@ def test_continuous_trigger_drains_and_stops_gracefully(spark, sf_dir):
     # the stop left a readable, committed target behind
     final = {r["_id"]: r["event_type"] for r in target.current(spark).collect()}
     assert final == batch
+
+
+def test_dlq_routes_poison_events_without_stalling(spark, sf_dir):
+    """Dead-letter routing: a feed salted with malformed events (null
+    documentKey, unknown op type) must quarantine them to the DLQ path
+    WITH batch provenance and still replicate every valid event - one
+    poison event must not stall the stream (the reference's crash+restart
+    loop, js:286-299, is replaced by bounded quarantine)."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.pipeline import read_changefeed_stream
+    from mongodb_cdc_spark.streaming.upsert import foreach_batch_upsert_with_dlq
+
+    log = derive_change_log(spark, sf_dir)
+    _doc_t = "STRUCT<_id: BIGINT, event_type: STRING, value: DOUBLE, props: STRING>"
+    poison = spark.range(1).selectExpr(
+        "'poison-null-key' AS _id",
+        "'insert' AS operationType",
+        "CAST('2024-01-01' AS TIMESTAMP) AS clusterTime",
+        "named_struct('_id', CAST(NULL AS BIGINT)) AS documentKey",
+        f"CAST(NULL AS {_doc_t}) AS fullDocument",
+    ).unionByName(
+        spark.range(1).selectExpr(
+            "'poison-bad-op' AS _id",
+            "'invalidate' AS operationType",
+            "CAST('2024-01-01' AS TIMESTAMP) AS clusterTime",
+            "named_struct('_id', CAST(999999 AS BIGINT)) AS documentKey",
+            f"CAST(NULL AS {_doc_t}) AS fullDocument",
+        )
+    )
+    salted_path = new_scratch_dir("dlq_log")
+    log.unionByName(poison).repartition(4).write.mode("overwrite").parquet(
+        salted_path
+    )
+
+    target = ParquetUpsertTarget(new_scratch_dir("dlq_target"))
+    dlq_path = new_scratch_dir("dlq_quarantine")
+    feed = read_changefeed_stream(spark, salted_path)
+    q = (
+        feed.writeStream.foreachBatch(
+            foreach_batch_upsert_with_dlq(target, dlq_path)
+        )
+        .option("checkpointLocation", new_scratch_dir("dlq_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    dlq = spark.read.parquet(dlq_path)
+    assert dlq.count() == 2
+    assert set(r["_id"] for r in dlq.collect()) == {
+        "poison-null-key",
+        "poison-bad-op",
+    }
+    assert "batch_id" in dlq.columns
+
+    batch = {
+        r["user_id"]: r["event_type"]
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    state = {r["_id"]: r["event_type"] for r in target.current(spark).collect()}
+    assert state == batch
