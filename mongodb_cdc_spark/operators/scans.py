@@ -20,3 +20,111 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full relation scan of `lineitem` (all columns pass through; the
     ms-precision l_shipdate is exactly representable in both engines)."""
     return load_table(spark, sf_dir, "lineitem")
+
+
+# --------------------------------------------------------------------------
+# Format-ingestion scans: CSV / JSON / ORC
+# --------------------------------------------------------------------------
+# The engine must ingest more than parquet (raw corpus drops arrive as
+# CSV/JSONL; ORC is the other columnar survivor). Each operator writes a
+# deterministic copy of a driver table in the target format ONCE (cached
+# in scratch, content a pure function of the input), reads it back with
+# an EXPLICIT schema (inference is nondeterministic surface, not engine
+# surface), and reduces to a fixed-point aggregate that the DuckDB
+# oracle computes from the PARQUET original — cross-FORMAT parity: any
+# value the round-trip corrupted breaks the hash.
+
+import os as _os
+
+_SUM_CENTS = "CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+_FMT_ORACLE = f"""
+SELECT l_returnflag, COUNT(*) AS n, {_SUM_CENTS} AS price_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_EV_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(epoch_ns(ts) // 1000000000) AS BIGINT) AS ts_epoch_sum
+FROM events GROUP BY event_type
+"""
+
+
+def _fmt_cache_dir(sf_dir: str, fmt: str, table: str) -> str:
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(scratch_root(), f"fmt_{fmt}_{table}_{sf_name}_v1")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str, fmt: str, **wopts):
+    src = load_table(spark, sf_dir, table)
+    path = _fmt_cache_dir(sf_dir, fmt, table)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").format(fmt).options(**wopts).save(path)
+    return path, src.schema
+
+
+@query("scan_csv", oracle=_FMT_ORACLE)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion: lineitem round-tripped through headered CSV with an
+    explicit schema (timestampFormat pinned — CSV has no types, so the
+    schema IS the contract) and reduced to fixed-point aggregates the
+    oracle computes from the parquet original. At 100 TB, CSV splits by
+    newline so the scan parallelizes like parquet minus pushdown: project
+    early, convert to columnar at the first materialization."""
+    from pyspark.sql import functions as F
+
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    path, schema = _roundtrip(
+        spark, sf_dir, "lineitem", "csv", header="true", timestampFormat=fmt
+    )
+    df = (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .schema(schema)
+        .load(path)
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_SUM_CENTS).alias("price_cents"),
+    )
+
+
+@query("scan_json", oracle=_EV_ORACLE)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion: events round-tripped through newline-delimited
+    JSON (the raw-corpus interchange format) with an explicit schema;
+    timestamps survive as ISO strings and are summed as epoch seconds so
+    any tz/precision drift in the round-trip breaks the hash. JSONL
+    splits by line at scale; schema-on-read with an EXPLICIT schema keeps
+    the scan deterministic (inference samples)."""
+    from pyspark.sql import functions as F
+
+    path, schema = _roundtrip(spark, sf_dir, "events", "json")
+    df = spark.read.format("json").schema(schema).load(path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.sum(F.expr("CAST(to_unix_timestamp(ts) AS BIGINT)"))
+        .cast("bigint")
+        .alias("ts_epoch_sum"),
+    )
+
+
+@query("scan_orc", oracle=_FMT_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion: the other production columnar format, with the same
+    pushdown/pruning contract as parquet (predicate pushdown + column
+    projection reach the ORC reader). Same cross-format parity check."""
+    from pyspark.sql import functions as F
+
+    path, _ = _roundtrip(spark, sf_dir, "lineitem", "orc")
+    df = spark.read.format("orc").load(path)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_SUM_CENTS).alias("price_cents"),
+    )

@@ -152,6 +152,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "cdc_idempotency_audit",
     "udtf_table_args",
     "ext_quality_rules",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
