@@ -81,7 +81,10 @@ HEADLINE = [
     ("join_bloom_pruned", None),
     ("sql_tpch_q3", None),
     ("sql_tpch_q5", None),
+    ("sql_tpch_q6", None),
     ("sql_tpch_q10", None),
+    ("sql_tpch_q18", None),
+    ("scan_partitioned_pruned", None),
     ("ml_kmeans_refine", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),

@@ -1,5 +1,6 @@
-"""TPC-H-shaped composite benchmark queries (Q3 / Q5 / Q10 analogs over
-the driver's star schema). The reference has no query engine at all
+"""TPC-H-shaped composite benchmark queries (Q3 / Q4 / Q5 / Q6 / Q10 /
+Q14 / Q18 analogs over the driver's star schema). The reference has no
+query engine at all
 (SURVEY.md §2A "explicitly absent"), so these are the proof that a user
 gets real warehouse analytics from the switch: multi-way star joins,
 selective dimension filters, grouped revenue aggregates, deterministic
@@ -90,6 +91,139 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, not syntax order."""
     register_views(spark, sf_dir)
     return spark.sql(_q5(0))
+
+
+def _q6(dialect: int) -> str:
+    rev = sum2_sql("l_extendedprice * l_discount", "revenue")[dialect]
+    return f"""
+    SELECT {rev}, COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """
+
+
+@query("sql_tpch_q6", oracle=_q6(1))
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast-revenue change): the pure
+    scan-filter-aggregate query — no join, no group key, one global sum.
+    This is the pushdown showcase: all three predicates reach the parquet
+    reader as PushedFilters, ReadSchema carries only the four touched
+    columns, and the aggregate is a map-side partial with a single-row
+    final merge. At 100 TB the query's cost IS the scan; everything
+    Catalyst prunes here multiplies. Double equality predicates on
+    l_discount are exact IEEE compares (the generator writes round
+    hundredths; both engines see identical bits)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q6(0))
+
+
+def _q4(dialect: int) -> str:
+    return """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """
+
+
+@query("sql_tpch_q4", oracle=_q4(1))
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): one quarter of orders
+    that have at least one LATE lineitem (shipped >60 days after the
+    order date — the schema has no commit/receipt dates, so late-ship is
+    the analog of Q4's commit<receipt predicate), counted per priority.
+    Catalyst decorrelates the EXISTS into a LEFT SEMI join on
+    l_orderkey: the fact-fact join ships only (l_orderkey, l_shipdate)
+    from lineitem, the quarter filter prunes orders before the join, and
+    the correlated date predicate rides the join condition. Semi-join
+    short-circuits per key, so multiplicity on the lineitem side never
+    inflates the shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q4(0))
+
+
+def _q14(dialect: int) -> str:
+    div = ("div", "//")[dialect]
+    # CAST around each SUM: DuckDB sums BIGINT into HUGEINT, which lands
+    # as float64 in the driver's pandas hasher — the round-1 fn_json bug.
+    promo = (
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' "
+        "THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    )
+    total = (
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)) AS BIGINT)"
+    )
+    return f"""
+    SELECT {promo} AS promo_cents,
+           {total} AS total_cents,
+           CAST(({promo} * 10000) {div} {total} AS DOUBLE) / 100.0 AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """
+
+
+@query("sql_tpch_q14", oracle=_q14(1))
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitems joined
+    to `part`, promo revenue share as a percentage. The part side is
+    dimension-scale and broadcasts, so the fact never shuffles for the
+    join; the month filter pushes to the fact scan; the global ratio is
+    a one-row aggregate. The percentage is integer arithmetic end-to-end
+    (cents x 10000, truncating division — both operands non-negative, so
+    Spark's `div` and DuckDB's `//` agree), never a float division of
+    float sums."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q14(0))
+
+
+def _q18(dialect: int, epoch: str) -> str:
+    qty = "CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)"
+    return f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           {epoch} AS o_orderdate_s,
+           {qty} AS qty_cents
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {qty} > 25000
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY qty_cents DESC, o_orderkey ASC
+    LIMIT 20
+    """
+
+
+@query(
+    "sql_tpch_q18",
+    oracle=_q18(1, "(epoch_ns(o_orderdate) // 1000000000)"),
+)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold only ~1% of orders clear, joined back
+    to customers, top-20 by quantity. The IN subquery plans as a
+    semi-join against a pre-aggregated key set — the HAVING filter
+    collapses lineitem to qualifying orderkeys BEFORE the 3-way join, so
+    the expensive join only sees the ~1% survivors. Quantity sums are
+    exact cent-scaled BIGINTs on both engines; top-20 carries the unique
+    o_orderkey tiebreak and plans as TakeOrderedAndProject."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q18(0, "CAST(to_unix_timestamp(o_orderdate) AS BIGINT)"))
 
 
 def _q10(dialect: int) -> str:

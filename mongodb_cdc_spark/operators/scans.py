@@ -128,3 +128,55 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr(_SUM_CENTS).alias("price_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned scan: directory layout as the first-tier index
+# --------------------------------------------------------------------------
+
+_PRUNE_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+  AND CAST(ts AS DATE) < DATE '2024-01-15'
+GROUP BY event_type
+"""
+
+
+@query("scan_partitioned_pruned", oracle=_PRUNE_ORACLE)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: `events` written ONCE partitioned by
+    `event_date=<day>` directories (cached in scratch, content a pure
+    function of the input), then read with a date-range predicate on the
+    partition column. The filter never touches row data — Catalyst
+    resolves it against the directory listing, so the scan OPENS only
+    7 of 30 day-directories (plan shows it as PartitionFilters, pinned
+    in tests/test_plans.py). This is THE first-line mechanism at 100 TB:
+    a date-partitioned event log makes every time-bounded query cost
+    proportional to the window, not the table. The oracle computes the
+    same aggregate from the unpartitioned parquet original, so a row
+    lost or duplicated by the partitioned rewrite breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"part_events_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts").cast("string"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    df = spark.read.parquet(path).filter(
+        (F.col("event_date") >= "2024-01-08") & (F.col("event_date") < "2024-01-15")
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -155,6 +155,15 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_csv",
     "scan_json",
     "scan_orc",
+    # --- keys added LATE in round 3 (after the window rotation): these
+    # sit past the ~50-key cut, so they are pytest-proven only this
+    # round. ROUND 4 ROTATION: front these five + any round-4 additions
+    # + the usual cross-round canaries. ---
+    "scan_partitioned_pruned",
+    "sql_tpch_q4",
+    "sql_tpch_q6",
+    "sql_tpch_q14",
+    "sql_tpch_q18",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

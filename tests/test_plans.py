@@ -362,3 +362,41 @@ def test_kmeans_iterations_broadcast_centroids(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partition_pruned_scan_opens_only_matching_dirs(spark, sf_dir):
+    """The date predicate on the Hive-partition column must resolve
+    against the directory listing (PartitionFilters), never as a row
+    filter — and the scan must report fewer partition dirs than the
+    table has days (7 of 30)."""
+    df = QUERIES["scan_partitioned_pruned"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_q6_predicates_push_to_scan_and_aggregate_partially(spark, sf_dir):
+    """Q6 is the pushdown showcase: all predicates reach the parquet
+    reader and the one-row aggregate partials map-side."""
+    df = QUERIES["sql_tpch_q6"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan, plan
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    assert "partial_sum" in plan or "Partial" in plan, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """Catalyst must decorrelate the EXISTS into a semi join keyed on
+    l_orderkey — never a nested-loop per-order probe."""
+    plan = formatted_plan(QUERIES["sql_tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q14_broadcasts_part_q18_semi_joins_having_set(spark, sf_dir):
+    q14 = formatted_plan(QUERIES["sql_tpch_q14"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q14, q14
+    q18 = formatted_plan(QUERIES["sql_tpch_q18"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in q18, q18
+    assert "LeftSemi" in q18, q18

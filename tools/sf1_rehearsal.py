@@ -96,6 +96,12 @@ HEAVY = [
     "cdc_idempotency_audit",
     "ext_sample_topk_hash",
     "udtf_table_args",
+    # late round-3 tier: layout pruning + remaining TPC-H shapes
+    "scan_partitioned_pruned",
+    "sql_tpch_q4",
+    "sql_tpch_q6",
+    "sql_tpch_q14",
+    "sql_tpch_q18",
 ]
 
 
