@@ -307,6 +307,74 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len({tokens_sql('text')}) >= 2
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len({tokens_sql('text')}) - 1),
+                         i -> {tokens_sql('text')}[i] || ' ' || {tokens_sql('text')}[i+1]))
+                  ELSE [] END AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / nullif(len(a.shingles), 0) * 1000000 + 0.5) AS BIGINT)
+             AS cont_ab_e6,
+           CAST(FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / nullif(len(b.shingles), 0) * 1000000 + 0.5) AS BIGINT)
+             AS cont_ba_e6
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(a in b) = |Sa ∩ Sb| / |Sa| over
+    candidate pairs — the measure Jaccard misses: a short document quoted
+    verbatim inside a long one scores near-zero Jaccard (the union is
+    dominated by the long doc) but containment ~1.0 in one direction.
+    Production near-dup pipelines (e.g. URL-page boilerplate wrappers,
+    quote-inclusion chains) filter on max(C(a,b), C(b,a)), not Jaccard
+    alone. Same candidate generator and shuffle shape as
+    `ext_dedup_ngram_jaccard` (verification stage over candidate pairs
+    only — LSH upstream keeps it off the all-pairs cliff at 100 TB);
+    both directions emitted as e6-scaled BIGINTs from one exact
+    intersection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shingles = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+
+    def _cont(denom):
+        frac = inter.cast("double") / F.nullif(denom, F.lit(0))
+        return F.floor(frac * 1000000 + 0.5).cast("bigint")
+
+    return a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        _cont(F.size(F.col("a.shingles"))).alias("cont_ab_e6"),
+        _cont(F.size(F.col("b.shingles"))).alias("cont_ba_e6"),
+    )
+
+
 _MINHASH_SEEDS = 8
 _MINHASH_BANDS = 4  # 2 hashes per band
 _MAX_BUCKET = 64  # LSH degenerate-bucket cap (boilerplate shingle sets)

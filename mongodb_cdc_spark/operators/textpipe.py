@@ -872,3 +872,78 @@ def ext_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _FIXED_K)
         .select("lang", "doc_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding (the emit-training-shards step)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+# Packed order key: 36-bit seeded-hash prefix << 27 | doc_id. The 27-bit
+# id space (134 M) covers every test SF including the 10x rehearsal's
+# shifted ids; for larger id spaces widen to DECIMAL(38,0) on both
+# engines. 36 + 27 = 63 bits — the pack maxes at exactly 2^63 - 1.
+_PACK = 1 << 27
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle-seed-1'),
+               1, 9)) AS BIGINT) * {_PACK} + doc_id AS okey,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard-seed-1'),
+               1, 8)) AS BIGINT) % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+       MIN(okey) % {_PACK} AS first_doc,
+       MAX(okey) % {_PACK} AS last_doc
+FROM keyed
+GROUP BY shard
+"""
+
+
+@query("ext_shuffle_shards", oracle=_SHUFFLE_ORACLE)
+def ext_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last step of
+    every training-data pipeline: break correlation in the corpus order
+    (documents arrive clustered by crawl/source/time) and emit N
+    equal-ish shards whose WITHIN-shard order is a reproducible
+    pseudo-random permutation. Two independent seeded md5 hashes do both
+    jobs with zero rand(): `shard = h1(doc_id) mod N` balances shards by
+    the law of large numbers with no count pass and no global sort;
+    `okey = h2(doc_id)` is the shuffle order within a shard. At scale the
+    physical form is `repartition(N, shard).sortWithinPartitions(okey)`
+    — ONE shuffle, no global ordering anywhere, each task streams one
+    shard to storage. The registered query verifies the contract
+    cross-engine: per-shard membership (count + doc_id sum) AND the
+    permutation's endpoints (MIN/MAX over the packed order key), so a
+    changed hash, mod, or sort order breaks the hash check."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _hash_prefix(seed: str, n_hex: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))),
+                1,
+                n_hex,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    # Pack (hash36, doc_id27) into ONE bigint so the permutation
+    # endpoints are plain MIN/MAX — min_by and min(struct) both degrade
+    # to SortAggregate (per-partition sorts before both aggregation
+    # passes); a packed-bigint min stays in HashAggregate and map-side
+    # combines. The low 27 bits double as the tiebreak AND the payload.
+    okey = _hash_prefix(":shuffle-seed-1", 9) * F.lit(_PACK) + F.col("doc_id")
+    shard = _hash_prefix(":shard-seed-1", 8) % _N_SHARDS
+    keyed = d.select("doc_id", okey.alias("okey"), shard.alias("shard"))
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        (F.min("okey") % _PACK).alias("first_doc"),
+        (F.max("okey") % _PACK).alias("last_doc"),
+    )

@@ -400,3 +400,14 @@ def test_q14_broadcasts_part_q18_semi_joins_having_set(spark, sf_dir):
     q18 = formatted_plan(QUERIES["sql_tpch_q18"](spark, sf_dir))
     assert "TakeOrderedAndProject" in q18, q18
     assert "LeftSemi" in q18, q18
+
+
+def test_shuffle_shards_is_one_aggregation_no_sort(spark, sf_dir):
+    """Shard assignment + permutation endpoints must plan as one
+    hash aggregate over seeded hashes — no global Sort anywhere (the
+    whole point is shuffling WITHOUT ordering the corpus)."""
+    plan = formatted_plan(QUERIES["ext_shuffle_shards"](spark, sf_dir))
+    assert "HashAggregate" in plan, plan  # Object/HashAggregate, not Sort
+    assert "SortAggregate" not in plan, plan
+    assert "+- Sort" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -102,6 +102,8 @@ HEAVY = [
     "sql_tpch_q6",
     "sql_tpch_q14",
     "sql_tpch_q18",
+    "ext_shuffle_shards",
+    "ext_dedup_containment",
 ]
 
 
