@@ -86,6 +86,7 @@ HEADLINE = [
     ("sql_tpch_q18", None),
     ("scan_partitioned_pruned", None),
     ("ext_shuffle_shards", None),
+    ("agg_bitmap_distinct", None),
     ("ml_kmeans_refine", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),

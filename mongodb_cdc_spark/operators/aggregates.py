@@ -700,3 +700,40 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * F.lit(0.05)
         ).alias("within_tol"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           CAST(COUNT(DISTINCT user_id // 64) AS BIGINT) AS n_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via two-level bitmap aggregation — the
+    mergeable-exact-distinct pattern (roaring-bitmap shape) that replaces
+    COUNT(DISTINCT) rescans at 100 TB: level 1 groups (key, user_id div
+    64) and ORs each user into a 64-bit word (`bit_or(1 << user_id % 64)`
+    — map-side combinable, idempotent under replay); level 2 sums
+    `bit_count(word)` per key. Both passes are plain partial-aggregable
+    shuffles of BIGINTs: state per key is #buckets words, not #users
+    rows, and per-day word tables can be stored and OR-merged across any
+    date range without re-reading events — the same
+    store-partials-merge-any-range contract as the HLL tier
+    (`agg_hll_partial_merge`) but EXACT. The oracle computes true
+    COUNT(DISTINCT) — any dropped or double-set bit breaks the hash."""
+    e = load_table(spark, sf_dir, "events")
+    words = e.groupBy(
+        "event_type", F.expr("user_id div 64").alias("bucket")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+        ).alias("word")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

@@ -180,3 +180,62 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution scan: mergeSchema across parquet file generations
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+SELECT CASE WHEN event_id % 2 = 0 THEN '__legacy__' ELSE event_type END
+         AS event_type_eff,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@query("scan_schema_merge", oracle=_MERGE_ORACLE)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a dataset written in two generations — an
+    old writer without `event_type` (even event_ids) and a new writer
+    with it (odd event_ids) — read back as ONE relation with
+    `mergeSchema=true`, old-generation rows null-extended. This is the
+    file-level half of schema drift (the CDC-level half is
+    `cdc_schema_drift`): real 100 TB tables accrete columns over years
+    of writers and re-writing history is not an option. mergeSchema
+    reconciles footers at planning time (cost ~ #files metadata, zero
+    row work); the scan itself stays columnar with pushdown intact.
+    The oracle derives the same generational split from the original
+    table, so a row mis-assigned or a column mis-aligned breaks the
+    hash."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"schema_gens_{sf_name}_v1")
+    e = load_table(spark, sf_dir, "events")
+    if not _os.path.exists(_os.path.join(path, "gen=1", "_SUCCESS")):
+        (
+            e.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "value")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(path, "gen=0"))
+        )
+        (
+            e.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "value", "event_type")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(path, "gen=1"))
+        )
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.groupBy(
+        F.coalesce("event_type", F.lit("__legacy__")).alias("event_type_eff")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

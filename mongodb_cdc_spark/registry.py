@@ -166,6 +166,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "sql_tpch_q18",
     "ext_shuffle_shards",
     "ext_dedup_containment",
+    "agg_bitmap_distinct",
+    "scan_schema_merge",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

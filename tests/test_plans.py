@@ -411,3 +411,24 @@ def test_shuffle_shards_is_one_aggregation_no_sort(spark, sf_dir):
     assert "SortAggregate" not in plan, plan
     assert "+- Sort" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bitmap_distinct_is_two_hash_aggregates_no_expand(spark, sf_dir):
+    """The bitmap path must NOT plan like COUNT(DISTINCT): no Expand
+    node, no per-user shuffle rows — two plain hash aggregates over
+    64-bit words, both map-side combinable."""
+    plan = formatted_plan(QUERIES["agg_bitmap_distinct"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 levels
+    assert "EvalPython" not in plan, plan
+
+
+def test_schema_merge_scan_keeps_pushdown(spark, sf_dir):
+    """mergeSchema reconciliation must not cost pushdown: the merged
+    relation still prunes columns at the reader."""
+    df = QUERIES["scan_schema_merge"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ReadSchema" in plan, plan
+    assert "event_id" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0], (
+        "unused event_id column not pruned from merged-schema scan"
+    )

@@ -104,6 +104,8 @@ HEAVY = [
     "sql_tpch_q18",
     "ext_shuffle_shards",
     "ext_dedup_containment",
+    "agg_bitmap_distinct",
+    "scan_schema_merge",
 ]
 
 
