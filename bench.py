@@ -87,6 +87,7 @@ HEADLINE = [
     ("scan_partitioned_pruned", None),
     ("ext_shuffle_shards", None),
     ("agg_bitmap_distinct", None),
+    ("source_pydatasource_pushdown", None),
     ("ml_kmeans_refine", None),
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),

@@ -536,3 +536,60 @@ def cdc_idempotency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_keys, n_diff, n_diff == 0)],
         "n_keys bigint, n_diff bigint, idempotent boolean",
     )
+
+
+@query(
+    "cdc_resume_gap_detect",
+    oracle="""
+    WITH feed AS (
+      SELECT event_id FROM events WHERE event_id % 97 <> 13
+    ),
+    bounds AS (
+      SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM feed
+    ),
+    buckets AS (
+      SELECT event_id // 1000 AS bucket, COUNT(*) AS n_present
+      FROM feed GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(LEAST(hi, bucket * 1000 + 999) - GREATEST(lo, bucket * 1000)
+                + 1 - n_present AS BIGINT) AS n_missing
+    FROM buckets CROSS JOIN bounds
+    WHERE LEAST(hi, bucket * 1000 + 999) - GREATEST(lo, bucket * 1000)
+          + 1 - n_present > 0
+    """,
+)
+def cdc_resume_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: find WHERE the resume-token stream has
+    holes. The reference's at-least-once contract (js:114-115) tolerates
+    replays but silently losing tokens is the failure mode its health
+    check cannot see (js:541-605 only measures lag). The feed here
+    deterministically drops every event_id ≡ 13 (mod 97) to stand in
+    for lost tokens; detection is PURELY ARITHMETIC — bucket the id
+    space into 1000-wide ranges, count per bucket, and compare with the
+    bucket's intersection with [min, max]: `expected - present > 0`
+    flags every hole, including bucket-edge and whole-bucket gaps. No
+    window function, no self-join, no sort: one keyed count shuffle plus
+    a broadcast 1-row bounds frame — the gap scan stays linear at any
+    token volume, where the lag(token)-based formulation would need a
+    GLOBAL ordered window (single-task sort, dead at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    feed = ev.filter((F.col("event_id") % 97) != 13)
+    bounds = feed.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    buckets = feed.groupBy(F.expr("event_id div 1000").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_present")
+    )
+    j = buckets.crossJoin(F.broadcast(bounds))
+    expected = (
+        F.least(F.col("hi"), F.col("bucket") * 1000 + 999)
+        - F.greatest(F.col("lo"), F.col("bucket") * 1000)
+        + 1
+    )
+    return (
+        j.withColumn("n_missing", (expected - F.col("n_present")).cast("bigint"))
+        .filter(F.col("n_missing") > 0)
+        .select("bucket", F.col("n_present").cast("bigint").alias("n_present"), "n_missing")
+    )

@@ -490,3 +490,55 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_to_completion(q)
     return spark.read.parquet(out)
+
+
+@query(
+    "source_pydatasource_pushdown",
+    oracle="""
+    SELECT token, op, user_id, cluster_epoch, event_type, value, props
+    FROM (
+      SELECT printf('%012d', event_id) AS token,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+                  THEN 'insert' ELSE 'update' END AS op,
+             user_id,
+             (epoch_ns(ts) // 1000000000) AS cluster_epoch,
+             event_type, value, props
+      FROM events
+    )
+    WHERE op IN ('insert', 'update')
+    """,
+)
+def source_pydatasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2 through the jar-free Python Data Source connector
+    (sources/pydatasource.py): open the change feed via
+    ``format("mongo_changefeed_py")`` — a real registered
+    ``pyspark.sql.datasource.DataSource`` — with the insert/update
+    predicate PUSHED INSIDE the source via ``pushFilters`` (the
+    server-side ``$match`` analog, js:221-223): delete events are
+    dropped at the Arrow scan, before any row reaches Spark; the
+    executed plan carries no Filter node (pinned in tests/test_plans.py).
+    One partition per log file ≅ one cursor per shard (md:220-223).
+    The oracle re-derives the filtered feed relationally, so source
+    framing + pushdown semantics + Arrow batch delivery are all in the
+    hash."""
+    from mongodb_cdc_spark.sources.pydatasource import FORMAT_NAME, register
+
+    log_path = write_change_log(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", log_path)
+        .load()
+        .filter(F.col("operationType").isin("insert", "update"))
+    )
+    return df.select(
+        F.col("_id").alias("token"),
+        F.col("operationType").alias("op"),
+        F.col("documentKey._id").alias("user_id"),
+        F.to_unix_timestamp("clusterTime").cast("bigint").alias("cluster_epoch"),
+        F.col("fullDocument.event_type").alias("event_type"),
+        F.col("fullDocument.value").alias("value"),
+        F.col("fullDocument.props").alias("props"),
+    )

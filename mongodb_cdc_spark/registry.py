@@ -168,6 +168,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_dedup_containment",
     "agg_bitmap_distinct",
     "scan_schema_merge",
+    "source_pydatasource_pushdown",
+    "cdc_resume_gap_detect",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

@@ -36,6 +36,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # stay broadcastable; facts never are. 64 MB keeps star-join dims on the
     # broadcast path even at sf100-equivalent dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The Python Data Source connector (sources/pydatasource.py) declares
+    # pushFilters(); Spark refuses to plan it unless pushdown is opted in.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -432,3 +432,13 @@ def test_schema_merge_scan_keeps_pushdown(spark, sf_dir):
     assert "event_id" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0], (
         "unused event_id column not pruned from merged-schema scan"
     )
+
+
+def test_pydatasource_pushdown_consumes_filter(spark, sf_dir):
+    """The isin predicate on operationType must be consumed by the
+    Python data source's pushFilters (the server-side $match analog) —
+    no Filter node may remain above the BatchScan."""
+    df = QUERIES["source_pydatasource_pushdown"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan mongo_changefeed_py" in plan, plan
+    assert "Filter " not in plan and "+- Filter" not in plan, plan

@@ -106,6 +106,7 @@ HEAVY = [
     "ext_dedup_containment",
     "agg_bitmap_distinct",
     "scan_schema_merge",
+    "source_pydatasource_pushdown",
 ]
 
 
