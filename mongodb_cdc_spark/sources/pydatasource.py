@@ -43,11 +43,13 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from mongodb_cdc_spark.sources.changefeed import EVENT_SCHEMA
@@ -176,6 +178,98 @@ class ChangefeedStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: one staged parquet part (picklable)."""
+
+    file: str
+    n_rows: int
+
+
+class ChangefeedUpsertWriter(DataSourceStreamWriter):
+    """Two-phase-commit micro-batch sink — the ``bulkWrite`` + checkpoint
+    analog (js:188-199 unordered bulk apply, js:272-278 commit):
+
+    * **task side** (``write``): each partition streams its rows into a
+      parquet part under ``.staging/`` — the unordered parallel write,
+      one writer per partition like one bulk op batch per shard.
+    * **driver side** (``commit``): staged parts are renamed into
+      ``batch=<id>/`` and a ``_commits/<id>.json`` manifest is written
+      LAST — the atomicity point. A replayed batchId whose manifest
+      already exists discards its staged parts and commits nothing:
+      at-least-once delivery + idempotent commit = exactly-once effect
+      (R9, js:114-115), the same contract the parquet upsert target
+      implements JVM-side (streaming/upsert.py).
+    * **abort**: staged parts are deleted; nothing uncommitted is ever
+      visible to readers (``read_committed`` lists manifests, not dirs).
+    """
+
+    def __init__(self, options):
+        self._path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        staging = os.path.join(self._path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        file = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        if rows:
+            names = list(rows[0].__fields__)
+            cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            pq.write_table(pa.table(cols), file)
+        return _StagedFile(file=file, n_rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        commits = os.path.join(self._path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        manifest = os.path.join(commits, f"{batchId}.json")
+        parts = [m for m in messages if m is not None and m.n_rows > 0]
+        if os.path.exists(manifest):  # replayed batch: idempotent no-op
+            for m in parts:
+                if os.path.exists(m.file):
+                    os.remove(m.file)
+            return
+        batch_dir = os.path.join(self._path, f"batch={batchId}")
+        os.makedirs(batch_dir, exist_ok=True)
+        final = []
+        for m in parts:
+            dst = os.path.join(batch_dir, os.path.basename(m.file))
+            os.rename(m.file, dst)
+            final.append({"file": dst, "n_rows": m.n_rows})
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "files": final}, f)
+        os.rename(tmp, manifest)  # atomic visibility point
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+def read_committed(spark, path: str):
+    """Read ONLY committed batches of a ChangefeedUpsertWriter target
+    (manifest-listed files; staged or aborted parts are invisible)."""
+    import json
+
+    commits = os.path.join(path, "_commits")
+    files: list[str] = []
+    if os.path.isdir(commits):
+        for mf in sorted(os.listdir(commits)):
+            if mf.endswith(".json"):
+                with open(os.path.join(commits, mf)) as f:
+                    files.extend(e["file"] for e in json.load(f)["files"])
+    if not files:
+        return spark.createDataFrame([], "token string")
+    return spark.read.parquet(*files)
+
+
 class ChangefeedPyDataSource(DataSource):
     """``spark.read.format("mongo_changefeed_py")`` — see module doc."""
 
@@ -191,6 +285,9 @@ class ChangefeedPyDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return ChangefeedStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ChangefeedUpsertWriter(self.options)
 
 
 def register(spark) -> None:

@@ -682,3 +682,69 @@ def test_pydatasource_stream_resumes_from_offsets(spark):
     time.sleep(3)
     q2.stop()
     assert _rows() == expected
+
+
+def test_pydatasource_writer_two_phase_commit_exactly_once(spark):
+    """The Python Data Source sink's two-phase commit (staged parts ->
+    rename -> manifest-last): a full drain lands exactly the feed's
+    rows, a restart from the same checkpoint replays nothing, orphaned
+    staged files are invisible to readers, and no staged parts leak
+    from committed batches."""
+    import os
+    import time
+
+    from mongodb_cdc_spark.sources.changefeed import write_change_log
+    from mongodb_cdc_spark.sources.pydatasource import (
+        FORMAT_NAME,
+        read_committed,
+        register,
+    )
+    from mongodb_cdc_spark.streaming.pipeline import new_scratch_dir
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    log = write_change_log(spark, sf_dir)
+    expected = spark.read.parquet(log).count()
+    register(spark)
+    tgt = new_scratch_dir("pyds_tpc_tgt")
+    ckpt = new_scratch_dir("pyds_tpc_ckpt")
+
+    def _start():
+        return (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", log)
+            .load()
+            .select(
+                F.col("_id").alias("token"),
+                F.col("operationType").alias("op"),
+                F.col("documentKey._id").alias("user_id"),
+            )
+            .writeStream.format(FORMAT_NAME)
+            .option("path", tgt)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = _start()
+    deadline = time.time() + 120
+    while time.time() < deadline and read_committed(spark, tgt).count() < expected:
+        time.sleep(0.5)
+    q.stop()
+    assert read_committed(spark, tgt).count() == expected
+
+    # Restart on the same checkpoint: committed manifests make replayed
+    # batches no-ops (R9: at-least-once + idempotent commit).
+    q2 = _start()
+    time.sleep(3)
+    q2.stop()
+    assert read_committed(spark, tgt).count() == expected
+
+    # An orphaned staged part (simulated crash between write and commit)
+    # must be invisible to readers.
+    staging = os.path.join(tgt, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "part-orphan.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert read_committed(spark, tgt).count() == expected
