@@ -84,6 +84,7 @@ HEADLINE = [
     ("sql_tpch_q6", None),
     ("sql_tpch_q10", None),
     ("sql_tpch_q18", None),
+    ("sql_tpch_q19", None),
     ("scan_partitioned_pruned", None),
     ("ext_shuffle_shards", None),
     ("agg_bitmap_distinct", None),

@@ -737,3 +737,44 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("bigint").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+@query(
+    "agg_bitmap_range_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_week
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) < DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational payoff of `agg_bitmap_distinct`: build the
+    PER-DAY level-1 word table (day, key, bucket, word) — the shape a
+    100 TB pipeline would persist daily — then answer "exact distinct
+    users for Jan 8-14" by OR-merging just that week's words, never
+    re-reading the events. OR is idempotent and associative, so the
+    merge is correct for any date range, any re-run, any partial
+    overlap — the mergeable-summaries contract with an EXACT answer.
+    The oracle recomputes true COUNT(DISTINCT) from the raw rows for
+    the same window; equality proves the daily-sketch path loses
+    nothing."""
+    e = load_table(spark, sf_dir, "events")
+    daily_words = e.withColumn("d", F.to_date("ts")).groupBy(
+        "d", "event_type", F.expr("user_id div 64").alias("bucket")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+        ).alias("word")
+    )
+    week = daily_words.filter(
+        (F.col("d") >= F.lit("2024-01-08")) & (F.col("d") < F.lit("2024-01-15"))
+    )
+    merged = week.groupBy("event_type", "bucket").agg(
+        F.expr("bit_or(word)").alias("word")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users_week")
+    )

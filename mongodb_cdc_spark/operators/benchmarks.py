@@ -226,6 +226,38 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_q18(0, "CAST(to_unix_timestamp(o_orderdate) AS BIGINT)"))
 
 
+def _q19(dialect: int) -> str:
+    rev = sum2_sql(_DISC, "revenue")[dialect]
+    return f"""
+    SELECT {rev}, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size >= 1 AND p_size <= 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """
+
+
+@query("sql_tpch_q19", oracle=_q19(1))
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    OR-of-conjunctions query that stress-tests predicate handling. The
+    planner-relevant behaviors: (a) Catalyst derives the IMPLIED
+    single-table predicates from the disjunction — `p_brand IN (12, 23,
+    3)` pushes to the part scan and `l_quantity BETWEEN 1 AND 30` to the
+    lineitem scan (each conjunct of every branch contributes to a
+    per-side OR that prunes before the join); (b) the residual
+    cross-table disjunction evaluates post-join in codegen; (c) part
+    stays broadcast. Without (a), a disjunctive filter reads both
+    relations in full — at 100 TB the difference between scanning three
+    brands and scanning the catalog."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q19(0))
+
+
 def _q10(dialect: int) -> str:
     rev = sum2_sql(_DISC, "revenue")[dialect]
     return f"""

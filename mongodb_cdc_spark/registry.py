@@ -170,6 +170,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_schema_merge",
     "source_pydatasource_pushdown",
     "cdc_resume_gap_detect",
+    "agg_bitmap_range_merge",
+    "sql_tpch_q19",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

@@ -442,3 +442,18 @@ def test_pydatasource_pushdown_consumes_filter(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan mongo_changefeed_py" in plan, plan
     assert "Filter " not in plan and "+- Filter" not in plan, plan
+
+
+def test_q19_disjunction_pushes_implied_predicates_both_sides(spark, sf_dir):
+    """Catalyst must derive per-side filters from the OR-of-conjunctions:
+    a quantity predicate must reach the lineitem scan and a brand/size
+    predicate the part scan — without this, a disjunctive filter reads
+    both relations in full."""
+    df = QUERIES["sql_tpch_q19"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li = next(ln for ln in scans if "l_partkey" in ln)
+    pt = next(ln for ln in scans if "p_partkey" in ln)
+    assert "l_quantity" in li.split("DataFilters", 1)[1][:200], li
+    assert "p_brand" in pt.split("DataFilters", 1)[1][:200], pt
+    assert "BroadcastHashJoin" in plan, plan

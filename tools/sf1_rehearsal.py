@@ -107,6 +107,9 @@ HEAVY = [
     "agg_bitmap_distinct",
     "scan_schema_merge",
     "source_pydatasource_pushdown",
+    "agg_bitmap_range_merge",
+    "sql_tpch_q19",
+    "cdc_resume_gap_detect",
 ]
 
 
