@@ -542,3 +542,175 @@ def source_pydatasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fullDocument.value").alias("value"),
         F.col("fullDocument.props").alias("props"),
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState tier: Spark 4's arbitrary-stateful-processor API
+# --------------------------------------------------------------------------
+
+_TWS_OUT_SCHEMA = (
+    "user_id bigint, ts_us bigint, token string, event_type string, "
+    "value double, props string"
+)
+
+
+class _LatestStateProcessor:
+    """StatefulProcessor keeping the (ts, token)-latest event per key in
+    a ValueState — the R6/R7 apply loop as a typed state machine.
+    Defined lazily-subclassed (see _make_tws_processor) so importing this
+    module never hard-requires the stateful-processor API."""
+
+
+def _make_tws_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _P(StatefulProcessor):
+        def init(self, handle):
+            self._latest = handle.getValueState(
+                "latest",
+                "ts_us bigint, token string, event_type string, "
+                "value double, props string",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            df = pd.concat(list(rows), ignore_index=True)
+            if self._latest.exists():
+                prev = self._latest.get()
+                df = pd.concat(
+                    [
+                        pd.DataFrame(
+                            [prev],
+                            columns=[
+                                "ts_us",
+                                "token",
+                                "event_type",
+                                "value",
+                                "props",
+                            ],
+                        ),
+                        df[["ts_us", "token", "event_type", "value", "props"]],
+                    ],
+                    ignore_index=True,
+                )
+            else:
+                df = df[["ts_us", "token", "event_type", "value", "props"]]
+            # vectorized argmax on (ts_us, token) — no per-row Python loop
+            best = df.sort_values(["ts_us", "token"]).iloc[-1]
+            self._latest.update(
+                (
+                    int(best["ts_us"]),
+                    str(best["token"]),
+                    str(best["event_type"]),
+                    float(best["value"]),
+                    str(best["props"]),
+                )
+            )
+            out = pd.DataFrame(
+                [
+                    {
+                        "user_id": int(key[0]),
+                        "ts_us": int(best["ts_us"]),
+                        "token": str(best["token"]),
+                        "event_type": str(best["event_type"]),
+                        "value": float(best["value"]),
+                        "props": str(best["props"]),
+                    }
+                ]
+            )
+            yield out
+
+        def close(self):
+            pass
+
+    return _P()
+
+
+def tws_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM
+    state server; without the (optional) protobuf package the API cannot
+    start. Baked-in environments without it get the applyInPandasWithState
+    tier (stream_stateful_upsert) — same semantics, older API."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/R7 on Spark 4's ``transformWithStateInPandas`` — the successor
+    API to ``applyInPandasWithState`` (stream_stateful_upsert covers
+    that tier): a ``StatefulProcessor`` with a typed ``ValueState``
+    holding the (ts, token)-latest event per key, running on the RocksDB
+    state store (required by transformWithState; also the store you want
+    at 100 TB — state spills to disk + changelog checkpoints instead of
+    living in executor heap). Each micro-batch emits the key's new
+    running latest; the drained fixpoint must equal the batch
+    latest-per-key oracle (_FINAL_STATE_ORACLE). Same production note as
+    the pandas-state tier: the JVM `foreachBatch` MERGE is the
+    throughput path; this tier exists for true custom state machines
+    (timers, TTL, multiple typed states per key — the handle exposes
+    value/list/map state and timer registration).
+
+    NOT in the registry: the API needs the protobuf package for its
+    Python<->JVM state protocol, which this environment does not ship
+    (gate: :func:`tws_available`; tests/test_streaming.py skips
+    accordingly). On a cluster with protobuf installed this function is
+    driver-checkable against _FINAL_STATE_ORACLE as-is."""
+    log_path = write_change_log(spark, sf_dir)
+    feed = read_changefeed_stream(spark, log_path)
+    kept = feed.filter(F.col("operationType").isin("insert", "update")).select(
+        F.col("documentKey._id").alias("user_id"),
+        F.unix_micros("clusterTime").alias("ts_us"),
+        F.col("_id").alias("token"),
+        F.col("fullDocument.event_type").alias("event_type"),
+        F.col("fullDocument.value").alias("value"),
+        F.col("fullDocument.props").alias("props"),
+    )
+    updates = kept.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink_name = f"tws_upsert_{uuid.uuid4().hex[:12]}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with state_partitions(spark):
+            q = (
+                updates.writeStream.format("memory")
+                .queryName(sink_name)
+                .outputMode("update")
+                .option("checkpointLocation", new_scratch_dir("tws_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            run_to_completion(q)
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+    snapshots = spark.table(sink_name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("token").desc()
+    )
+    return (
+        snapshots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            (F.col("ts_us") / F.lit(1000000)).cast("bigint").alias("ts_epoch"),
+        )
+    )

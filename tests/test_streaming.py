@@ -748,3 +748,29 @@ def test_pydatasource_writer_two_phase_commit_exactly_once(spark):
     with open(os.path.join(staging, "part-orphan.parquet"), "wb") as f:
         f.write(b"garbage")
     assert read_committed(spark, tgt).count() == expected
+
+
+def test_transform_with_state_upsert_matches_batch_or_skips(spark, sf_dir):
+    """The transformWithStateInPandas tier (Spark 4 StatefulProcessor +
+    RocksDB store): its drained fixpoint must equal the batch
+    latest-per-key result. Skips where protobuf (the API's state-server
+    protocol dependency) is not installed — the applyInPandasWithState
+    tier covers the same semantics there."""
+    import pytest
+
+    from mongodb_cdc_spark.operators.streams import (
+        stream_tws_upsert,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not installed; transformWithState unavailable")
+    got = {
+        r["user_id"]: (r["event_type"], r["value"], r["props"])
+        for r in stream_tws_upsert(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["event_type"], r["value"], r["props"])
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    assert got == want
