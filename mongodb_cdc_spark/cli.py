@@ -49,6 +49,8 @@ def cmd_replicate(cfg: CDCConfig, args) -> int:
         processing_time=cfg.trigger_interval,
         watermark=cfg.watermark,
         max_files_per_trigger=cfg.max_files_per_trigger,
+        start_time=getattr(args, "start_time", None),
+        end_time=getattr(args, "end_time", None),
     )
     if args.drain:
         run_to_completion(q)
@@ -170,6 +172,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="command", required=True)
 
     sp = sub.add_parser("replicate", help="continuous replication (entry 1)")
+    sp.add_argument("--start-time", dest="start_time",
+                    help="replicate only events with clusterTime >= this "
+                         "(reference --start-time, js:226-232)")
+    sp.add_argument("--end-time", dest="end_time",
+                    help="replicate only events with clusterTime <= this")
     sp.add_argument("--drain", action="store_true",
                     help="availableNow: drain current feed contents and exit")
     sp.set_defaults(fn=cmd_replicate)

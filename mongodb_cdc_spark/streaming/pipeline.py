@@ -70,14 +70,27 @@ def start_cdc_replication(
     processing_time: str = "5 seconds",
     watermark: str | None = "10 minutes",
     max_files_per_trigger: int = 2,
+    start_time: str | None = None,
+    end_time: str | None = None,
 ) -> StreamingQuery:
     """Open the change feed and start replicating into the upsert target.
 
     ``available_now=True`` drains everything currently in the source and
     stops (test/batch-backfill mode); otherwise a continuous trigger
     mirrors the reference's 5 s flush cadence (js:326-349).
+
+    ``start_time``/``end_time`` bound the replicated window on
+    ``clusterTime`` — the reference's ``--start-time/--end-time`` CLI
+    flags mutating the ``$match`` stage (R3, js:226-232): the predicate
+    rides the feed before any state or sink work, so out-of-window
+    events are dropped at the scan, exactly like the server-side
+    pipeline filter.
     """
     feed = read_changefeed_stream(spark, source_path, max_files_per_trigger)
+    if start_time:
+        feed = feed.filter(F.col("clusterTime") >= F.lit(start_time).cast("timestamp"))
+    if end_time:
+        feed = feed.filter(F.col("clusterTime") <= F.lit(end_time).cast("timestamp"))
     if watermark:
         feed = feed.withWatermark("clusterTime", watermark)
     # Observed per-batch op-type counters = the reference's stats object

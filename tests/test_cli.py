@@ -103,3 +103,38 @@ def test_compact_crash_leaves_table_readable(spark, sf_dir):
     assert spark.read.parquet(path).count() == n
     assert parquet_file_count(path) == 2
     assert not os.path.exists(staging)
+
+
+def test_replicate_time_window_bounds_the_feed(spark, sf_dir, capsys):
+    """R3 (--start-time/--end-time, js:226-232): a bounded replicate
+    must apply exactly the events inside the clusterTime window — the
+    target's keys equal the batch latest-per-key over that window."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    t1, t2 = "2024-01-08 00:00:00", "2024-01-14 23:59:59"
+    src = write_change_log(spark, sf_dir)
+    target = new_scratch_dir("cli_win_target")
+    ckpt = new_scratch_dir("cli_win_ckpt")
+    rc = cli.main(
+        ["--source", src, "--target", target, "--checkpoint-dir", ckpt,
+         "replicate", "--drain", "--start-time", t1, "--end-time", t2]
+    )
+    assert rc == 0
+    got = ParquetUpsertTarget(target).current(spark)
+    assert got is not None
+    want = (
+        derive_change_log(spark, sf_dir)
+        .filter(F.col("operationType").isin("insert", "update"))
+        .filter(F.col("clusterTime").between(t1, t2))
+        .select(F.col("documentKey._id").alias("k"))
+        .distinct()
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0
+    # and nothing outside the window leaked in: keys must match exactly
+    got_keys = {r["_id"] for r in got.select("_id").collect()}
+    want_keys = {r["k"] for r in want.collect()}
+    assert got_keys == want_keys
