@@ -778,3 +778,60 @@ def agg_bitmap_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).cast("bigint").alias("n_users_week")
     )
+
+
+@query(
+    "agg_bitmap_audience_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_purchasers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_clickers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE user_id IN (SELECT user_id FROM b))
+             AS n_both,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+             AS n_either,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+             AS n_purchase_only
+    """,
+)
+def agg_bitmap_audience_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience set algebra on bitmaps: |A|, |B|, |A∩B|, |A∪B|,
+    |A\\B| for two behavioral audiences (purchasers vs clickers) computed
+    as bitwise AND/OR/AND-NOT over the per-bucket 64-bit word tables —
+    never a user-level join. This is why a 100 TB platform stores
+    audience bitmaps: once each audience is (bucket, word) rows, every
+    boolean combination of ANY number of audiences costs one
+    bucket-keyed join of vocabulary-sized word tables (64 users per
+    row), and the words are the same mergeable partials
+    `agg_bitmap_range_merge` stores per day. The oracle recomputes all
+    five cardinalities from raw DISTINCT sets — a single wrong bit in
+    any word breaks the hash."""
+    e = load_table(spark, sf_dir, "events")
+
+    def words(event_type: str, prefix: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy(F.expr("user_id div 64").alias("bucket"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+                ).alias(f"{prefix}_word")
+            )
+        )
+
+    joined = (
+        words("purchase", "a")
+        .join(words("click", "b"), "bucket", "full_outer")
+        .select(
+            F.coalesce("a_word", F.lit(0)).alias("a"),
+            F.coalesce("b_word", F.lit(0)).alias("b"),
+        )
+    )
+    return joined.agg(
+        F.sum(F.bit_count("a")).cast("bigint").alias("n_purchasers"),
+        F.sum(F.bit_count("b")).cast("bigint").alias("n_clickers"),
+        F.sum(F.bit_count(F.expr("a & b"))).cast("bigint").alias("n_both"),
+        F.sum(F.bit_count(F.expr("a | b"))).cast("bigint").alias("n_either"),
+        F.sum(F.bit_count(F.expr("a & ~b"))).cast("bigint").alias("n_purchase_only"),
+    )

@@ -171,6 +171,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "source_pydatasource_pushdown",
     "cdc_resume_gap_detect",
     "agg_bitmap_range_merge",
+    "agg_bitmap_audience_ops",
     "sql_tpch_q19",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so

@@ -108,6 +108,7 @@ HEAVY = [
     "scan_schema_merge",
     "source_pydatasource_pushdown",
     "agg_bitmap_range_merge",
+    "agg_bitmap_audience_ops",
     "sql_tpch_q19",
     "cdc_resume_gap_detect",
 ]
