@@ -40,24 +40,40 @@ def cmd_replicate(cfg: CDCConfig, args) -> int:
             "classpath; see sources/changefeed.py::mongo_stream_options"
         )
     target = ParquetUpsertTarget(cfg.target)
-    q = start_cdc_replication(
-        spark,
-        cfg.source,
-        target,
-        cfg.checkpoint_dir,
-        available_now=args.drain,
-        processing_time=cfg.trigger_interval,
-        watermark=cfg.watermark,
-        max_files_per_trigger=cfg.max_files_per_trigger,
-        start_time=getattr(args, "start_time", None),
-        end_time=getattr(args, "end_time", None),
-    )
+
+    def _start():
+        return start_cdc_replication(
+            spark,
+            cfg.source,
+            target,
+            cfg.checkpoint_dir,
+            available_now=args.drain,
+            processing_time=cfg.trigger_interval,
+            watermark=cfg.watermark,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            start_time=getattr(args, "start_time", None),
+            end_time=getattr(args, "end_time", None),
+        )
+
     if args.drain:
-        run_to_completion(q)
+        run_to_completion(_start())
         print(json.dumps({"status": "drained", "stats": listener.report.__dict__},
                          default=str))
     else:
-        q.awaitTermination()
+        # Continuous mode runs under the R10 supervisor: restart from
+        # the checkpoint on stream error (js:286-299), bounded retries.
+        from mongodb_cdc_spark.streaming.pipeline import run_supervised
+
+        run_supervised(
+            _start,
+            max_restarts=args.max_restarts,
+            restart_delay_s=5.0,  # js:296-298
+            on_error=lambda exc, n: print(
+                json.dumps({"alert": "stream_error", "attempt": n,
+                            "error": str(exc)[:200]}),
+                file=sys.stderr,
+            ),
+        )
     return 0
 
 
@@ -177,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(reference --start-time, js:226-232)")
     sp.add_argument("--end-time", dest="end_time",
                     help="replicate only events with clusterTime <= this")
+    sp.add_argument("--max-restarts", dest="max_restarts", type=int, default=5,
+                    help="supervisor restart budget for continuous mode "
+                         "(reference restarts forever, js:286-299)")
     sp.add_argument("--drain", action="store_true",
                     help="availableNow: drain current feed contents and exit")
     sp.set_defaults(fn=cmd_replicate)

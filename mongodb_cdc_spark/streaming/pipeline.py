@@ -122,3 +122,41 @@ def run_to_completion(query: StreamingQuery, timeout_s: int = 300) -> None:
     if not finished:
         query.stop()
         raise TimeoutError(f"streaming query did not drain in {timeout_s}s")
+
+
+def run_supervised(
+    start_query,
+    max_restarts: int = 5,
+    restart_delay_s: float = 5.0,
+    on_error=None,
+) -> int:
+    """R10 error recovery as a concrete supervisor — the reference's
+    ``on('error')`` handler restarts the stream from the last resume
+    token after 5 s (js:286-299) and retries failed startup after a
+    longer pause (js:369-382). Here: ``start_query()`` must start a
+    query against a FIXED checkpointLocation (the offset log IS the
+    resume token); on failure the supervisor waits ``restart_delay_s``
+    and re-starts — Spark resumes from the last committed batch, and
+    because the sink is an idempotent MERGE, the half-applied failed
+    batch replays safely (R9). Gives up after ``max_restarts``
+    consecutive failures (the reference loops forever; a bound is the
+    production-sane default — page a human instead of flapping).
+
+    Returns the number of restarts it took to reach a clean stop.
+    ``on_error(exc, attempt)`` is the alert hook (R20 seam, js:61-90).
+    """
+    import time as _time
+
+    restarts = 0
+    while True:
+        try:
+            q = start_query()
+            q.awaitTermination()
+            return restarts  # drained / stopped cleanly
+        except Exception as exc:  # startup OR mid-stream failure
+            restarts += 1
+            if on_error is not None:
+                on_error(exc, restarts)
+            if restarts > max_restarts:
+                raise
+            _time.sleep(restart_delay_s)

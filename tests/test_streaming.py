@@ -774,3 +774,82 @@ def test_transform_with_state_upsert_matches_batch_or_skips(spark, sf_dir):
         for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_supervisor_restarts_failed_query_until_converged(spark, sf_dir):
+    """R10: the supervisor must restart a crashing pipeline from its
+    checkpoint until it drains, and the final state must equal a clean
+    run's — at-least-once replay of the failed batch is absorbed by the
+    idempotent MERGE (R9)."""
+    from mongodb_cdc_spark.sources.changefeed import read_changefeed_stream
+    from mongodb_cdc_spark.streaming.pipeline import run_supervised
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        foreach_batch_upsert,
+    )
+
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("sup_target"))
+    ckpt = new_scratch_dir("sup_ckpt")
+    bomb = {"fails_left": 2}
+    inner = foreach_batch_upsert(target)
+
+    def flaky(batch_df, epoch_id):
+        if epoch_id >= 1 and bomb["fails_left"] > 0:
+            bomb["fails_left"] -= 1
+            raise RuntimeError("injected sink failure (test)")
+        inner(batch_df, epoch_id)
+
+    def start():
+        return (
+            read_changefeed_stream(spark, log_path, max_files_per_trigger=1)
+            .writeStream.foreachBatch(flaky)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    alerts = []
+    restarts = run_supervised(
+        start,
+        max_restarts=5,
+        restart_delay_s=0.1,
+        on_error=lambda exc, n: alerts.append(n),
+    )
+    assert restarts == 2 and alerts == [1, 2]
+
+    got = {
+        r["_id"]: r["event_type"] for r in target.current(spark).collect()
+    }
+    want = {
+        r["user_id"]: r["event_type"]
+        for r in QUERIES["cdc_apply_upsert"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_supervisor_gives_up_after_max_restarts(spark, sf_dir):
+    """A permanently failing pipeline must surface its error after the
+    restart budget, not flap forever."""
+    import pytest
+
+    from mongodb_cdc_spark.sources.changefeed import read_changefeed_stream
+    from mongodb_cdc_spark.streaming.pipeline import run_supervised
+
+    log_path = write_change_log(spark, sf_dir)
+    ckpt = new_scratch_dir("sup2_ckpt")
+
+    def always_fails(batch_df, epoch_id):
+        raise RuntimeError("permanent failure (test)")
+
+    def start():
+        return (
+            read_changefeed_stream(spark, log_path)
+            .writeStream.foreachBatch(always_fails)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception, match="permanent failure|STREAM"):
+        run_supervised(start, max_restarts=2, restart_delay_s=0.05)
