@@ -593,3 +593,70 @@ def cdc_resume_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_missing") > 0)
         .select("bucket", F.col("n_present").cast("bigint").alias("n_present"), "n_missing")
     )
+
+
+@query(
+    "cdc_bootstrap_sync",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+           (epoch_ns(ts) // 1000000000) AS ts_epoch
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type <> 'error'
+    ) WHERE rn = 1
+    """,
+)
+def cdc_bootstrap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC bootstrap: initial snapshot + incremental tail. A real
+    deployment cannot replay history from t=0 — it takes a SNAPSHOT of
+    the source state at cutover time t0, then applies only the change
+    stream after t0 (the reference does exactly this when started with
+    --start-time against an already-populated target, js:213-216 +
+    js:226-232). The classic bug class is the seam: events straddling t0
+    double-applied or lost. Here both phases are computed and merged:
+    snapshot = latest-per-key at t0 (mid-way through the data),
+    tail = events after t0, final = latest-per-key over
+    (snapshot ∪ tail) — each phase a keyed window on the SAME user_id
+    partitioning, so the merge adds no extra shuffle beyond the union.
+    The oracle is the latest-per-key over ALL events: bootstrap + tail
+    must be indistinguishable from full-history replay, which is the
+    correctness definition of a cutover. Snapshot rows carry a sentinel
+    token ordering BELOW any real tail event at the same timestamp, so
+    a tail event with ts == t0 wins over the snapshot row it superseded
+    (at-least-once across the seam, resolved by idempotent latest-wins
+    — never double-applied, never lost)."""
+    t0 = "2024-01-15 00:00:00"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    snapshot = latest(ev.filter(F.col("ts") <= F.lit(t0))).withColumn(
+        # snapshot rows replay as "older than any tail event with the
+        # same ts": event_id -1 sorts below every real id
+        "event_id",
+        F.lit(-1).cast("bigint"),
+    )
+    tail = ev.filter(F.col("ts") > F.lit(t0))
+    final = latest(
+        snapshot.select("user_id", "event_id", "ts", "event_type", "value")
+        .unionByName(tail.select("user_id", "event_id", "ts", "event_type", "value"))
+    )
+    return final.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("value_cents"),
+        F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+    )

@@ -170,6 +170,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_schema_merge",
     "source_pydatasource_pushdown",
     "cdc_resume_gap_detect",
+    "cdc_bootstrap_sync",
     "agg_bitmap_range_merge",
     "agg_bitmap_audience_ops",
     "sql_tpch_q19",

@@ -111,6 +111,7 @@ HEAVY = [
     "agg_bitmap_audience_ops",
     "sql_tpch_q19",
     "cdc_resume_gap_detect",
+    "cdc_bootstrap_sync",
 ]
 
 
