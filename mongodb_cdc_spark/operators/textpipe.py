@@ -947,3 +947,75 @@ def ext_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("okey") % _PACK).alias("first_doc"),
         (F.max("okey") % _PACK).alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset datasheet: the one-row corpus report
+# --------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents
+),
+uniq AS (
+  SELECT COUNT(*) AS n_unique_texts
+  FROM (SELECT DISTINCT md5(text) FROM documents)
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       n_langs, n_sources, n_tokens,
+       CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+       CAST(((n_docs - n_unique_texts) * 10000) // n_docs AS BIGINT)
+         AS dup_rate_bp,
+       CAST((sum_chars * 100) // n_docs AS BIGINT) AS avg_chars_cents
+FROM base CROSS JOIN uniq CROSS JOIN dims
+"""
+
+
+@query("ext_dataset_card", oracle=_CARD_ORACLE)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet: one row summarizing the corpus — doc,
+    language, and source counts, total tokens, exact-duplicate rate
+    (basis points), mean document length — the numbers every training
+    run records before touching the data. Computed scale-right: the
+    overall stats are ONE full-scan aggregate; the unique-text count is
+    a dedup sub-aggregate on 16-byte md5 keys (its own shuffle, rather
+    than a COUNT(DISTINCT) inside the main aggregate, which would
+    Expand-multiply every corpus row per distinct column); lang/source
+    distincts run over vocabulary-sized inputs. The three 1-row frames
+    cross-join for free. All ratios are integer arithmetic — basis
+    points and cents, never float division."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    uniq = (
+        d.select(F.md5("text").alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_unique_texts"))
+    )
+    dims = d.agg(
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    j = base.crossJoin(uniq).crossJoin(dims)
+    return j.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        F.col("n_unique_texts").cast("bigint").alias("n_unique_texts"),
+        F.expr("((n_docs - n_unique_texts) * 10000) div n_docs")
+        .cast("bigint")
+        .alias("dup_rate_bp"),
+        F.expr("(sum_chars * 100) div n_docs").cast("bigint").alias("avg_chars_cents"),
+    )

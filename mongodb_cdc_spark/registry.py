@@ -171,6 +171,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "source_pydatasource_pushdown",
     "cdc_resume_gap_detect",
     "cdc_bootstrap_sync",
+    "ext_dataset_card",
     "agg_bitmap_range_merge",
     "agg_bitmap_audience_ops",
     "sql_tpch_q19",
