@@ -1537,3 +1537,81 @@ def ext_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("probe_id", "vec_id", "rank")
     )
+
+
+@query(
+    "ext_classifier_metrics",
+    oracle=f"""
+    WITH conf AS (
+      SELECT lang AS actual, {_langid_pred_sql()} AS predicted, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tp AS (SELECT actual AS lang, CAST(SUM(n) AS BIGINT) AS tp
+           FROM conf WHERE actual = predicted GROUP BY 1),
+    act AS (SELECT actual AS lang, CAST(SUM(n) AS BIGINT) AS n_actual
+            FROM conf GROUP BY 1),
+    prd AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM conf GROUP BY 1)
+    SELECT act.lang,
+           COALESCE(tp.tp, CAST(0 AS BIGINT)) AS tp,
+           act.n_actual,
+           COALESCE(prd.n_pred, CAST(0 AS BIGINT)) AS n_pred,
+           CAST(CASE WHEN COALESCE(prd.n_pred, 0) = 0 THEN 0
+                ELSE (COALESCE(tp.tp, 0) * 10000) // prd.n_pred END AS BIGINT)
+             AS precision_bp,
+           CAST((COALESCE(tp.tp, 0) * 10000) // act.n_actual AS BIGINT)
+             AS recall_bp
+    FROM act
+    LEFT JOIN tp ON tp.lang = act.lang
+    LEFT JOIN prd ON prd.lang = act.lang
+    """,
+)
+def ext_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as an engine operator: per-language
+    precision and recall (integer basis points) of the heuristic
+    language-ID against the labeled column — the eval step every
+    labeling/filtering model in a data pipeline needs at corpus scale.
+    Derived entirely from the (actual, predicted, n) confusion matrix
+    (languages x languages rows — vocabulary-sized however big the
+    corpus), so the expensive part is ONE scan + one tiny aggregate;
+    the metric joins are on a 5-row frame. Ratios are truncating
+    integer division on both engines; absent cells coalesce to 0
+    rather than dropping a language from the report."""
+    d = load_table(spark, sf_dir, "documents")
+    conf = (
+        d.select(F.col("lang").alias("actual"), _langid_pred().alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tp = (
+        conf.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.sum("n").cast("bigint").alias("tp"))
+    )
+    act = conf.groupBy(F.col("actual").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_actual")
+    )
+    prd = conf.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    j = (
+        act.join(tp, "lang", "left")
+        .join(prd, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            "n_actual",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+    )
+    return j.select(
+        "lang",
+        "tp",
+        "n_actual",
+        "n_pred",
+        F.when(F.col("n_pred") == 0, F.lit(0))
+        .otherwise(F.expr("(tp * 10000) div n_pred"))
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.expr("(tp * 10000) div n_actual").cast("bigint").alias("recall_bp"),
+    )

@@ -172,6 +172,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "cdc_resume_gap_detect",
     "cdc_bootstrap_sync",
     "ext_dataset_card",
+    "ext_classifier_metrics",
     "agg_bitmap_range_merge",
     "agg_bitmap_audience_ops",
     "sql_tpch_q19",
