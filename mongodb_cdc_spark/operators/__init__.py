@@ -27,6 +27,9 @@ MODULES = (
     "statistics",
     "quality",
     "benchmarks",
+    "benchmarks2",
+    "timeseries",
+    "graphs",
 )
 
 _loaded = False

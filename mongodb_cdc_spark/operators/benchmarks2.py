@@ -1,0 +1,613 @@
+"""TPC-H completion tier: the 13 remaining query shapes (Q2 / Q7 / Q8 /
+Q9 / Q11 / Q12 / Q13 / Q15 / Q16 / Q17 / Q20 / Q21 / Q22 analogs), so
+the engine covers all 22 TPC-H shapes end-to-end (Q1 = agg_hash_groupby,
+Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19 in benchmarks.py).
+
+The reference has no query engine at all (SURVEY.md §2A "explicitly
+absent"); this tier is the proof that switching to this repo buys a
+complete warehouse-analytics surface. The driver's star schema lacks
+``partsupp`` and a few columns (commitdate/receiptdate, shipmode,
+container, phone), so the affected queries are faithful *shape analogs*:
+the plan-level mechanics (correlated aggregates, nested IN, EXISTS /
+NOT-EXISTS self-joins, scalar-subquery thresholds, CASE-ratio shares)
+are identical; only the column feeding the predicate changed. Each
+docstring names its substitution.
+
+Determinism discipline (same as benchmarks.py): money and quantity
+aggregates run in exact cent-scaled BIGINT on both engines (sum2_sql /
+explicit FLOOR(x*100) casts), ratios are integer cross-multiplications
+or truncating division with non-negative operands (Spark ``div`` ==
+DuckDB ``//`` there), every DuckDB SUM is CAST back to BIGINT to avoid
+the HUGEINT->float64 driver-hasher mismatch, and every LIMIT carries a
+unique tiebreak.
+
+Scale notes: all shapes keep the star discipline — dimension sides
+broadcast, fact tables shuffle at most once per aggregate, semi/anti
+joins ship only join keys, and correlated subqueries decorrelate into
+aggregate-then-join (Catalyst rewrites them; the oracle text uses the
+same decorrelated form where Spark's support requires it, so the two
+engines always evaluate the same relational plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongodb_cdc_spark.io import register_views
+from mongodb_cdc_spark.operators._util import sum2_sql
+from mongodb_cdc_spark.registry import query
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+# Exact per-row cents: one IEEE multiply then FLOOR — bit-identical in
+# Spark and DuckDB (same doubles in, same double ops).
+_DISC_CENTS = (
+    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+)
+_QTY_CENTS = "CAST(FLOOR(l_quantity * 100) AS BIGINT)"
+_EP_CENTS = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, per year
+# --------------------------------------------------------------------------
+
+
+def _q7(dialect: int) -> str:
+    rev = sum2_sql("volume", "revenue")[dialect]
+    return f"""
+    SELECT supp_nation, cust_nation, l_year, COUNT(*) AS n_lines, {rev}
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               {_DISC} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """
+
+
+@query("sql_tpch_q7", oracle=_q7(1))
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade flow between two
+    nations per ship year. The nation dimension joins TWICE (supplier
+    path and customer path) — both broadcast; the symmetric two-nation
+    disjunction prunes each dimension copy to two rows before the fact
+    join, so the fact rows surviving the semi-selective nation filters
+    are the only ones shuffled for the 3-key aggregate. Year extraction
+    is cast to BIGINT on both engines (Spark EXTRACT yields INT, DuckDB
+    BIGINT)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q7(0))
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region, per year
+# --------------------------------------------------------------------------
+
+
+def _q8(dialect: int) -> str:
+    div = ("div", "//")[dialect]
+    nat = (
+        "CAST(SUM(CASE WHEN nation = 'NATION_8' THEN volume_cents "
+        "ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    )
+    tot = "CAST(SUM(volume_cents) AS BIGINT)"
+    return f"""
+    SELECT o_year,
+           {nat} AS nation_cents,
+           {tot} AS total_cents,
+           CAST(({nat} * 10000) {div} {tot} AS DOUBLE) / 100.0
+               AS mkt_share_pct
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_CENTS} AS volume_cents,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """
+
+
+@query("sql_tpch_q8", oracle=_q8(1))
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's PROMO-part order volume per year. The 8-way star join walks
+    BOTH dimension paths of the fact row (customer->nation->region for
+    the market filter, supplier->nation for the share attribution) — the
+    nation table joins twice under different roles. The share is an
+    integer cross-multiplication (cents x 10000, truncating division;
+    both operands non-negative so Spark `div` == DuckDB `//`), never a
+    float/float divide. Total volume is > 0 whenever a year-group
+    exists, so the division is safe by construction."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q8(0))
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit, per supplier nation and year
+# --------------------------------------------------------------------------
+
+
+def _q9(dialect: int) -> str:
+    return f"""
+    SELECT nation, o_year,
+           CAST(SUM(profit_cents) AS BIGINT) AS profit_cents,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_CENTS}
+                 - CAST(FLOOR(p_retailprice * l_quantity * 10) AS BIGINT)
+                 AS profit_cents
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """
+
+
+@query("sql_tpch_q9", oracle=_q9(1))
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on '%gear%' parts
+    attributed to the supplier's nation per order year. Substitution:
+    the schema has no partsupp.ps_supplycost, so unit supply cost is
+    proxied as 10% of p_retailprice — profit_cents = disc-revenue cents
+    minus FLOOR(p_retailprice*l_quantity*10), each term an exact
+    per-row floor so the (possibly negative) BIGINT sum is
+    order-independent. The LIKE filter cannot push as a range but DOES
+    prune the broadcast part build side before the fact join; the fact
+    shuffles once for the (nation, year) aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q9(0))
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part values, threshold from a global scalar subquery
+# --------------------------------------------------------------------------
+
+
+def _q11(dialect: int) -> str:
+    div = ("div", "//")[dialect]
+    base = """
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+    """
+    val = f"CAST(SUM({_EP_CENTS}) AS BIGINT)"
+    return f"""
+    SELECT l_partkey, {val} AS value_cents
+    {base}
+    GROUP BY l_partkey
+    HAVING {val} > (
+        SELECT {val} {div} 1000 {base}
+    )
+    ORDER BY value_cents DESC, l_partkey ASC
+    """
+
+
+@query("sql_tpch_q11", oracle=_q11(1))
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part traded
+    value from one nation's suppliers, keeping parts above a fraction of
+    the nation's total — the HAVING-against-global-scalar-subquery
+    shape. Substitution: value = extendedprice cents via lineitem
+    (schema has no partsupp availqty/supplycost). The scalar subquery is
+    uncorrelated — it evaluates once, broadcasts as a literal into the
+    HAVING filter, and both engines compute it from the same exact
+    BIGINT sum with truncating division on non-negative operands. Full
+    result ordered by value (unique l_partkey tiebreak); no LIMIT, the
+    threshold itself bounds the output."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q11(0))
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping-priority class counts per line status
+# --------------------------------------------------------------------------
+
+
+def _q12(dialect: int) -> str:
+    hi = (
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    lo = (
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+    SELECT l_linestatus,
+           {hi} AS high_line_count,
+           {lo} AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 14 DAY
+    GROUP BY l_linestatus
+    """
+
+
+@query("sql_tpch_q12", oracle=_q12(1))
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): lines that
+    shipped slowly (>14 days after order — the commit<receipt analog;
+    the schema has no shipmode/commitdate/receiptdate, l_linestatus
+    stands in as the mode axis), CASE-counted into high/low priority
+    classes. The year filter pushes to the lineitem scan; the fact-fact
+    join ships only (o_orderkey, o_orderdate, o_orderpriority) from
+    orders; the cross-table date predicate rides post-join in codegen;
+    counts are exact BIGINTs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q12(0))
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+
+
+def _q13(dialect: int) -> str:
+    return """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+@query("sql_tpch_q13", oracle=_q13(1))
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers — the left-outer-join-
+    then-double-aggregate shape. The filtered join condition (priority
+    <> '5-LOW', the comment NOT LIKE analog) must stay IN the join (not
+    a WHERE, which would turn the outer join inner and drop the zero
+    bucket). COUNT(o_orderkey) counts non-null matches only. First
+    aggregate shuffles on c_custkey; the second is dimension-bounded
+    (distinct counts), map-side-combinable to near-nothing."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q13(0))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue
+# --------------------------------------------------------------------------
+
+
+def _q15(dialect: int) -> str:
+    return f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_DISC_CENTS}) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    ORDER BY s_suppkey ASC
+    """
+
+
+@query("sql_tpch_q15", oracle=_q15(1))
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the view-against-its-own-max
+    shape — a quarterly per-supplier revenue CTE consumed twice, once as
+    the join input and once inside the uncorrelated MAX scalar subquery.
+    Revenue is exact cents BIGINT, so the equality against MAX is an
+    integer compare with no float-tie hazard (the reason the original
+    query is notorious). The CTE aggregates the fact once; the supplier
+    join is broadcast; ties (multiple max suppliers) all surface,
+    ordered by the unique key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q15(0))
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier count per part descriptor, with a denylist subquery
+# --------------------------------------------------------------------------
+
+
+def _q16(dialect: int) -> str:
+    return """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 9, 11, 12)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """
+
+
+@query("sql_tpch_q16", oracle=_q16(1))
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) over a trimmed catalog, excluding
+    denylisted suppliers — the NOT-IN-subquery + COUNT(DISTINCT) shape.
+    Substitution: supplier relation via lineitem (no partsupp); the
+    complaints denylist is negative-balance suppliers. s_suppkey is
+    non-nullable here so the NOT IN plans as a null-safe anti-join
+    against a tiny broadcast set. COUNT(DISTINCT) expands to a two-phase
+    aggregate (distinct on the full key first), both shuffles on bounded
+    descriptor keys."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q16(0))
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue for one brand
+# --------------------------------------------------------------------------
+
+
+def _q17(dialect: int) -> str:
+    div = ("div", "//")[dialect]
+    return f"""
+    SELECT CAST(SUM({_EP_CENTS}) AS BIGINT) {div} 7 AS avg_yearly_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS agg_pk,
+               COUNT(*) AS n_li,
+               CAST(SUM({_QTY_CENTS}) AS BIGINT) AS sum_qty_cents
+        FROM lineitem
+        GROUP BY l_partkey
+    ) part_avg ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND {_QTY_CENTS} * 5 * n_li < sum_qty_cents
+    """
+
+
+@query("sql_tpch_q17", oracle=_q17(1))
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    lineitems under 20% of their part's average quantity, annualized.
+    The correlated `l_quantity < 0.2 * AVG(l_quantity)` subquery is
+    written in its decorrelated form on BOTH engines (aggregate-per-part
+    then join — exactly what Catalyst's DecorrelateInnerQuery produces),
+    and the 20%-of-average compare is the integer cross-multiplication
+    qty*5*n < sum (strict inequality on exact cents — identical to the
+    rational compare, no float division anywhere). The per-part
+    aggregate shuffles lineitem once on l_partkey; the brand filter
+    prunes the broadcast part side to ~1/25 of the catalog."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q17(0))
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess shipped volume of a part family
+# --------------------------------------------------------------------------
+
+
+def _q20(dialect: int) -> str:
+    return f"""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING CAST(SUM({_QTY_CENTS}) AS BIGINT) > 5000
+      )
+    ORDER BY s_suppkey ASC
+    """
+
+
+@query("sql_tpch_q20", oracle=_q20(1))
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who moved more than a threshold quantity of any 'small%' part
+    in a year — the NESTED-IN shape (IN over a grouped HAVING whose scan
+    itself filters by an inner IN over part). Substitution: shipped
+    quantity from lineitem stands in for partsupp availqty (threshold >
+    50 units = 5000 qty-cents). Plan: the part-name IN becomes a
+    broadcast semi-join pruning lineitem before its (suppkey, partkey)
+    aggregate; the outer IN semi-joins the 4-row nation-filtered
+    supplier dimension against the qualifying-supplier set. Quantity
+    sums exact BIGINT cents."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q20(0))
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who alone were late on multi-supplier orders
+# --------------------------------------------------------------------------
+
+
+def _q21(dialect: int) -> str:
+    return """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """
+
+
+@query("sql_tpch_q21", oracle=_q21(1))
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    multi-supplier orders, count — per supplier in one nation — the
+    lineitems where THIS supplier shipped late (>30 days after order;
+    the receipt>commit analog, no commit/receipt dates in schema) and NO
+    OTHER supplier on the order did. The canonical EXISTS + NOT-EXISTS
+    double self-join: Catalyst plans l2 as a left-semi and l3 as a
+    left-anti join on l_orderkey, both shipping only (orderkey, suppkey
+    [, shipdate]) — the correlated o_orderdate in the anti-join rides
+    the join condition. Counts exact; top-20 with the s_name group-key
+    tiebreak."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q21(0))
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers per name-code bucket
+# --------------------------------------------------------------------------
+
+
+def _q22(dialect: int) -> str:
+    bal = "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"
+    return f"""
+    SELECT cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(acctbal_cents) AS BIGINT) AS totacctbal_cents
+    FROM (
+        SELECT SUBSTRING(c_name, 17, 2) AS cntrycode,
+               {bal} AS acctbal_cents,
+               c_custkey
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND {bal} * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT CAST(SUM({bal}) AS BIGINT)
+                 FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode ASC
+    """
+
+
+@query("sql_tpch_q22", oracle=_q22(1))
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and no recent orders, bucketed by a
+    name-derived code (digits 17-18 of c_name — the phone-prefix analog,
+    no phone column). The above-average predicate is the integer
+    cross-multiplication `bal * N > SUM(bal)` over two UNCORRELATED
+    scalar subqueries (each computed once and broadcast as a literal),
+    replacing the float `c_acctbal > AVG(...)` whose double-sum is
+    partial-aggregation-order-dependent. The dormancy filter is a
+    NOT-EXISTS anti-join on o_custkey shipping only (custkey,
+    orderdate>=cut) keys. Final aggregate is bucket-bounded (100
+    codes)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q22(0))
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part within a region
+# --------------------------------------------------------------------------
+
+
+def _q2(dialect: int) -> str:
+    cost = (
+        "MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT))"
+    )
+    return f"""
+    WITH supply AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               {cost} AS cost_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           s_suppkey, cost_cents
+    FROM part
+    JOIN supply ON pk = p_partkey
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 5
+      AND p_type = 'ECONOMY'
+      AND r_name = 'EUROPE'
+      AND cost_cents = (
+          SELECT MIN(s2.cost_cents)
+          FROM supply s2
+          JOIN supplier sp2 ON sp2.s_suppkey = s2.sk
+          JOIN nation n2 ON sp2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE s2.pk = p_partkey
+            AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+    LIMIT 20
+    """
+
+
+@query("sql_tpch_q2", oracle=_q2(1))
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for size-5 ECONOMY parts,
+    the EUROPE supplier(s) whose unit cost equals the regional minimum
+    for that part — the CORRELATED-MIN scalar subquery over a relation
+    consumed twice. Substitution: unit supply cost = min observed
+    l_extendedprice/l_quantity per (part, supplier) in cents (one IEEE
+    divide + multiply then FLOOR — bit-identical both engines; quantity
+    >= 1 always); no partsupp exists. Catalyst decorrelates the
+    per-part regional MIN into an aggregate joined on p_partkey; the
+    dimension chain (supplier->nation->region) broadcasts in both the
+    main and subquery branches. Integer-equality against the min avoids
+    the float-tie hazard; top-20 ordered with the unique (partkey,
+    suppkey) tiebreak under the acctbal sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q2(0))

@@ -1019,3 +1019,73 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_rate_bp"),
         F.expr("(sum_chars * 100) div n_docs").cast("bigint").alias("avg_chars_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext_fuzzy_block_match
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_fuzzy_block_match",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, split_part(p_name, ' ', 1) AS blk,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY edit_dist ASC, name_a ASC, name_b ASC
+    """,
+)
+def ext_fuzzy_block_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: candidate duplicate part-name
+    pairs within a blocking key (first token), scored by exact
+    Levenshtein edit distance — the character-level entity-resolution
+    stage that complements the token-level dedup tier (MinHash/SimHash
+    operate on shingle sets and miss short-string typos entirely).
+
+    Scale mechanics — the three standard ER guarantees: (1) the
+    pairwise join runs over the DISTINCT-NAME relation, never the row
+    relation (vocabulary-sized: 64 names here; catalogs are ~1e6 names
+    at 100 TB while rows are 1e11 — the aggregate-first step is a 1e5x
+    reduction); (2) candidate generation is a BLOCKED equi-join on the
+    first token — never an all-pairs product — with the `name_a <
+    name_b` orientation halving the block and excluding self-pairs; (3)
+    Levenshtein (quadratic per pair) evaluates only on within-block
+    survivors, JVM-side (builtin `levenshtein`, no Python). Edit
+    distance is an exact integer in both engines."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "edit_dist",
+            F.col("a.n_parts").cast("bigint").alias("n_parts_a"),
+            F.col("b.n_parts").cast("bigint").alias("n_parts_b"),
+        )
+        .orderBy("edit_dist", "name_a", "name_b")
+    )

@@ -157,7 +157,12 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_orc",
     # --- keys added LATE in round 3 (after the window rotation): these
     # sit past the ~50-key cut, so they are pytest-proven only this
-    # round. ROUND 4 ROTATION: front these five + any round-4 additions
+    # round (strict driver-gate-simulated at sf0.01 via
+    # tools/driver_gate_sim.py). ROUND 4 ROTATION: front these + the
+    # TPC-H completion tier (sql_tpch_q2/q7/q8/q9/q11/q12/q13/q15/q16/
+    # q17/q20/q21/q22) + the time-series/graph/ER tier (ts_gapfill_daily,
+    # win_streak_days, graph_triangle_count, ext_fuzzy_block_match)
+    # + any round-4 additions
     # + the usual cross-round canaries. ---
     "scan_partitioned_pruned",
     "sql_tpch_q4",
@@ -176,6 +181,23 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "agg_bitmap_range_merge",
     "agg_bitmap_audience_ops",
     "sql_tpch_q19",
+    "sql_tpch_q2",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+    "ts_gapfill_daily",
+    "win_streak_days",
+    "graph_triangle_count",
+    "ext_fuzzy_block_match",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

@@ -457,3 +457,64 @@ def test_q19_disjunction_pushes_implied_predicates_both_sides(spark, sf_dir):
     assert "l_quantity" in li.split("DataFilters", 1)[1][:200], li
     assert "p_brand" in pt.split("DataFilters", 1)[1][:200], pt
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_completion_tier_plan_shapes(spark, sf_dir):
+    """The 13 round-3 TPC-H completion queries must keep the star
+    discipline: no Cartesian products anywhere, EXISTS/NOT-EXISTS pairs
+    as semi/anti joins, and dimension sides broadcast."""
+    for key in ("sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+                "sql_tpch_q11", "sql_tpch_q12", "sql_tpch_q13",
+                "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q17",
+                "sql_tpch_q20", "sql_tpch_q21", "sql_tpch_q22"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{key}:\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{key}:\n{plan}"
+
+    q21 = formatted_plan(QUERIES["sql_tpch_q21"](spark, sf_dir))
+    assert "LeftSemi" in q21, q21
+    assert "LeftAnti" in q21, q21
+
+    q22 = formatted_plan(QUERIES["sql_tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in q22, q22
+
+    # Q20's nested INs both become semi joins (part list + supplier set).
+    q20 = formatted_plan(QUERIES["sql_tpch_q20"](spark, sf_dir))
+    assert q20.count("LeftSemi") >= 2, q20
+
+    # Q13's filtered join condition must keep the outer join outer —
+    # the zero-order bucket exists only if no Inner conversion happened.
+    q13 = formatted_plan(QUERIES["sql_tpch_q13"](spark, sf_dir))
+    assert "LeftOuter" in q13, q13
+
+    # Q17's decorrelated per-part average joins broadcast against the
+    # brand-pruned part dimension.
+    q17 = formatted_plan(QUERIES["sql_tpch_q17"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q17, q17
+
+
+def test_gapfill_reuses_user_partitioning_no_python(spark, sf_dir):
+    """Daily gap-fill must stay JVM-side, window per user_id (never a
+    global window), and the grid explode must not add a Cartesian."""
+    plan = formatted_plan(QUERIES["ts_gapfill_daily"](spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "explode(sequence" in plan, plan
+
+
+def test_fuzzy_block_match_joins_on_block_key(spark, sf_dir):
+    """The ER candidate join must be an equi-join on the blocking key
+    with the name inequality as a residual — never a nested-loop
+    all-pairs product."""
+    plan = formatted_plan(QUERIES["ext_fuzzy_block_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Triangle enumeration is two equi-joins over oriented edges —
+    no Cartesian products, all-JVM."""
+    plan = formatted_plan(QUERIES["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
