@@ -93,6 +93,11 @@ HEADLINE = [
     ("agg_retention_cohort", None),
     ("ext_embed_centroids", None),
     ("ext_bigram_novelty", None),
+    ("sql_tpch_q9", None),
+    ("sql_tpch_q13", None),
+    ("sql_tpch_q21", None),
+    ("ts_gapfill_daily", None),
+    ("graph_triangle_count", None),
 ]
 
 

@@ -660,3 +660,146 @@ def cdc_bootstrap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("value_cents"),
         F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_dbhash_buckets
+# --------------------------------------------------------------------------
+
+_DBHASH_ROW = (
+    "md5(concat_ws('|', CAST(user_id AS STRING), event_type, "
+    "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING), "
+    "CAST(ts_epoch AS STRING)))"
+)
+
+
+@query(
+    "cdc_dbhash_buckets",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             (epoch_ns(ts) // 1000000000) AS ts_epoch
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    tgt AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             (epoch_ns(ts) // 1000000000) AS ts_epoch
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('signup', 'click', 'view', 'purchase')
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT user_id % 64 AS bucket,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                 CAST(value_cents AS VARCHAR), CAST(ts_epoch AS VARCHAR)))
+               AS h
+      FROM src
+    ),
+    th AS (
+      SELECT user_id % 64 AS bucket,
+             md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                 CAST(value_cents AS VARCHAR), CAST(ts_epoch AS VARCHAR)))
+               AS h
+      FROM tgt
+    ),
+    sb AS (
+      SELECT bucket, COUNT(*) AS n_src,
+             md5(string_agg(h, '' ORDER BY h)) AS src_hash
+      FROM sh GROUP BY bucket
+    ),
+    tb AS (
+      SELECT bucket, COUNT(*) AS n_tgt,
+             md5(string_agg(h, '' ORDER BY h)) AS tgt_hash
+      FROM th GROUP BY bucket
+    )
+    SELECT sb.bucket, n_src,
+           COALESCE(n_tgt, 0) AS n_tgt,
+           src_hash, COALESCE(tgt_hash, '') AS tgt_hash,
+           CAST(CASE WHEN src_hash = COALESCE(tgt_hash, '')
+                THEN 1 ELSE 0 END AS BIGINT) AS is_match
+    FROM sb LEFT JOIN tb ON sb.bucket = tb.bucket
+    ORDER BY sb.bucket
+    """,
+)
+def cdc_dbhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partitioned replication verification — the dbHash/collection-
+    checksum pattern (the set-based answer to the reference's per-
+    document reconciliation loop, js:502-518): source state and replayed
+    target state each reduce to ONE digest per hash bucket, and only
+    mismatched buckets ever need row-level diffing. Source = latest
+    event per user over ALL op types; target = the pipeline's replay,
+    which drops 'error' events — so buckets containing a user whose
+    latest op was dropped surface as is_match = 0 with their row-count
+    delta, and matching buckets prove equality without moving any rows.
+
+    Determinism: the row digest hashes a canonical '|'-joined projection
+    (cents-floored value, epoch seconds), and the bucket digest hashes
+    the SORTED concatenation of row digests — order-insensitive under
+    parallel aggregation on both engines. Scale: rows shuffle once on
+    (bucket) carrying 32-byte digests, not payloads; 64 buckets here,
+    O(rows/bucket) memory for the sorted concat — at 100 TB raise the
+    bucket count (fan the modulus out) or swap the concat for a
+    commutative XOR/sum digest, same contract either way."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                "value",
+                F.to_unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+            )
+        )
+
+    def bucket_digest(df: DataFrame, n_col: str, h_col: str) -> DataFrame:
+        hashed = df.select(
+            (F.col("user_id") % 64).alias("bucket"),
+            F.expr(_DBHASH_ROW).alias("h"),
+        )
+        return hashed.groupBy("bucket").agg(
+            F.count("*").alias(n_col),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias(
+                h_col
+            ),
+        )
+
+    sb = bucket_digest(latest_state(ev), "n_src", "src_hash")
+    tb = bucket_digest(
+        latest_state(
+            ev.filter(
+                F.col("event_type").isin("signup", "click", "view", "purchase")
+            )
+        ),
+        "n_tgt",
+        "tgt_hash",
+    )
+    return (
+        sb.join(tb, "bucket", "left")
+        .select(
+            "bucket",
+            "n_src",
+            F.coalesce("n_tgt", F.lit(0)).cast("bigint").alias("n_tgt"),
+            "src_hash",
+            F.coalesce("tgt_hash", F.lit("")).alias("tgt_hash"),
+            F.when(F.col("src_hash") == F.coalesce("tgt_hash", F.lit("")), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_match"),
+        )
+        .orderBy("bucket")
+    )

@@ -176,3 +176,138 @@ def win_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_rolling_wau
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_rolling_wau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM days),
+    contrib AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wd
+        FROM days
+    )
+    SELECT CAST(c.wd AS VARCHAR) AS day,
+           COUNT(DISTINCT c.user_id) AS wau,
+           CAST((SELECT COUNT(DISTINCT x.user_id) FROM days x WHERE x.d = c.wd)
+                AS BIGINT) AS dau
+    FROM contrib c
+    WHERE c.wd <= (SELECT mx FROM span)
+    GROUP BY c.wd
+    """,
+)
+def ts_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) and daily actives (DAU) per
+    calendar day — the trailing-window COUNT DISTINCT that naive SQL
+    writes as a self-join per day and that does NOT distribute as a
+    window function (distinct aggregates are unsupported over frames).
+
+    The scalable formulation inverts the window: each active (user, day)
+    pair CONTRIBUTES to the 7 days it stays inside the trailing window
+    (`explode(sequence(d, d+6))`), and WAU(day) is then a plain
+    count-distinct per day. Shuffle volume is active-pairs x 7 — bounded
+    by users x days, never by raw events (the dedup to active pairs
+    happens first, one keyed shuffle). DAU rides the same contribution
+    rows (offset = 0). At 100 TB the same shape yields any trailing
+    window; for windows > ~30 days switch the contribution explode to
+    interval endpoints + sweep (diff-of-prefix-sums over HLL sketches).
+    Output clipped to observed days (no partial future windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = days.agg(F.max("d").alias("mx"))
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("wd"),
+        F.col("d").alias("src_d"),
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("wd") <= F.col("mx"))
+        .groupBy("wd")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("src_d") == F.col("wd"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("dau"),
+        )
+    )
+    return wau.select(F.col("wd").cast("string").alias("day"), "wau", "dau")
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly_zscore
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS s1,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT daily.event_type, CAST(d AS VARCHAR) AS day,
+           CAST(cnt AS BIGINT) AS cnt, n_days, s1
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE (cnt * n_days - s1) * (cnt * n_days - s1)
+          > 4 * (n_days * s2 - s1 * s1)
+    ORDER BY daily.event_type, day
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags: days where a type's count sits
+    more than 2 standard deviations from that type's mean daily count.
+    The z-score test runs ENTIRELY in integer arithmetic — |x - s1/n| >
+    2*sqrt((n*s2 - s1^2)/n^2) is cross-multiplied into (x*n - s1)^2 >
+    4*(n*s2 - s1^2), exact BIGINT on both engines (float means/sqrt are
+    partial-aggregation-order-dependent and would flake the boundary).
+
+    Scale: daily counts are one map-combinable aggregate over the fact;
+    the per-type moment table is dimension-sized (types x 3 numbers) and
+    broadcasts back onto daily counts — no window over the fact, no
+    second fact shuffle. The same moments support any sigma threshold
+    without recomputation. Overflow bound: n*s2 needs cnt^2*days <
+    2^63 — holds to ~3e8 events/type/day over 10 years."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("cnt") * F.col("n_days") - F.col("s1")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(
+            dev * dev
+            > 4 * (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "n_days",
+            "s1",
+        )
+        .orderBy("event_type", "day")
+    )

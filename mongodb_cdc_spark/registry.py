@@ -161,7 +161,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # tools/driver_gate_sim.py). ROUND 4 ROTATION: front these + the
     # TPC-H completion tier (sql_tpch_q2/q7/q8/q9/q11/q12/q13/q15/q16/
     # q17/q20/q21/q22) + the time-series/graph/ER tier (ts_gapfill_daily,
-    # win_streak_days, graph_triangle_count, ext_fuzzy_block_match)
+    # win_streak_days, graph_triangle_count, ext_fuzzy_block_match,
+    # ts_rolling_wau, ts_anomaly_zscore, cdc_dbhash_buckets)
     # + any round-4 additions
     # + the usual cross-round canaries. ---
     "scan_partitioned_pruned",
@@ -198,6 +199,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "win_streak_days",
     "graph_triangle_count",
     "ext_fuzzy_block_match",
+    "ts_rolling_wau",
+    "ts_anomaly_zscore",
+    "cdc_dbhash_buckets",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

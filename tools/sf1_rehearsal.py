@@ -112,6 +112,19 @@ HEAVY = [
     "sql_tpch_q19",
     "cdc_resume_gap_detect",
     "cdc_bootstrap_sync",
+    # TPC-H completion + time-series/graph/ER tier at 10x
+    "sql_tpch_q2",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q13",
+    "sql_tpch_q17",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+    "ts_gapfill_daily",
+    "win_streak_days",
+    "graph_triangle_count",
+    "ext_fuzzy_block_match",
 ]
 
 
