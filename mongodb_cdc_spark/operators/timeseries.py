@@ -311,3 +311,71 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# win_pattern_triples
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_pattern_triples",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               (epoch_ns(ts) // 1000000000) AS sec,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3,
+               LEAD(epoch_ns(ts) // 1000000000, 2) OVER w AS sec3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_patterns,
+           CAST(MIN(sec) AS BIGINT) AS first_match_sec
+    FROM seq
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      AND sec3 - sec <= 172800
+    GROUP BY user_id
+    """,
+)
+def win_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (the MATCH_RECOGNIZE tier): count
+    CONTIGUOUS view -> click -> purchase runs per user completing within
+    48 hours (sized to the stream's ~11 h inter-event cadence) — every occurrence, not just the first (that first-touch
+    variant is `agg_funnel_steps`; this is the strict-adjacency pattern
+    engine built from LEAD chains).
+
+    Mechanics: one window per user orders events once ((ts, event_id)
+    total order) and LEAD projects the next two steps onto each row, so
+    pattern evaluation is a stateless row predicate after a single sort
+    — a k-step pattern costs k-1 LEADs on the SAME window, never extra
+    shuffles or self-joins (the self-join formulation ships the fact k
+    times). Time bound compares integer epoch seconds.
+
+    Scale: one keyed shuffle + per-key sort; state is the k-row
+    lookahead, O(1) per row. The streaming twin maps to
+    applyInPandasWithState with a k-deep event buffer per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.to_unix_timestamp("ts").cast("bigint")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        sec.alias("sec"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead(sec, 2).over(w).alias("sec3"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+            & (F.col("sec3") - F.col("sec") <= 172800)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_patterns"),
+            F.min("sec").cast("bigint").alias("first_match_sec"),
+        )
+    )

@@ -202,6 +202,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ts_rolling_wau",
     "ts_anomaly_zscore",
     "cdc_dbhash_buckets",
+    "win_pattern_triples",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
