@@ -379,3 +379,127 @@ def win_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sec").cast("bigint").alias("first_match_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_cumulative_users
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT d0 AS d, COUNT(*) AS new_users FROM firsts GROUP BY d0
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: per day, newly-seen users (first activity) and
+    the running total of distinct users ever seen — the cumulative
+    distinct count that would be O(n^2) as a naive per-day COUNT
+    DISTINCT self-join, reduced to first-touch + prefix sum.
+
+    Scale: first-touch is one user-keyed min-aggregate over the fact;
+    daily_new collapses it to calendar-day cardinality (say 3650 rows
+    for a decade). ONLY that tiny relation enters the running-total
+    window, so the unpartitioned window frame — normally a scale smell —
+    is bounded by days, not data (same justification as
+    `maintenance_table_stats`). The first-touch table is the
+    incrementally-maintainable dimension shared with
+    `agg_retention_cohort`."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily_new = firsts.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_wow_growth
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST((epoch_ns(ts) // 1000000000) // 604800 AS BIGINT)
+                 AS week_no,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events
+        GROUP BY 1
+    )
+    SELECT week_no, CAST(n_events AS BIGINT) AS n_events, value_cents,
+           LAG(value_cents) OVER (ORDER BY week_no) AS prev_cents,
+           CASE WHEN LAG(value_cents) OVER (ORDER BY week_no) > 0
+                THEN ((value_cents - LAG(value_cents) OVER (ORDER BY week_no))
+                      * 10000) // (LAG(value_cents) OVER (ORDER BY week_no))
+                ELSE NULL END AS wow_growth_bp
+    FROM weekly
+    """,
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly event volume and cents-exact value
+    totals with the WoW delta in integer basis points — the KPI-trend
+    query. Weeks are epoch-second div 604800 (calendar-agnostic,
+    identical in both engines, no week-start locale hazards); growth is
+    integer cross-multiplication (delta x 10000 integer-div previous),
+    never a float ratio. Negative deltas are safe: DuckDB's integer `//`
+    TRUNCATES toward zero exactly like Spark's `div` (measured: week-4's
+    -1743.59 bp lands at -1743 on both engines) — it is float `//` that
+    floors in DuckDB; the CASE guards prev > 0.
+
+    Scale: one map-combinable aggregate over the fact; the window runs
+    over the weeks-sized relation only (bounded like
+    `ts_cumulative_users`)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            F.expr("CAST(to_unix_timestamp(ts) AS BIGINT) div 604800")
+            .cast("bigint")
+            .alias("week_no")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+    w = Window.orderBy("week_no")
+    return (
+        weekly.withColumn("prev_cents", F.lag("value_cents").over(w))
+        .select(
+            "week_no",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_cents",
+            "prev_cents",
+            F.expr(
+                "CASE WHEN prev_cents > 0 THEN "
+                "((value_cents - prev_cents) * 10000) div prev_cents "
+                "ELSE CAST(NULL AS BIGINT) END"
+            ).alias("wow_growth_bp"),
+        )
+    )

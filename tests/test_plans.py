@@ -518,3 +518,16 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     plan = formatted_plan(QUERIES["graph_triangle_count"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_growth_curve_windows_run_over_day_sized_relations(spark, sf_dir):
+    """ts_cumulative_users / ts_wow_growth: the unpartitioned running
+    windows must sit ABOVE the day/week-sized aggregate (bounded input),
+    and everything stays JVM-side."""
+    for key in ("ts_cumulative_users", "ts_wow_growth"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{key}:\n{plan}"
+        # the window's child must contain the HashAggregate that
+        # collapses the fact to calendar cardinality
+        win_at = plan.index("Window")
+        assert "HashAggregate" in plan[win_at:], f"{key}:\n{plan}"
