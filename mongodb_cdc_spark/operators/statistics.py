@@ -427,3 +427,96 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("p", 3).alias("p75_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext_winsorize
+# --------------------------------------------------------------------------
+
+_WINS_Q = "[0.0625, 0.9375]"  # exact binary fractions: 1/16, 15/16
+
+
+@query(
+    "ext_winsorize",
+    oracle=f"""
+    WITH th AS (
+      SELECT l_returnflag,
+             quantile_cont({_PCT_IN}, {_WINS_Q}) AS p
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    b AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(p[1]) AS BIGINT) AS lo_cents,
+             CAST(FLOOR(p[2]) AS BIGINT) AS hi_cents
+      FROM th
+    )
+    SELECT li.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM({_PCT_IN}) AS BIGINT) AS raw_sum_cents,
+           CAST(SUM(LEAST(GREATEST({_PCT_IN}, lo_cents), hi_cents))
+                AS BIGINT) AS winsorized_sum_cents,
+           CAST(SUM(CASE WHEN {_PCT_IN} < lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN {_PCT_IN} > hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           lo_cents, hi_cents
+    FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+    GROUP BY li.l_returnflag, lo_cents, hi_cents
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) price aggregates per return flag:
+    values below the 1/16 quantile or above the 15/16 quantile are
+    clamped to those bounds before summing — the robust-statistics
+    companion to the raw sums, reporting both plus clamp counts.
+
+    Determinism of the bounds: the quantile fractions are EXACT binary
+    fractions (1/16, 15/16), so the type-7 interpolation position
+    q*(n-1) is one exact IEEE multiply on both engines and the
+    interpolated value is bit-identical (same argument as
+    `agg_percentile_cont`, which pins .25/.5/.75); FLOOR then moves the
+    clamp bounds into exact integer cents. 5%/95% winsorizing would put
+    a non-representable 0.05 into the position arithmetic — the dyadic
+    neighbors 6.25%/93.75% buy bit-exactness for free.
+
+    Scale: one sort-bounded exact-quantile aggregate per group (the
+    honest exact contract, same as agg_percentile_cont; swap in
+    approx_percentile partials for monitoring-grade clamps), then the
+    flag-keyed threshold table broadcasts back onto the fact for a
+    single map-combinable clamped aggregate — two fact passes total, no
+    window, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile({_PCT_IN}, array(0.0625D, 0.9375D))"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.floor(F.element_at("p", 1)).cast("bigint").alias("lo_cents"),
+            F.floor(F.element_at("p", 2)).cast("bigint").alias("hi_cents"),
+        )
+    )
+    cents = F.expr(_PCT_IN)
+    clamped = F.least(F.greatest(cents, F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        li.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag", "lo_cents", "hi_cents")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).cast("bigint").alias("raw_sum_cents"),
+            F.sum(clamped).cast("bigint").alias("winsorized_sum_cents"),
+            F.sum(F.when(cents < F.col("lo_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum(F.when(cents > F.col("hi_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_high"),
+        )
+        .select(
+            "l_returnflag", "n", "raw_sum_cents", "winsorized_sum_cents",
+            "n_clamped_low", "n_clamped_high", "lo_cents", "hi_cents",
+        )
+    )

@@ -134,3 +134,56 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique c_custkey tiebreak, and c_custkey is in the output."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN)
+
+
+# --------------------------------------------------------------------------
+# sql_null_semantics
+# --------------------------------------------------------------------------
+
+
+def _null_semantics(dialect: int) -> str:
+    nseq = ("<=>", "IS NOT DISTINCT FROM")[dialect]
+    return f"""
+    WITH nullable_set AS (
+        SELECT DISTINCT NULLIF(o_orderstatus, 'F') AS st
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderstatus NOT IN (SELECT st FROM nullable_set))
+        AS n_not_in_with_null,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderstatus NOT IN
+         (SELECT st FROM nullable_set WHERE st IS NOT NULL))
+        AS n_not_in_filtered,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM nullable_set s
+                         WHERE s.st = o.o_orderstatus))
+        AS n_anti_join,
+      (SELECT COUNT(*) FROM orders o
+       JOIN nullable_set s
+         ON NULLIF(o.o_orderstatus, 'F') {nseq} s.st)
+        AS n_null_safe_matches
+    """
+
+
+@query("sql_null_semantics", oracle=_null_semantics(1))
+def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corner surface, reported as data: against a
+    nullable IN-set (it contains a genuine NULL), the same membership
+    question is asked four ways — (1) NOT IN, which by ANSI 3VL returns
+    ZERO rows the moment the set holds a NULL (every non-member compare
+    yields UNKNOWN — the classic production trap); (2) NOT IN with the
+    NULL filtered, the usual fix; (3) NOT EXISTS, whose anti-join
+    semantics ignore the NULL and agree with (2); (4) a NULL-SAFE
+    equality join (Spark `<=>` / ANSI IS NOT DISTINCT FROM) where NULL
+    DOES match NULL, counting the rows only that operator can pair.
+
+    The engine behaviors under test: Catalyst must plan the NOT IN as a
+    null-aware anti-join (not drop the null semantics), and the
+    null-safe condition must still plan as a HASHABLE equi-join (Spark
+    hashes <=> keys; a naive planner falls back to nested-loop).
+    Scale: the set is dimension-sized; all four probes are broadcast
+    semi/anti joins over one fact scan each."""
+    register_views(spark, sf_dir)
+    return spark.sql(_null_semantics(0))

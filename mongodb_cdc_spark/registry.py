@@ -205,6 +205,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "win_pattern_triples",
     "ts_cumulative_users",
     "ts_wow_growth",
+    "sql_null_semantics",
+    "ext_winsorize",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---

@@ -531,3 +531,19 @@ def test_growth_curve_windows_run_over_day_sized_relations(spark, sf_dir):
         # collapses the fact to calendar cardinality
         win_at = plan.index("Window")
         assert "HashAggregate" in plan[win_at:], f"{key}:\n{plan}"
+
+
+def test_null_safe_join_is_hashable_not_nested_loop(spark, sf_dir):
+    """The null-safe equality condition must plan as a hashable
+    equi-join (Catalyst hashes <=> keys); nested-loop would mean the
+    null-aware rewrite was lost."""
+    plan = formatted_plan(QUERIES["sql_null_semantics"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_winsorize_broadcasts_thresholds(spark, sf_dir):
+    """The per-flag clamp-bound table must broadcast back onto the fact
+    — never shuffle the fact for the threshold join."""
+    plan = formatted_plan(QUERIES["ext_winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
