@@ -835,3 +835,41 @@ def agg_bitmap_audience_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.expr("a | b"))).cast("bigint").alias("n_either"),
         F.sum(F.bit_count(F.expr("a & ~b"))).cast("bigint").alias("n_purchase_only"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_filtered_distinct
+# --------------------------------------------------------------------------
+
+def _filtered_distinct_sql(strtype: str) -> str:
+    return f"""
+SELECT CAST(CAST(ts AS DATE) AS {strtype}) AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase')
+         AS purchasers,
+       COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'error')
+         AS error_users,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("agg_filtered_distinct", oracle=_filtered_distinct_sql("VARCHAR"))
+def agg_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (ANSI SQL:2003): several differently-
+    predicated COUNT DISTINCTs and a plain filtered count computed in
+    ONE grouped aggregate over one scan — the surface that replaces the
+    join-of-five-subqueries formulation of per-day KPI panels.
+
+    Plan behavior under test: multiple DISTINCT aggregates with
+    different FILTER predicates force Catalyst's Expand-based rewrite
+    (one input row fans to one row per distinct-group), which is the
+    documented cost of mixed distincts — still one pass over the fact
+    and map-side partial dedup, versus N full scans for the subquery
+    form. All counts are exact BIGINTs; day bucketing is CAST(ts AS
+    DATE) on both engines (UTC sessions)."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_filtered_distinct_sql("STRING"))

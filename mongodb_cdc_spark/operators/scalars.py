@@ -415,3 +415,56 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a == a).alias("self_eq"),
         (a == a2).alias("shifted_eq"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_array_hof
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT))) AS BIGINT)
+             AS sum_milli,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(x * x * 1000) AS BIGINT))) AS BIGINT)
+             AS sq_milli
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — lambda `filter` / `transform` /
+    `aggregate` / `zip_with` over the embedding vectors, the Catalyst
+    tier that evaluates per-element logic INSIDE codegen instead of
+    exploding (no row multiplication, no shuffle, no Python).
+
+    Exactness: every per-element lambda lands in integer milli-units via
+    FLOOR before any summation (float32 -> double widening is exact;
+    x*x and x*1000 are single IEEE ops), so the fold order cannot
+    matter. The Spark side deliberately exercises `zip_with` for the
+    squared term (pairing the vector with itself) and `aggregate` for
+    the fold; the oracle expresses the identical semantics through
+    DuckDB's list_transform/list_sum — same elements, same integers.
+
+    Scale: a pure map-stage projection over 64-wide arrays; the HOF
+    form is the 100 TB answer to per-element work (explode would 64x
+    the row count through every downstream exchange)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0D))").alias("n_pos"),
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> CAST(FLOOR(x * 1000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sum_milli"),
+        F.expr(
+            "aggregate(zip_with(embedding, embedding, "
+            "(x, y) -> CAST(FLOOR(x * y * 1000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sq_milli"),
+    )

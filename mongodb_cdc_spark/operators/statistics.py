@@ -19,7 +19,7 @@ cardinality (bins, cohorts, days, columns), never input rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_cdc_spark.io import load_table
@@ -519,4 +519,70 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "n", "raw_sum_cents", "winsorized_sum_cents",
             "n_clamped_low", "n_clamped_high", "lo_cents", "hi_cents",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# win_ratio_to_report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS region_cents,
+           (rev_cents * 10000)
+             // CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS share_bp
+    FROM nat
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue in integer basis points — the percent-of-total window every
+    BI layer ships (`SUM() OVER (PARTITION BY group)` as denominator).
+
+    Scale: the fact collapses to the (region, nation) aggregate FIRST —
+    one keyed map-combinable shuffle — and the window runs over that
+    25-row dimension-bounded relation, never the fact (the anti-pattern
+    is windowing the raw rows to avoid the pre-aggregate). Share is an
+    integer cross-multiplication with truncating division on positive
+    operands; cents sums are exact BIGINTs on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("region_cents"),
+        F.expr(
+            "(rev_cents * 10000) div CAST(SUM(rev_cents) "
+            "OVER (PARTITION BY r_name) AS BIGINT)"
+        ).alias("share_bp"),
     )
