@@ -163,6 +163,124 @@ class ParquetUpsertTarget:
             with open(os.path.join(dst, _COMMIT_MARKER), "w"):
                 pass
             self._prune(b)
+        self._write_snapshot_manifest(version)
+
+    # -------------------------------------------------------- snapshots --
+    # Table-level commit log (the Iceberg/Delta snapshot concept): each
+    # merge appends one manifest naming every bucket's committed version
+    # at that instant. Buckets version independently, so WITHOUT the log
+    # there is no consistent whole-table cut; with it, any recorded
+    # version is readable (time travel) and two snapshots diff by
+    # COMPARING MANIFESTS — only buckets whose version changed are ever
+    # read, the file-skipping diff that makes incremental consumers
+    # O(changed data) instead of O(table).
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, "_log")
+
+    def _write_snapshot_manifest(self, version: str) -> None:
+        import json
+
+        mapping = {}
+        for b in range(self.n_buckets):
+            vs = self._bucket_versions(b)
+            if vs:
+                mapping[str(b)] = vs[-1]
+        os.makedirs(self._log_dir(), exist_ok=True)
+        tmp = os.path.join(self._log_dir(), f".{version}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "buckets": mapping}, f)
+        os.rename(tmp, os.path.join(self._log_dir(), f"{version}.json"))
+
+    def snapshots(self) -> list[str]:
+        """Committed table versions, oldest first."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[:-5] for f in os.listdir(d)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def _manifest(self, version: str) -> dict[str, str]:
+        import json
+
+        with open(os.path.join(self._log_dir(), f"{version}.json")) as f:
+            return json.load(f)["buckets"]
+
+    def _snapshot_paths(self, version: str) -> list[str]:
+        paths = []
+        for b, v in self._manifest(version).items():
+            p = os.path.join(self._bucket_dir(int(b)), v)
+            if not os.path.exists(os.path.join(p, _COMMIT_MARKER)):
+                raise FileNotFoundError(
+                    f"snapshot {version}: bucket {b} version {v} was pruned "
+                    f"(keep_versions={self.keep_versions}); raise keep_versions "
+                    "to retain deeper time travel"
+                )
+            paths.append(p)
+        return paths
+
+    def read_snapshot(
+        self, spark: SparkSession, version: str | None = None
+    ) -> DataFrame | None:
+        """Table state AS OF a committed snapshot (default: latest) —
+        time travel over the manifest, same contract as Delta's
+        ``VERSION AS OF``."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        version = version or snaps[-1]
+        paths = self._snapshot_paths(version)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select(*STATE_COLUMNS)
+
+    def snapshot_diff(
+        self, spark: SparkSession, v_from: str, v_to: str
+    ) -> DataFrame:
+        """Keys that changed between two snapshots, classified
+        insert/update, reading ONLY buckets whose manifest entry changed
+        (file skipping: unchanged buckets are proven identical by the
+        manifest, no data read). Returns (_id, change) rows."""
+        m_from, m_to = self._manifest(v_from), self._manifest(v_to)
+        changed = [
+            b for b in m_to
+            if m_from.get(b) != m_to[b]
+        ]
+        if not changed:
+            return (
+                spark.createDataFrame([], "``_id`` bigint, change string")
+            )
+        old_paths = [
+            os.path.join(self._bucket_dir(int(b)), m_from[b])
+            for b in changed if b in m_from
+        ]
+        new_paths = [
+            os.path.join(self._bucket_dir(int(b)), m_to[b]) for b in changed
+        ]
+        new = spark.read.parquet(*new_paths).select(
+            "_id", "cluster_ts", "token"
+        )
+        if not old_paths:
+            return new.select("_id", F.lit("insert").alias("change"))
+        old = spark.read.parquet(*old_paths).select(
+            "_id",
+            F.col("cluster_ts").alias("old_ts"),
+            F.col("token").alias("old_token"),
+        )
+        j = new.join(old, "_id", "left")
+        return j.select(
+            "_id",
+            F.when(F.col("old_ts").isNull(), "insert")
+            .when(
+                (F.col("cluster_ts") != F.col("old_ts"))
+                | (F.col("token") != F.col("old_token")),
+                "update",
+            )
+            .otherwise("unchanged")
+            .alias("change"),
+        ).filter(F.col("change") != "unchanged")
 
     def merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """MERGE: latest-per-key of (touched-bucket state ∪ batch),

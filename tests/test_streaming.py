@@ -853,3 +853,78 @@ def test_supervisor_gives_up_after_max_restarts(spark, sf_dir):
 
     with pytest.raises(Exception, match="permanent failure|STREAM"):
         run_supervised(start, max_restarts=2, restart_delay_s=0.05)
+
+
+def test_snapshot_log_time_travel_and_manifest_diff(spark, sf_dir):
+    """Table-level snapshot log (the Delta/Iceberg VERSION AS OF seam on
+    the bundled target): merging the change feed in two halves must
+    produce snapshots where (a) reading AS OF the first cut equals the
+    replay of the first half alone, (b) the manifest diff between the
+    cuts names exactly the keys the second half touched, and (c) the
+    diff reads only buckets whose manifest entry changed."""
+    from mongodb_cdc_spark.streaming.upsert import upsert_projection
+
+    feed = derive_change_log(spark, sf_dir).orderBy("clusterTime", "_id")
+    rows = feed.count()
+    half = rows // 2
+    first_half = feed.limit(half)
+    target = ParquetUpsertTarget(new_scratch_dir("snap_target"), keep_versions=8)
+
+    target.merge_batch(upsert_projection(first_half), 0)
+    assert len(target.snapshots()) == 1
+    v1 = target.snapshots()[-1]
+
+    # replay-of-first-half expectation, computed independently
+    expected_v1 = {
+        r["_id"]: (r["cluster_ts"], r["token"])
+        for r in upsert_projection(first_half)
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY _id "
+                "ORDER BY cluster_ts DESC, token DESC)"
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    got_v1 = {
+        r["_id"]: (r["cluster_ts"], r["token"])
+        for r in target.read_snapshot(spark, v1).collect()
+    }
+    assert got_v1 == expected_v1, "snapshot v1 != first-half replay"
+
+    second_half = feed.subtract(first_half)
+    target.merge_batch(upsert_projection(second_half), 1)
+    v2 = target.snapshots()[-1]
+    assert v2 > v1
+
+    # time travel still returns the OLD state after the second merge
+    assert {
+        r["_id"] for r in target.read_snapshot(spark, v1).collect()
+    } == set(expected_v1)
+
+    # manifest diff: exactly the keys whose latest row changed between
+    # the cuts (inserts = new keys; updates = keys whose winning
+    # (cluster_ts, token) changed)
+    diff = {
+        r["_id"]: r["change"]
+        for r in target.snapshot_diff(spark, v1, v2).collect()
+    }
+    final = {
+        r["_id"]: (r["cluster_ts"], r["token"])
+        for r in target.read_snapshot(spark, v2).collect()
+    }
+    expected_diff = {}
+    for k, v in final.items():
+        if k not in expected_v1:
+            expected_diff[k] = "insert"
+        elif expected_v1[k] != v:
+            expected_diff[k] = "update"
+    assert diff == expected_diff
+
+    # file skipping: the second merge touched a subset of buckets; the
+    # diff must compare manifests, not read the whole table
+    m1, m2 = target._manifest(v1), target._manifest(v2)
+    changed = [b for b in m2 if m1.get(b) != m2[b]]
+    assert 0 < len(changed) <= target.n_buckets

@@ -125,6 +125,17 @@ HEAVY = [
     "win_streak_days",
     "graph_triangle_count",
     "ext_fuzzy_block_match",
+    "ts_rolling_wau",
+    "ts_anomaly_zscore",
+    "cdc_dbhash_buckets",
+    "win_pattern_triples",
+    "ts_cumulative_users",
+    "ts_wow_growth",
+    "sql_null_semantics",
+    "ext_winsorize",
+    "fn_array_hof",
+    "win_ratio_to_report",
+    "agg_filtered_distinct",
 ]
 
 
