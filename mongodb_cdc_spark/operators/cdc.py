@@ -803,3 +803,99 @@ def cdc_dbhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_snapshot_time_travel
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_time_travel",
+    oracle="""
+    WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+    v1 AS (
+      SELECT user_id, event_id
+      FROM (
+        SELECT user_id, event_id, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type <> 'error' AND event_id <= (SELECT c FROM cut)
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT user_id, event_id
+      FROM (
+        SELECT user_id, event_id, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type <> 'error'
+      ) WHERE rn = 1
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v1) AS n_keys_v1,
+      (SELECT COUNT(*) FROM v2) AS n_keys_v2,
+      (SELECT COUNT(*) FROM v2 LEFT JOIN v1 USING (user_id)
+        WHERE v1.event_id IS NULL) AS n_inserts,
+      (SELECT COUNT(*) FROM v2 JOIN v1 USING (user_id)
+        WHERE v2.event_id <> v1.event_id) AS n_updates
+    """,
+)
+def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format seam, driver-checked end-to-end: the change feed
+    is MERGEd into the bundled bucketed target in two halves (cut at
+    half the max event id), producing two committed snapshot manifests;
+    the result row is then computed FROM the target itself — key counts
+    via VERSION-AS-OF reads of both snapshots and insert/update counts
+    via the manifest diff (which reads only buckets whose manifest entry
+    changed). The oracle recomputes the same four numbers relationally
+    from raw events, so the driver hash certifies the whole
+    write->snapshot->time-travel->diff path, not just a query.
+
+    Scale: each merge is O(batch + touched buckets) (upsert.py design);
+    the diff is O(changed buckets). The snapshot log is the
+    Delta/Iceberg commit-log concept on the bundled target — same
+    contract, jar-free. Citation: generalizes the reference's replay
+    safety + reconciliation (js:114-115, js:457-475) into versioned
+    point-in-time auditability."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.pipeline import new_scratch_dir
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        upsert_projection,
+    )
+
+    feed = derive_change_log(spark, sf_dir)
+    cut = feed.agg(
+        F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
+    ).first()[0]
+    cut_id = f"{cut:012d}"
+    target = ParquetUpsertTarget(
+        new_scratch_dir("snapshot_tt_target"), keep_versions=8
+    )
+    target.merge_batch(
+        upsert_projection(feed.filter(F.col("_id") <= cut_id)), 0
+    )
+    target.merge_batch(
+        upsert_projection(feed.filter(F.col("_id") > cut_id)), 1
+    )
+    v1, v2 = target.snapshots()[0], target.snapshots()[-1]
+    n1 = target.read_snapshot(spark, v1).count()
+    n2 = target.read_snapshot(spark, v2).count()
+    diff = (
+        target.snapshot_diff(spark, v1, v2)
+        .groupBy("change")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r["change"]: r["n"] for r in diff.collect()}
+    return spark.createDataFrame(
+        [
+            (
+                n1,
+                n2,
+                int(counts.get("insert", 0)),
+                int(counts.get("update", 0)),
+            )
+        ],
+        "n_keys_v1 bigint, n_keys_v2 bigint, n_inserts bigint, n_updates bigint",
+    )
