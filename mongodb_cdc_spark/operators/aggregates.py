@@ -873,3 +873,47 @@ def agg_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_filtered_distinct_sql("STRING"))
+
+
+# --------------------------------------------------------------------------
+# agg_string_agg
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG surface): the
+    distinct market segments per nation joined into one '|'-separated,
+    lexically-ordered string. Determinism is the whole game for this
+    operator: `collect_list` order is partial-aggregation order
+    (run-to-run nondeterministic), so the list is DISTINCT'd and
+    SORTED inside the aggregate expression before joining —
+    `array_join(array_sort(collect_set(x)), '|')` — making the string a
+    pure function of the set.
+
+    Scale: group state is the distinct-segment set (bounded, 5 here) —
+    safe only because the aggregated domain is enum-like; for unbounded
+    domains cap with slice() and record truncation, or the string
+    becomes the memory bound."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), "|"
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )

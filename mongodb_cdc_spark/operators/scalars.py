@@ -468,3 +468,49 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("sq_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_try_arith
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+             / NULLIF(CAST(l_quantity AS BIGINT) - 30, 0) AS unit_or_null,
+           CASE WHEN CAST(l_quantity AS BIGINT) - 30 = 0 THEN 1 ELSE 0 END
+             AS div_zero_flag
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (the ANSI-mode survival surface): Spark 4
+    runs with ANSI SQL enabled, where a division by zero THROWS and
+    kills the job — `try_divide` is the per-expression opt-out that
+    yields NULL instead, and this operator proves it agrees with the
+    oracle's explicit NULLIF-guarded division on a denominator
+    engineered to hit zero (quantity == 30 rows). The companion flag
+    column counts exactly which rows would have killed an unguarded
+    ANSI query.
+
+    Determinism: the division is DOUBLE-typed on both engines
+    (BIGINT/BIGINT promotes to double in DuckDB's `/`; try_divide
+    returns double) — identical IEEE op on identical operands. Scale:
+    pure map-stage projection; the lesson it encodes (guard every
+    user-supplied denominator under ANSI mode) is a correctness rule,
+    not a plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    denom = F.col("l_quantity").cast("bigint") - 30
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "try_divide(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) "
+            "AS DOUBLE), CAST(CAST(l_quantity AS BIGINT) - 30 AS DOUBLE))"
+        ).alias("unit_or_null"),
+        F.when(denom == 0, 1).otherwise(0).cast("bigint").alias("div_zero_flag"),
+    )

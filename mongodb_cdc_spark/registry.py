@@ -211,6 +211,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "win_ratio_to_report",
     "agg_filtered_distinct",
     "cdc_snapshot_time_travel",
+    "agg_string_agg",
+    "fn_try_arith",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
