@@ -888,6 +888,11 @@ def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     counts = {r["change"]: r["n"] for r in diff.collect()}
+    # every number is materialized above, so the scratch target can go
+    # before the (literal-backed) result frame is returned
+    import shutil
+
+    shutil.rmtree(target.path, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
