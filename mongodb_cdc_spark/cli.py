@@ -180,6 +180,48 @@ def cmd_compact(cfg: CDCConfig, args) -> int:
     return 0 if ok else 1
 
 
+def cmd_snapshots(cfg: CDCConfig, args) -> int:
+    """List the target's committed table snapshots (the commit log the
+    reference keeps implicitly in Mongo's oplog; here it is explicit —
+    streaming/upsert.py snapshot manifests)."""
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    target = ParquetUpsertTarget(cfg.target)
+    print(json.dumps({"snapshots": target.snapshots()}))
+    return 0
+
+
+def cmd_snapshot_diff(cfg: CDCConfig, args) -> int:
+    """Changed keys between two committed snapshots via manifest compare
+    — reads only buckets whose version changed (the incremental-consumer
+    path: downstreams pull a diff, never rescan the table)."""
+    from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
+
+    spark = get_spark("cdc-snapshot-diff")
+    target = ParquetUpsertTarget(cfg.target)
+    snaps = target.snapshots()
+    if args.v_from not in snaps or args.v_to not in snaps:
+        print(json.dumps({"status": "unknown-snapshot", "known": snaps}))
+        return 1
+    diff = target.snapshot_diff(spark, args.v_from, args.v_to)
+    by_kind = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "status": "ok",
+                "from": args.v_from,
+                "to": args.v_to,
+                "inserts": int(by_kind.get("insert", 0)),
+                "updates": int(by_kind.get("update", 0)),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc", description=__doc__)
     p.add_argument("--source", help="change feed path (or mongodb:// URI)")
@@ -212,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("health", help="health check (entry 4)")
     sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser("snapshots", help="list target snapshot versions")
+    sp.set_defaults(fn=cmd_snapshots)
+
+    sp = sub.add_parser("snapshot-diff",
+                        help="changed keys between two snapshots")
+    sp.add_argument("v_from")
+    sp.add_argument("v_to")
+    sp.set_defaults(fn=cmd_snapshot_diff)
 
     sp = sub.add_parser("compact", help="compact a parquet dir's small files")
     sp.add_argument("path")

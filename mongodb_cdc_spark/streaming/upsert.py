@@ -249,9 +249,7 @@ class ParquetUpsertTarget:
             if m_from.get(b) != m_to[b]
         ]
         if not changed:
-            return (
-                spark.createDataFrame([], "``_id`` bigint, change string")
-            )
+            return spark.createDataFrame([], "_id bigint, change string")
         old_paths = [
             os.path.join(self._bucket_dir(int(b)), m_from[b])
             for b in changed if b in m_from

@@ -138,3 +138,35 @@ def test_replicate_time_window_bounds_the_feed(spark, sf_dir, capsys):
     got_keys = {r["_id"] for r in got.select("_id").collect()}
     want_keys = {r["k"] for r in want.collect()}
     assert got_keys == want_keys
+
+
+def test_snapshots_and_diff_cli(replicated, capsys):
+    """snapshots lists committed versions; snapshot-diff of the first
+    and last versions reports insert/update counts as JSON (zero diff
+    when only one merge happened is also valid — then from == to)."""
+    src, target = replicated
+    rc = cli.main(["--source", src, "--target", target, "snapshots"])
+    assert rc == 0
+    snaps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "snapshots"
+    ]
+    assert len(snaps) >= 1
+    rc = cli.main(
+        ["--source", src, "--target", target,
+         "snapshot-diff", snaps[0], snaps[-1]]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["status"] == "ok"
+    assert out["inserts"] >= 0 and out["updates"] >= 0
+    if snaps[0] == snaps[-1]:
+        assert out["inserts"] == 0 and out["updates"] == 0
+
+    rc = cli.main(
+        ["--source", src, "--target", target, "snapshot-diff", "vX", "vY"]
+    )
+    assert rc == 1
+    assert (
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])["status"]
+        == "unknown-snapshot"
+    )
