@@ -904,3 +904,90 @@ def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_keys_v1 bigint, n_keys_v2 bigint, n_inserts bigint, n_updates bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_ivm_aggregate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_ivm_aggregate",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY user_id, event_type
+    """,
+)
+def cdc_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-(user, type) COUNT/SUM
+    materialized view maintained by DELTA APPLICATION — the feed is
+    split in half, each half reduces to partial aggregates, and the
+    view is the key-wise merge of partials (full-outer join, null-safe
+    adds). The oracle aggregates the raw events directly, so the driver
+    hash certifies the IVM identity agg(all) == merge(agg(half1),
+    agg(half2)) — the self-maintainability property that lets a 100 TB
+    warehouse keep aggregates current by touching only each batch's
+    delta (COUNT/SUM are abelian-group aggregates: merge is +, no
+    re-read of history; contrast MIN/MAX under deletes, which are NOT
+    self-maintainable and need the base table).
+
+    Scale: each delta aggregate is map-combinable and shuffles once on
+    the view key; the merge join is keyed identically, so a maintained
+    view reuses one partitioning end-to-end — this is what
+    foreachBatch + MERGE does to a real materialized view per
+    micro-batch (streaming/upsert.py applies the same idea to
+    latest-per-key instead of group aggregates)."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+
+    feed = derive_change_log(spark, sf_dir).filter(
+        F.col("operationType").isin("insert", "update")
+    )
+    cut = feed.agg(
+        F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
+    ).first()[0]
+    cut_id = f"{cut:012d}"
+
+    def delta_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("documentKey._id").alias("user_id"),
+                F.col("fullDocument.event_type").alias("event_type"),
+                F.expr(
+                    "CAST(FLOOR(fullDocument.value * 100) AS BIGINT)"
+                ).alias("vc"),
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("vc").cast("bigint").alias("value_cents"),
+            )
+        )
+
+    d1 = delta_agg(feed.filter(F.col("_id") <= cut_id))
+    d2 = delta_agg(feed.filter(F.col("_id") > cut_id))
+    merged = d1.alias("a").join(
+        d2.alias("b"),
+        ["user_id", "event_type"],
+        "full_outer",
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        (
+            F.coalesce(F.col("a.n_events"), F.lit(0))
+            + F.coalesce(F.col("b.n_events"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("a.value_cents"), F.lit(0))
+            + F.coalesce(F.col("b.value_cents"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("value_cents"),
+    )
