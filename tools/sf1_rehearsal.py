@@ -11,8 +11,9 @@ Dimension tables (region/nation/customer/supplier/part) are copied
 1x unchanged — at 100 TB the facts grow, the dims don't; fact FK
 columns are left in-range so joins keep matching.
 
-Run:  python tools/sf1_rehearsal.py            # build + run
+Run:  python tools/sf1_rehearsal.py            # build + run (10x)
       python tools/sf1_rehearsal.py --reuse    # skip rebuild
+      python tools/sf1_rehearsal.py --copies=100 --only=a,b  # 100x slice
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ from mongodb_cdc_spark.session import get_spark  # noqa: E402
 from mongodb_cdc_spark.sources.changefeed import scratch_root  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # override with --copies N (e.g. 100 for the sf10-ish run)
 STRIDE = 10_000_000  # far above any sf0.1 key
 
 # fact table -> columns to shift per copy (payload columns repeat)
@@ -139,11 +140,11 @@ HEAVY = [
 ]
 
 
-def build(spark, out: str) -> None:
+def build(spark, out: str, copies: int = COPIES) -> None:
     for t, keys in FACTS.items():
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         shifted = None
-        for i in range(COPIES):
+        for i in range(copies):
             c = src
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
@@ -157,12 +158,17 @@ def build(spark, out: str) -> None:
 
 
 def main() -> None:
-    out = os.path.join(scratch_root(), "sf1ish")
-    spark = get_spark(app_name="sf1-rehearsal")
+    copies = COPIES
+    for a in sys.argv[1:]:
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+    name = "sf1ish" if copies == 10 else f"sf{copies//10}ish"
+    out = os.path.join(scratch_root(), name)
+    spark = get_spark(app_name="sf-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     if "--reuse" not in sys.argv or not os.path.isdir(out):
         t0 = time.time()
-        build(spark, out)
+        build(spark, out, copies)
         print(f"build: {time.time() - t0:.1f}s")
 
     import __spark_entry__ as e
@@ -186,7 +192,7 @@ def main() -> None:
         n = qs[name](spark, out).count()
         timings[name] = round(time.time() - t0, 2)
         print(f"  {name}: {timings[name]}s ({n} rows)")
-    rec = {"sf": "1ish(10x sf0.1)", "queries": timings}
+    rec = {"sf": f"{copies}x sf0.1", "queries": timings}
     if baseline:
         rec["sf0.1_baseline"] = baseline
     print(json.dumps(rec))
