@@ -885,10 +885,13 @@ def _lsh_band_exprs() -> list:
 
 
 _LSH_TOPK_ORACLE = f"""
-    WITH sig AS (
+    WITH reps AS (
+      SELECT MIN(vec_id) AS vec_id, embedding
+      FROM embeddings GROUP BY embedding
+    ), sig AS (
       SELECT vec_id,
            {_lsh_bits_sql('embedding', 'duck')}
-      FROM embeddings
+      FROM reps
     ), bands AS (
       {" UNION ALL ".join(
           f"SELECT vec_id, {k} AS band, "
@@ -908,8 +911,8 @@ _LSH_TOPK_ORACLE = f"""
     ), scored AS (
       SELECT probe_id, neighbor_id,
              {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')} AS c
-      FROM cand JOIN embeddings x ON x.vec_id = probe_id
-                JOIN embeddings y ON y.vec_id = neighbor_id
+      FROM cand JOIN reps x ON x.vec_id = probe_id
+                JOIN reps y ON y.vec_id = neighbor_id
     )
     SELECT probe_id, rk, neighbor_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
     FROM (SELECT probe_id, neighbor_id, c,
@@ -934,8 +937,13 @@ def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sum — the same determinism argument as the unrolled cosine —
     so signatures, buckets, candidates, and ranks all hash-match.
 
-    Scale shape: signatures are one map-side pass (O(bits x dim) per
-    row, no shuffle); the band join shuffles (band, h) keys only; the
+    Scale shape: exact-duplicate vectors collapse to a representative
+    (min vec_id per identical embedding) BEFORE hashing — without this,
+    duplicate-heavy corpora blow every bucket past the cap and recall
+    cliffs to zero (measured: the 100x replica returned 0 rows pre-fix,
+    SCALING.md); the collapse is the same group-first discipline as the
+    MinHash pipeline. Signatures are then one map-side pass (O(bits x
+    dim) per row); the band join shuffles (band, h) keys only; the
     degenerate-bucket guard drops buckets > 256 before the join
     (bucket population grows linearly with corpus at fixed band width —
     production widens bands with scale, the cap bounds the worst case
@@ -943,7 +951,12 @@ def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The rank window partitions by probe_id — bounded by the
     probe set, never the corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "embedding")
+    )
     bit_cols = [
         F.when(
             F.expr(lsh_bit_sum_sql(b, "embedding", dialect="spark")) > 0, 1
