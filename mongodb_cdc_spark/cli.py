@@ -197,12 +197,13 @@ def cmd_snapshot_diff(cfg: CDCConfig, args) -> int:
     path: downstreams pull a diff, never rescan the table)."""
     from mongodb_cdc_spark.streaming.upsert import ParquetUpsertTarget
 
-    spark = get_spark("cdc-snapshot-diff")
     target = ParquetUpsertTarget(cfg.target)
     snaps = target.snapshots()
     if args.v_from not in snaps or args.v_to not in snaps:
+        # pure-filesystem check — fail fast without paying Spark startup
         print(json.dumps({"status": "unknown-snapshot", "known": snaps}))
         return 1
+    spark = get_spark("cdc-snapshot-diff")
     diff = target.snapshot_diff(spark, args.v_from, args.v_to)
     by_kind = {
         r["change"]: r["n"]

@@ -870,29 +870,31 @@ def cdc_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
     ).first()[0]
     cut_id = f"{cut:012d}"
+    import shutil
+
     target = ParquetUpsertTarget(
         new_scratch_dir("snapshot_tt_target"), keep_versions=8
     )
-    target.merge_batch(
-        upsert_projection(feed.filter(F.col("_id") <= cut_id)), 0
-    )
-    target.merge_batch(
-        upsert_projection(feed.filter(F.col("_id") > cut_id)), 1
-    )
-    v1, v2 = target.snapshots()[0], target.snapshots()[-1]
-    n1 = target.read_snapshot(spark, v1).count()
-    n2 = target.read_snapshot(spark, v2).count()
-    diff = (
-        target.snapshot_diff(spark, v1, v2)
-        .groupBy("change")
-        .agg(F.count("*").alias("n"))
-    )
-    counts = {r["change"]: r["n"] for r in diff.collect()}
-    # every number is materialized above, so the scratch target can go
-    # before the (literal-backed) result frame is returned
-    import shutil
-
-    shutil.rmtree(target.path, ignore_errors=True)
+    try:
+        target.merge_batch(
+            upsert_projection(feed.filter(F.col("_id") <= cut_id)), 0
+        )
+        target.merge_batch(
+            upsert_projection(feed.filter(F.col("_id") > cut_id)), 1
+        )
+        v1, v2 = target.snapshots()[0], target.snapshots()[-1]
+        n1 = target.read_snapshot(spark, v1).count()
+        n2 = target.read_snapshot(spark, v2).count()
+        diff = (
+            target.snapshot_diff(spark, v1, v2)
+            .groupBy("change")
+            .agg(F.count("*").alias("n"))
+        )
+        counts = {r["change"]: r["n"] for r in diff.collect()}
+    finally:
+        # every number is materialized above (or the op failed), so the
+        # scratch target never outlives the call
+        shutil.rmtree(target.path, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.io import register_views
 from mongodb_cdc_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -31,13 +31,14 @@ from mongodb_cdc_spark.registry import query
 
 def _edges_sql(div: str) -> str:
     return f"""
-    SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+    SELECT a.l_partkey AS a, b.l_partkey AS b,
+           COUNT(DISTINCT a.l_orderkey) AS support
     FROM lineitem a
     JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey
      AND a.l_partkey < b.l_partkey
     GROUP BY a.l_partkey, b.l_partkey
-    HAVING COUNT(*) >= (
+    HAVING COUNT(DISTINCT a.l_orderkey) >= (
         SELECT GREATEST(CAST(2 AS BIGINT), COUNT(*) {div} 50000)
         FROM orders
     )
@@ -71,16 +72,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edge construction explodes per-order pairs — bounded by order
     size squared (cap basket size upstream for pathological orders) —
-    and the support aggregate both dedups and prunes in ONE shuffle on
-    (a, b): wedge work then scales with the square of SUPPORTED degree,
+    and support counts DISTINCT co-ordering orders (multiplicity inside
+    one order does not inflate it) while the same (a, b)-keyed shuffle
+    dedups and prunes: wedge work then scales with the square of SUPPORTED degree,
     not raw degree (300x lighter here; the gap widens as order volume
     grows over a fixed catalog). Both triangle joins are equi-joins on
     single keys; at extreme density the further win is orienting edges
     by DEGREE (low-degree endpoint first) so wedge lists stay short —
     id-ordering is the deterministic stand-in on this near-uniform
     degree distribution. Counts are exact BIGINTs."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    register_views(spark, sf_dir)
     edges = spark.sql(_edges_sql("div")).select("a", "b")
     nodes = edges.select(F.col("a")).union(edges.select(F.col("b"))).distinct()
     e1 = edges.alias("e1")

@@ -480,8 +480,8 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-             / NULLIF(CAST(l_quantity AS BIGINT) - 30, 0) AS unit_or_null,
-           CASE WHEN CAST(l_quantity AS BIGINT) - 30 = 0 THEN 1 ELSE 0 END
+             / NULLIF(CAST(FLOOR(l_quantity) AS BIGINT) - 30, 0) AS unit_or_null,
+           CASE WHEN CAST(FLOOR(l_quantity) AS BIGINT) - 30 = 0 THEN 1 ELSE 0 END
              AS div_zero_flag
     FROM lineitem
     WHERE l_linenumber = 1
@@ -504,13 +504,13 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-supplied denominator under ANSI mode) is a correctness rule,
     not a plan shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    denom = F.col("l_quantity").cast("bigint") - 30
+    denom = F.floor("l_quantity").cast("bigint") - 30
     return li.filter(F.col("l_linenumber") == 1).select(
         "l_orderkey",
         "l_linenumber",
         F.expr(
             "try_divide(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) "
-            "AS DOUBLE), CAST(CAST(l_quantity AS BIGINT) - 30 AS DOUBLE))"
+            "AS DOUBLE), CAST(CAST(FLOOR(l_quantity) AS BIGINT) - 30 AS DOUBLE))"
         ).alias("unit_or_null"),
         F.when(denom == 0, 1).otherwise(0).cast("bigint").alias("div_zero_flag"),
     )

@@ -74,7 +74,9 @@ def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry is `last(value, ignorenulls) OVER (PARTITION BY user ORDER BY
     day ROWS UNBOUNDED PRECEDING)` — a running window per key, linear
     scan, no self-join. The grid's first row is always observed (it
-    starts at the user's min day), so value_filled is never null.
+    starts at the user's min day), so value_filled is never null
+    unless the source value column itself holds NULLs before the first
+    non-null observation (ignorenulls carries across them).
 
     Scale: every stage is keyed by user_id — one shuffle for the daily
     reduce, grid + carry reuse that partitioning; span explosion is
@@ -91,7 +93,7 @@ def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_obs = (
         daily.withColumn("rn", F.row_number().over(w_day))
         .filter(F.col("rn") == 1)
-        .select("user_id", "d", "value")
+        .select("user_id", "d", "value", F.lit(1).alias("obs"))
     )
     grid = (
         last_obs.groupBy("user_id")
@@ -112,7 +114,10 @@ def ts_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("d").cast("string").alias("day"),
             F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
-            F.when(F.col("value").isNull(), F.lit(0))
+            # join-miss indicator, NOT value IS NULL — an observed day
+            # whose value is NULL must still count as observed (matches
+            # the oracle's `o.d IS NULL` test)
+            F.when(F.col("obs").isNull(), F.lit(0))
             .otherwise(F.lit(1))
             .cast("bigint")
             .alias("is_observed"),

@@ -163,7 +163,7 @@ class ParquetUpsertTarget:
             with open(os.path.join(dst, _COMMIT_MARKER), "w"):
                 pass
             self._prune(b)
-        self._write_snapshot_manifest(version)
+        self._write_snapshot_manifest(version, buckets)
 
     # -------------------------------------------------------- snapshots --
     # Table-level commit log (the Iceberg/Delta snapshot concept): each
@@ -178,19 +178,41 @@ class ParquetUpsertTarget:
     def _log_dir(self) -> str:
         return os.path.join(self.path, "_log")
 
-    def _write_snapshot_manifest(self, version: str) -> None:
+    def _write_snapshot_manifest(
+        self, version: str, touched: list[int] | None = None
+    ) -> None:
+        """Append one manifest. Incremental: start from the previous
+        manifest and overwrite only the touched buckets' entries — the
+        merge path stays O(batch + touched buckets), never a full
+        n_buckets x versions listdir sweep. Manifest retention mirrors
+        bucket retention: only the last ``keep_versions`` manifests stay
+        listed (older ones may reference bucket versions _prune has
+        deleted, so advertising them invites the pruned-read error)."""
         import json
 
-        mapping = {}
-        for b in range(self.n_buckets):
-            vs = self._bucket_versions(b)
-            if vs:
-                mapping[str(b)] = vs[-1]
+        snaps = self.snapshots()
+        if snaps and touched is not None:
+            mapping = dict(self._manifest(snaps[-1]))
+            for b in touched:
+                vs = self._bucket_versions(b)
+                if vs:
+                    mapping[str(b)] = vs[-1]
+        else:
+            mapping = {}
+            for b in range(self.n_buckets):
+                vs = self._bucket_versions(b)
+                if vs:
+                    mapping[str(b)] = vs[-1]
         os.makedirs(self._log_dir(), exist_ok=True)
         tmp = os.path.join(self._log_dir(), f".{version}.tmp")
         with open(tmp, "w") as f:
             json.dump({"version": version, "buckets": mapping}, f)
         os.rename(tmp, os.path.join(self._log_dir(), f"{version}.json"))
+        for old_v in self.snapshots()[: -self.keep_versions or None]:
+            try:
+                os.remove(os.path.join(self._log_dir(), f"{old_v}.json"))
+            except OSError:
+                pass
 
     def snapshots(self) -> list[str]:
         """Committed table versions, oldest first."""
@@ -250,13 +272,20 @@ class ParquetUpsertTarget:
         ]
         if not changed:
             return spark.createDataFrame([], "_id bigint, change string")
+        def _guarded(b: str, v: str) -> str:
+            path = os.path.join(self._bucket_dir(int(b)), v)
+            if not os.path.exists(os.path.join(path, _COMMIT_MARKER)):
+                raise FileNotFoundError(
+                    f"snapshot diff: bucket {b} version {v} was pruned "
+                    f"(keep_versions={self.keep_versions}); raise "
+                    "keep_versions to retain deeper diffs"
+                )
+            return path
+
         old_paths = [
-            os.path.join(self._bucket_dir(int(b)), m_from[b])
-            for b in changed if b in m_from
+            _guarded(b, m_from[b]) for b in changed if b in m_from
         ]
-        new_paths = [
-            os.path.join(self._bucket_dir(int(b)), m_to[b]) for b in changed
-        ]
+        new_paths = [_guarded(b, m_to[b]) for b in changed]
         new = spark.read.parquet(*new_paths).select(
             "_id", "cluster_ts", "token"
         )
