@@ -1089,3 +1089,127 @@ def ext_fuzzy_block_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# ext_bpe_vocab_merges
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+_BPE_TOP_TOKENS = 200
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of the BPE merge loop: 4 chained CTE stages, each
+    doing weighted pair-count -> argmax -> left-to-right non-overlapping
+    merge via padded REPLACE (same algorithm, same tiebreaks)."""
+    stages = [
+        f"""
+    toks AS (
+      SELECT LOWER(t.tok) AS tok, CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+      WHERE LENGTH(t.tok) > 0
+      GROUP BY 1 ORDER BY w DESC, tok ASC LIMIT {_BPE_TOP_TOKENS}
+    ),
+    s0 AS (
+      SELECT TRIM(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym, w
+      FROM toks
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        stages.append(f"""
+    p{r} AS (
+      SELECT arr[i] || ' ' || arr[i + 1] AS pair,
+             CAST(SUM(w) AS BIGINT) AS cnt
+      FROM (SELECT string_split(sym, ' ') AS arr, w FROM s{r - 1}),
+           UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE len(arr) >= 2
+      GROUP BY 1
+    ),
+    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    s{r} AS (
+      SELECT TRIM(REPLACE(' ' || sym || ' ',
+                          ' ' || (SELECT pair FROM b{r}) || ' ',
+                          ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '')
+                              || ' ')) AS sym, w
+      FROM s{r - 1}
+    )""")
+        # noqa: the merged symbol inherits no spaces, so later rounds can
+        # pair it with neighbours exactly like a base symbol
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, REPLACE(pair, ' ', '') AS merged, cnt "
+        f"FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(stages) + f" {finals} ORDER BY round"
+
+
+@query("ext_bpe_vocab_merges", oracle=_bpe_oracle())
+def ext_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction, the tokenizer-TRAINING
+    stage (the token-counting tier measures with a fixed tokenizer; this
+    LEARNS the merges): 4 rounds of weighted adjacent-pair counting over
+    the top-200 token types, each round merging the globally most
+    frequent pair (count DESC, pair ASC tiebreak) into one symbol via
+    left-to-right non-overlapping padded REPLACE — the exact classic BPE
+    step on a space-separated symbol string.
+
+    Determinism: counts are exact token-frequency-weighted BIGINTs, the
+    argmax tiebreak is total, and the merge application is the same
+    leftmost-non-overlapping REPLACE semantics in both engines, so all
+    4 (pair, merged, count) rows hash-match an oracle that replays the
+    identical algorithm as chained CTEs.
+
+    Scale: pair counting reduces over the DISTINCT TOKEN table (weights
+    carry corpus frequency), never raw text — vocabulary-sized input per
+    round (the same aggregate-first discipline as the fuzzy matcher); a
+    production BPE run keeps the same shape with the full type table and
+    more rounds, each round one map-combinable aggregate + one 1-row
+    argmax broadcast into a map-side REPLACE. The per-round driver sync
+    (collect of ONE row) is the algorithm's inherent sequential
+    dependency, not data movement."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("tok").asc())
+        .limit(_BPE_TOP_TOKENS)
+    )
+    syms = toks.select(
+        F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("sym"), "w"
+    ).localCheckpoint(eager=True)
+    rules = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            syms.select(F.split("sym", " ").alias("arr"), "w")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> concat_ws(' ', arr[i - 1], arr[i]))"
+                    )
+                ).alias("pair"),
+                "w",
+            )
+            .groupBy("pair")
+            .agg(F.sum("w").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).first()
+        merged = best["pair"].replace(" ", "")
+        rules.append((r, best["pair"], merged, int(best["cnt"])))
+        syms = syms.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("sym"),
+            "w",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "round int, pair string, merged string, cnt bigint"
+    )
