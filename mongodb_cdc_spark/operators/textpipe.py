@@ -1144,6 +1144,22 @@ def _bpe_oracle() -> str:
     return "WITH " + ",".join(stages) + f" {finals} ORDER BY round"
 
 
+def _bpe_apply_oracle() -> str:
+    """Same chained merge stages, then explode the FINAL symbol strings
+    and count corpus-weighted symbol frequencies — the tokenize-apply
+    view of the learned vocabulary."""
+    base = _bpe_oracle()
+    stages = base[len("WITH "):base.index(" SELECT 1 AS round")]
+    return f"""
+    WITH {stages}
+    SELECT u.s AS symbol, CAST(SUM(w) AS BIGINT) AS n_occurrences
+    FROM s{_BPE_ROUNDS}, UNNEST(string_split(sym, ' ')) AS u(s)
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, symbol ASC
+    LIMIT 30
+    """
+
+
 @query("ext_bpe_vocab_merges", oracle=_bpe_oracle())
 def ext_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding vocabulary induction, the tokenizer-TRAINING
@@ -1168,6 +1184,19 @@ def ext_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax broadcast into a map-side REPLACE. The per-round driver sync
     (collect of ONE row) is the algorithm's inherent sequential
     dependency, not data movement."""
+    rules, _ = _bpe_run(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "round int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_final_symbols(spark: SparkSession, sf_dir: str):
+    """Final (sym, w) table after all merge rounds."""
+    _, syms = _bpe_run(spark, sf_dir)
+    return syms
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str):
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
@@ -1210,6 +1239,26 @@ def ext_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym"),
             "w",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rules, "round int, pair string, merged string, cnt bigint"
+    return rules, syms
+
+
+@query("ext_bpe_tokenize_apply", oracle=_bpe_apply_oracle())
+def ext_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-apply with the induced vocabulary: run the same 4 BPE
+    merge rounds as `ext_bpe_vocab_merges`, then segment the token table
+    with the final merge state and report the top-30 corpus-weighted
+    symbol frequencies — what the learned tokenizer actually produces
+    (subword symbols absorb the merges; singletons stay characters).
+
+    Same determinism and scale arguments as the induction operator; the
+    apply stage adds one explode over the vocabulary-sized symbol table
+    and a map-combinable weighted count, with the top-30 rank carried on
+    a (count, symbol) total order."""
+    syms = _bpe_final_symbols(spark, sf_dir)
+    return (
+        syms.select(F.explode(F.split("sym", " ")).alias("symbol"), "w")
+        .groupBy("symbol")
+        .agg(F.sum("w").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("symbol").asc())
+        .limit(30)
     )

@@ -215,6 +215,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_try_arith",
     "cdc_ivm_aggregate",
     "ext_bpe_vocab_merges",
+    "ext_bpe_tokenize_apply",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
