@@ -239,3 +239,88 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_corrupt_records
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_corrupt_records",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT) AS n_good,
+      CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT) AS n_corrupt,
+      CAST(SUM(n_chars) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)
+        AS good_chars
+    FROM documents
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion (the production JSONL reality): a
+    JSONL dump of `documents` with every doc_id % 10 == 3 line
+    DETERMINISTICALLY truncated mid-object is read back in PERMISSIVE
+    mode with an explicit `_corrupt_record` column — good rows parse,
+    bad rows land whole in the corrupt column instead of killing the
+    job (FAILFAST) or vanishing silently (DROPMALFORMED). The result
+    counts both populations and checksums the good rows; the oracle
+    states the expected split relationally from the clean table, so the
+    gate certifies that PERMISSIVE recovered EXACTLY the uncorrupted
+    rows — no more, no fewer.
+
+    Scale: corruption handling is per-line and schema-driven — no retry
+    loops, no driver involvement; the corrupt column is the quarantine
+    channel a 100 TB raw-crawl ingest routes to a dead-letter sink
+    (the streaming twin is sink dead-lettering, streams.py)."""
+    import os as _os2
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _fmt_cache_dir(sf_dir, "jsonl_corrupt", "documents")
+    if not _os2.path.exists(_os2.path.join(path, "_SUCCESS")):
+        line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        corrupted = d.select(
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.expr(
+                    "substring(to_json(struct(doc_id, text, lang, source, "
+                    "n_chars)), 1, length(to_json(struct(doc_id, text, "
+                    "lang, source, n_chars))) - 1)"
+                ),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        corrupted.write.mode("overwrite").format("text").save(path)
+    schema = StructType(
+        [
+            StructField("doc_id", d.schema["doc_id"].dataType),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", d.schema["n_chars"].dataType),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    read = (
+        spark.read.format("json")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .load(path)
+        .cache()  # SPARK-21610: corrupt-column queries need materialization
+    )
+    return read.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.col("_corrupt_record")).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        )
+        .cast("bigint")
+        .alias("good_chars"),
+    )
