@@ -401,3 +401,44 @@ def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_custkey", 2).over(wfull).alias("second_richest_key"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS med5_cents
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median: per user, the median of the last 5 events'
+    cent values — the ORDER-STATISTIC window (sum/avg windows are
+    mergeable; a median window must rank its frame, the expensive tier
+    every monitoring stack wants for robust rolling baselines).
+
+    Determinism: inputs are exact integer cents; both engines implement
+    the same type-7 continuous median (even frames average the two
+    middle integers — exact in double: x.0 or x.5). The (ts, event_id)
+    ordering is total, so frames are identical row sets.
+
+    Scale: ROWS-frame order statistics cost O(frame log frame) per row
+    inside one keyed sort — fine at frame=5; for large frames the scale
+    answer is a sketch (approx_percentile partials) or a two-heap
+    streaming median in applyInPandasWithState, both already present as
+    tiers (agg_approx_quantiles, stream_stateful_upsert's API)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percentile(cents, F.lit(0.5)).over(w).alias("med5_cents"),
+    )
