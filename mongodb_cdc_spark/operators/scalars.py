@@ -514,3 +514,52 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit_or_null"),
         F.when(denom == 0, 1).otherwise(0).cast("bigint").alias("div_zero_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_url
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (the crawl-pipeline scalar tier): documents
+    get deterministic synthetic URLs, parsed back into host / path /
+    query-parameter with Spark's BUILT-IN `parse_url` (JVM-side,
+    codegen); the oracle extracts the identical components with anchored
+    regexes — cross-validating Spark's URL semantics against a
+    first-principles grammar on every row.
+
+    At 100 TB this is the canonicalization preamble of web-corpus dedup
+    (URL host/path keys feed `ext_dedup_*`); parse_url stays in codegen
+    where a Python urlparse UDF would be the classic 100x slow path."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

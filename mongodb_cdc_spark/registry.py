@@ -218,6 +218,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_bpe_tokenize_apply",
     "scan_corrupt_records",
     "win_rolling_median",
+    "fn_url",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
