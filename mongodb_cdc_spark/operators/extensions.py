@@ -45,7 +45,7 @@ from mongodb_cdc_spark.functions.vectors import (
     dot,
     lsh_bit_sum_sql,
 )
-from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.io import load_table, register_views
 from mongodb_cdc_spark.operators._util import avg2, avg2_sql, round2_sql
 from mongodb_cdc_spark.registry import query
 
@@ -1628,3 +1628,60 @@ def ext_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision_bp"),
         F.expr("(tp * 10000) div n_actual").cast("bigint").alias("recall_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext_bitext_mine_margin
+# --------------------------------------------------------------------------
+
+
+def _bitext_sql(dialect: str) -> str:
+    cos = cosine_unrolled_sql("p.embedding", "c.embedding", dialect=dialect)
+    return f"""
+    WITH dv AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    scored AS (
+      SELECT p.doc_id AS probe_id, p.lang AS probe_lang,
+             c.doc_id AS cand_id,
+             {cos} AS c
+      FROM dv p JOIN dv c ON c.lang = 'en'
+      WHERE p.lang <> 'en' AND p.doc_id < 64
+    ),
+    ranked AS (
+      SELECT probe_id, probe_lang, cand_id, c,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY c DESC, cand_id ASC) AS rk
+      FROM scored
+    )
+    SELECT b.probe_id, b.probe_lang,
+           b.cand_id AS best_en_doc,
+           CAST(FLOOR(b.c * 1000000) AS BIGINT) AS cos_e6,
+           CAST(FLOOR((b.c - s.c) * 1000000) AS BIGINT) AS margin_e6
+    FROM ranked b JOIN ranked s
+      ON s.probe_id = b.probe_id AND b.rk = 1 AND s.rk = 2
+    """
+
+
+@query("ext_bitext_mine_margin", oracle=_bitext_sql("duck"))
+def ext_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (the multilingual-pretraining pairing stage): each
+    non-English probe document is paired with its best English document
+    by embedding cosine, scored with the ABSOLUTE MARGIN (best minus
+    second-best similarity) that separates real translations from
+    hubness artifacts — the decision statistic of margin-based mining,
+    computed here from the exact rank-1/rank-2 neighbours.
+
+    Determinism: the unrolled bit-exact cosine, a total (cos, cand)
+    rank order, and the margin as one double subtraction on identical
+    operands before the e6 floor.
+
+    Scale: the probe set is bounded (doc_id < 64 here; a mining batch in
+    production) and the candidate side is lang-filtered before the join
+    — the demonstrated shape is brute-force-over-batch, and the
+    production candidate generator is the LSH/IVF tier (same margin
+    selection over bucket survivors instead of the full en side). The
+    rank-2 window is probe-bounded, never corpus-bounded."""
+    register_views(spark, sf_dir)
+    return spark.sql(_bitext_sql("spark"))
