@@ -321,3 +321,83 @@ def udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# udf_arrow_optimized — the Spark 4 per-row-API / Arrow-transport tier
+# --------------------------------------------------------------------------
+
+
+@udf(DoubleType(), useArrow=True)
+def _clip_arrow(v: float) -> float:
+    """Same row-at-a-time signature as _clip_py, but Arrow-serialized."""
+    if v is None:
+        return None
+    return 0.0 if v < 0 else (100.0 if v > 100 else float(v))
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT event_id, LEAST(GREATEST(value, 0), 100) AS clipped
+    FROM events
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): the
+    row-at-a-time programming model of `udf_python_scalar` with the
+    Arrow batch TRANSPORT of `udf_pandas_scalar` — the middle tier that
+    rescues per-row-API code from pickle serialization without the
+    rewrite to Series-in/Series-out. Completes the three-step UDF
+    ladder the engine documents: pickle rows -> Arrow rows -> Arrow
+    vectorized; at 100 TB only the last belongs in a hot path, and this
+    tier is the cheap mechanical upgrade for the first."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", _clip_arrow("value").alias("clipped"))
+
+
+# --------------------------------------------------------------------------
+# api_pandas_on_spark — the pandas-API-on-Spark surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "api_pandas_on_spark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``): the same grouped
+    aggregate written as idiomatic pandas (`df.groupby(...).agg(...)`)
+    against a DISTRIBUTED frame — the migration surface for pandas
+    codebases. The hash certifies the ps plan compiles to the identical
+    relational result (counts + exact cent sums), and the round-trip
+    ``to_spark()`` hands the lazy plan back to the engine without
+    collecting.
+
+    Scale note: ps defaults to computing an index; ``attach_distributed
+    -sequence`` style defaults can add a global zipWithIndex pass, so
+    this operator derives everything from columns (no index reliance) —
+    the discipline a 100 TB pandas-API user needs on day one."""
+    import pyspark.pandas as ps
+
+    ev = load_table(spark, sf_dir, "events")
+    psdf = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    ).pandas_api()
+    agg = (
+        psdf.groupby("event_type", as_index=False)
+        .agg(n=("vc", "count"), value_cents=("vc", "sum"))
+    )
+    sdf = agg.to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
