@@ -273,24 +273,16 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops, no driver involvement; the corrupt column is the quarantine
     channel a 100 TB raw-crawl ingest routes to a dead-letter sink
     (the streaming twin is sink dead-lettering, streams.py)."""
-    import os as _os2
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
     d = load_table(spark, sf_dir, "documents")
     path = _fmt_cache_dir(sf_dir, "jsonl_corrupt", "documents")
-    if not _os2.path.exists(_os2.path.join(path, "_SUCCESS")):
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        truncated = F.substring(line, F.lit(1), F.length(line) - 1)
         corrupted = d.select(
-            F.when(
-                F.col("doc_id") % 10 == 3,
-                F.expr(
-                    "substring(to_json(struct(doc_id, text, lang, source, "
-                    "n_chars)), 1, length(to_json(struct(doc_id, text, "
-                    "lang, source, n_chars))) - 1)"
-                ),
-            )
+            F.when(F.col("doc_id") % 10 == 3, truncated)
             .otherwise(line)
             .alias("value")
         )

@@ -1099,10 +1099,14 @@ _BPE_ROUNDS = 4
 _BPE_TOP_TOKENS = 200
 
 
-def _bpe_oracle() -> str:
-    """DuckDB twin of the BPE merge loop: 4 chained CTE stages, each
-    doing weighted pair-count -> argmax -> left-to-right non-overlapping
-    merge via padded REPLACE (same algorithm, same tiebreaks)."""
+def _bpe_stages() -> str:
+    """Shared CTE prefix of the BPE oracles: 4 chained stages, each
+    doing weighted pair-count -> argmax -> leftmost-non-overlapping
+    merge. The merge DOUBLES inter-symbol spaces before the padded
+    REPLACE so ADJACENT pair occurrences (which share a single
+    delimiter space: 'p a p a') each own their boundary and both merge
+    — single-space REPLACE would consume the shared space and skip the
+    second occurrence, diverging from classic BPE."""
     stages = [
         f"""
     toks AS (
@@ -1128,30 +1132,34 @@ def _bpe_oracle() -> str:
     ),
     b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
     s{r} AS (
-      SELECT TRIM(REPLACE(' ' || sym || ' ',
-                          ' ' || (SELECT pair FROM b{r}) || ' ',
-                          ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '')
-                              || ' ')) AS sym, w
+      SELECT TRIM(REPLACE(
+               REPLACE(' ' || REPLACE(sym, ' ', '  ') || ' ',
+                       ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '  ')
+                           || ' ',
+                       ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '')
+                           || ' '),
+               '  ', ' ')) AS sym, w
       FROM s{r - 1}
     )""")
         # noqa: the merged symbol inherits no spaces, so later rounds can
         # pair it with neighbours exactly like a base symbol
+    return "WITH " + ",".join(stages)
+
+
+def _bpe_oracle() -> str:
     finals = " UNION ALL ".join(
         f"SELECT {r} AS round, pair, REPLACE(pair, ' ', '') AS merged, cnt "
         f"FROM b{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + ",".join(stages) + f" {finals} ORDER BY round"
+    return _bpe_stages() + f" {finals} ORDER BY round"
 
 
 def _bpe_apply_oracle() -> str:
     """Same chained merge stages, then explode the FINAL symbol strings
     and count corpus-weighted symbol frequencies — the tokenize-apply
     view of the learned vocabulary."""
-    base = _bpe_oracle()
-    stages = base[len("WITH "):base.index(" SELECT 1 AS round")]
-    return f"""
-    WITH {stages}
+    return _bpe_stages() + f"""
     SELECT u.s AS symbol, CAST(SUM(w) AS BIGINT) AS n_occurrences
     FROM s{_BPE_ROUNDS}, UNNEST(string_split(sym, ' ')) AS u(s)
     GROUP BY 1
@@ -1167,8 +1175,9 @@ def ext_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEARNS the merges): 4 rounds of weighted adjacent-pair counting over
     the top-200 token types, each round merging the globally most
     frequent pair (count DESC, pair ASC tiebreak) into one symbol via
-    left-to-right non-overlapping padded REPLACE — the exact classic BPE
-    step on a space-separated symbol string.
+    a doubled-delimiter padded REPLACE — leftmost-non-overlapping AND
+    adjacent-occurrence-complete, the exact classic BPE step on a
+    space-separated symbol string ('p a p a' -> 'pa pa', not 'pa p a').
 
     Determinism: counts are exact token-frequency-weighted BIGINTs, the
     argmax tiebreak is total, and the merge application is the same
@@ -1227,14 +1236,27 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
             .agg(F.sum("w").cast("bigint").alias("cnt"))
         )
         best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).first()
+        if best is None:  # every surviving token is a single symbol
+            break
         merged = best["pair"].replace(" ", "")
         rules.append((r, best["pair"], merged, int(best["cnt"])))
+        doubled_pair = best["pair"].replace(" ", "  ")
         syms = syms.select(
+            # doubled-space merge: see _bpe_stages — adjacent occurrences
+            # must each own a delimiter or the second one is skipped
             F.trim(
                 F.replace(
-                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                    F.lit(f" {best['pair']} "),
-                    F.lit(f" {merged} "),
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(f" {doubled_pair} "),
+                        F.lit(f" {merged} "),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
                 )
             ).alias("sym"),
             "w",

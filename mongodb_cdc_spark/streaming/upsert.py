@@ -230,18 +230,24 @@ class ParquetUpsertTarget:
         with open(os.path.join(self._log_dir(), f"{version}.json")) as f:
             return json.load(f)["buckets"]
 
+    def _bucket_version_path(self, b: str, v: str, context: str) -> str:
+        """Committed path of bucket ``b`` at version ``v``, or a named
+        error if _prune already removed it (shared by every snapshot
+        reader so the pruned-read contract cannot drift)."""
+        path = os.path.join(self._bucket_dir(int(b)), v)
+        if not os.path.exists(os.path.join(path, _COMMIT_MARKER)):
+            raise FileNotFoundError(
+                f"{context}: bucket {b} version {v} was pruned "
+                f"(keep_versions={self.keep_versions}); raise keep_versions "
+                "to retain deeper time travel"
+            )
+        return path
+
     def _snapshot_paths(self, version: str) -> list[str]:
-        paths = []
-        for b, v in self._manifest(version).items():
-            p = os.path.join(self._bucket_dir(int(b)), v)
-            if not os.path.exists(os.path.join(p, _COMMIT_MARKER)):
-                raise FileNotFoundError(
-                    f"snapshot {version}: bucket {b} version {v} was pruned "
-                    f"(keep_versions={self.keep_versions}); raise keep_versions "
-                    "to retain deeper time travel"
-                )
-            paths.append(p)
-        return paths
+        return [
+            self._bucket_version_path(b, v, f"snapshot {version}")
+            for b, v in self._manifest(version).items()
+        ]
 
     def read_snapshot(
         self, spark: SparkSession, version: str | None = None
@@ -272,20 +278,15 @@ class ParquetUpsertTarget:
         ]
         if not changed:
             return spark.createDataFrame([], "_id bigint, change string")
-        def _guarded(b: str, v: str) -> str:
-            path = os.path.join(self._bucket_dir(int(b)), v)
-            if not os.path.exists(os.path.join(path, _COMMIT_MARKER)):
-                raise FileNotFoundError(
-                    f"snapshot diff: bucket {b} version {v} was pruned "
-                    f"(keep_versions={self.keep_versions}); raise "
-                    "keep_versions to retain deeper diffs"
-                )
-            return path
-
         old_paths = [
-            _guarded(b, m_from[b]) for b in changed if b in m_from
+            self._bucket_version_path(b, m_from[b], "snapshot diff")
+            for b in changed
+            if b in m_from
         ]
-        new_paths = [_guarded(b, m_to[b]) for b in changed]
+        new_paths = [
+            self._bucket_version_path(b, m_to[b], "snapshot diff")
+            for b in changed
+        ]
         new = spark.read.parquet(*new_paths).select(
             "_id", "cluster_ts", "token"
         )
