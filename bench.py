@@ -94,6 +94,9 @@ HEADLINE = [
     ("ext_embed_centroids", None),
     ("ext_bigram_novelty", None),
     ("sql_tpch_q9", None),
+    ("ext_bpe_vocab_merges", None),
+    ("ext_bitext_mine_margin", None),
+    ("ts_rolling_wau", None),
     ("sql_tpch_q13", None),
     ("sql_tpch_q21", None),
     ("ts_gapfill_daily", None),

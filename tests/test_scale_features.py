@@ -123,3 +123,56 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert "AQEShuffleRead coalesced" in plan or "isFinalPlan=true" in plan, plan
+
+
+def test_lsh_topk_survives_duplicate_heavy_corpus(spark, sf_dir, tmp_path):
+    """Regression pin for the 100x finding: a corpus where every
+    embedding is duplicated many times must still return ANN results —
+    exact-duplicate vectors collapse to representatives BEFORE signature
+    hashing, so duplication cannot blow the bucket cap and zero out
+    recall (pre-fix, a 100x replica returned 0 rows)."""
+    import pyspark.sql.functions as F
+
+    from mongodb_cdc_spark.registry import QUERIES
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = [
+        src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(40)
+    ]
+    dup = copies[0]
+    for c in copies[1:]:
+        dup = dup.unionByName(c)
+    dup_dir = str(tmp_path / "dup_sf")
+    dup.write.mode("overwrite").parquet(f"{dup_dir}/embeddings.parquet")
+    # the operator only reads embeddings; link the rest of the tables
+    import os
+
+    for t in ("documents",):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dup_dir}/{t}.parquet")
+    out = QUERIES["ext_sim_lsh_topk"](spark, dup_dir)
+    assert out.count() > 0, "duplicate-heavy corpus zeroed ANN recall"
+
+
+def test_bpe_merge_handles_adjacent_pair_occurrences(spark):
+    """Regression pin for the adjacent-occurrence BPE flaw: merging
+    'p a' in 'p a p a' must produce 'pa pa' (both occurrences merge),
+    not 'pa p a' — the doubled-delimiter REPLACE semantics, asserted on
+    the exact Spark expression the merge loop uses."""
+    row = spark.sql(
+        "SELECT TRIM(REPLACE("
+        "  REPLACE(' ' || REPLACE('p a p a', ' ', '  ') || ' ',"
+        "          ' ' || REPLACE('p a', ' ', '  ') || ' ',"
+        "          ' pa '),"
+        "  '  ', ' ')) AS merged, "
+        "TRIM(REPLACE("
+        "  REPLACE(' ' || REPLACE('a a a', ' ', '  ') || ' ',"
+        "          ' ' || REPLACE('a a', ' ', '  ') || ' ',"
+        "          ' aa '),"
+        "  '  ', ' ')) AS overlapped"
+    ).first()
+    assert row["merged"] == "pa pa"
+    # overlapping occurrences stay leftmost-non-overlapping
+    assert row["overlapped"] == "aa a"
