@@ -442,3 +442,39 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.percentile(cents, F.lit(0.5)).over(w).alias("med5_cents"),
     )
+
+
+def _lag_ignore_nulls_sql(dialect: int) -> str:
+    # IGNORE NULLS placement is the one syntax split: Spark puts it
+    # after the function parens, DuckDB inside the argument list.
+    arg = ("CASE WHEN event_type <> 'error' "
+           "THEN CAST(FLOOR(value * 100) AS BIGINT) END")
+    lag = (f"LAG({arg}) IGNORE NULLS", f"LAG({arg} IGNORE NULLS)")[dialect]
+    return f"""
+    SELECT event_id, user_id,
+           {lag} OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_good_cents,
+           CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+             AS is_error
+    FROM events
+    """
+
+
+@query("win_lag_ignore_nulls", oracle=_lag_ignore_nulls_sql(1))
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG ... IGNORE NULLS: each event carries the previous VALID
+    (non-error) reading per user — the gap-tolerant offset window that a
+    plain LAG cannot express without a self-join (plain LAG returns the
+    immediately-preceding row even when it is the garbage you are trying
+    to skip). Sensor/metric pipelines use exactly this to compute deltas
+    across dropouts.
+
+    Determinism: the skipped class is projected to NULL inside the lag
+    argument (CASE), values are exact cents, and the (ts, event_id)
+    order is total. Scale: one keyed sort, same frame cost as plain LAG
+    — IGNORE NULLS is a running-state scan, not a lookback loop."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_lag_ignore_nulls_sql(0))

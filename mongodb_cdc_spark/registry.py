@@ -222,6 +222,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_bitext_mine_margin",
     "udf_arrow_optimized",
     "api_pandas_on_spark",
+    "win_lag_ignore_nulls",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
