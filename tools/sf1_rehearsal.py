@@ -137,6 +137,20 @@ HEAVY = [
     "fn_array_hof",
     "win_ratio_to_report",
     "agg_filtered_distinct",
+    # final round-3 tier at 10x
+    "cdc_snapshot_time_travel",
+    "cdc_ivm_aggregate",
+    "agg_string_agg",
+    "fn_try_arith",
+    "ext_bpe_vocab_merges",
+    "ext_bpe_tokenize_apply",
+    "scan_corrupt_records",
+    "win_rolling_median",
+    "fn_url",
+    "ext_bitext_mine_margin",
+    "udf_arrow_optimized",
+    "api_pandas_on_spark",
+    "win_lag_ignore_nulls",
 ]
 
 
