@@ -156,15 +156,16 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_json",
     "scan_orc",
     # --- keys added LATE in round 3 (after the window rotation): these
-    # sit past the ~50-key cut, so they are pytest-proven only this
-    # round (strict driver-gate-simulated at sf0.01 via
-    # tools/driver_gate_sim.py). ROUND 4 ROTATION: front these + the
-    # TPC-H completion tier (sql_tpch_q2/q7/q8/q9/q11/q12/q13/q15/q16/
-    # q17/q20/q21/q22) + the time-series/graph/ER tier (ts_gapfill_daily,
-    # win_streak_days, graph_triangle_count, ext_fuzzy_block_match,
-    # ts_rolling_wau, ts_anomaly_zscore, cdc_dbhash_buckets)
-    # + any round-4 additions
-    # + the usual cross-round canaries. ---
+    # sit past the ~50-key cut, so their driver row waits for round 4;
+    # every one of them IS strict-driver-gate-simulated green at BOTH
+    # sf0.01 and sf0.1 (tools/driver_gate_sim.py; full-registry sweeps
+    # recorded in the round-3 commit log). ROUND 4 ROTATION RULE — no
+    # enumeration to go stale: front EVERY key from
+    # "scan_partitioned_pruned" below through the END of this tuple
+    # (~70 keys, so round 4's ~50-key window covers most and round 5
+    # fronts the remainder), then any round-4 additions, then the usual
+    # cross-round canaries (agg_hash_groupby, cdc_apply_upsert,
+    # ext_dedup_exact). ---
     "scan_partitioned_pruned",
     "sql_tpch_q4",
     "sql_tpch_q6",
