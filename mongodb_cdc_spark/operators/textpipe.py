@@ -1284,3 +1284,97 @@ def ext_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("symbol").asc())
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_segments
+# --------------------------------------------------------------------------
+
+_SEG_WORDS = 8
+_SEG_MIN_DOCS = 3
+
+
+@query(
+    "ext_dedup_segments",
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id, source, u.s AS seg
+      FROM (
+        SELECT doc_id, source,
+               list_transform(
+                 generate_series(0,
+                     (len(string_split(text, ' ')) - 1) // {_SEG_WORDS}),
+                 i -> array_to_string(
+                        string_split(text, ' ')
+                          [i*{_SEG_WORDS}+1 : i*{_SEG_WORDS}+{_SEG_WORDS}],
+                        ' ')
+               ) AS seglist
+        FROM documents
+      ), UNNEST(seglist) AS u(s)
+      WHERE LENGTH(u.s) > 0
+    ),
+    bp AS (
+      SELECT md5(seg) AS h
+      FROM segs GROUP BY md5(seg)
+      HAVING COUNT(DISTINCT doc_id) >= {_SEG_MIN_DOCS}
+    )
+    SELECT source,
+           COUNT(*) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE h IS NOT NULL) AS BIGINT)
+             AS n_boilerplate,
+           (COUNT(*) FILTER (WHERE h IS NOT NULL) * 10000) // COUNT(*)
+             AS bp_rate_bp
+    FROM segs LEFT JOIN bp ON md5(seg) = bp.h
+    GROUP BY source
+    """,
+)
+def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate dedup (the CCNet/RefinedWeb LINE-dedup
+    stage, distinct from doc-level dedup: headers, navigation chrome,
+    and license blurbs repeat ACROSS documents that are otherwise
+    unique): texts split into fixed 8-word segments, a segment is
+    boilerplate when it appears in >= 3 distinct documents, and each
+    source is scored by its boilerplate rate in basis points — the
+    removal signal a cleaning pass applies segment-wise.
+
+    Mechanics: segmentation is a pure per-row array transform
+    (split -> slice windows -> explode; no shuffle, order-safe — never
+    a groupBy+collect_list whose order is partial-aggregation
+    dependent); boilerplate detection is one distinct-count aggregate
+    over 16-byte segment hashes; the membership join ships hashes only.
+    Scale: segments.explode multiplies rows by docs/8 words — scan-stage
+    only; the hash aggregate and membership join shuffle hash-sized
+    keys; at 100 TB the bp set is the broadcast-able dimension (its
+    cardinality is bounded by truly-repeated content, the thing being
+    hunted)."""
+    d = load_table(spark, sf_dir, "documents")
+    segs = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(split(text, ' ')) - 1) "
+                    f"div {_SEG_WORDS}), i -> concat_ws(' ', "
+                    f"slice(split(text, ' '), i*{_SEG_WORDS}+1, {_SEG_WORDS})))"
+                )
+            ).alias("seg"),
+        )
+        .filter(F.length("seg") > 0)
+        .withColumn("h", F.md5("seg"))
+    )
+    bp = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _SEG_MIN_DOCS)
+        .select("h", F.lit(1).alias("is_bp"))
+    )
+    return (
+        segs.join(F.broadcast(bp), "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count("is_bp").cast("bigint").alias("n_boilerplate"),
+            F.expr("(count(is_bp) * 10000) div count(*)").alias("bp_rate_bp"),
+        )
+    )
