@@ -148,3 +148,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode pass. The oracle recomputes frames relationally via blob
     substrings, so the 1->N Arrow plumbing is hash-verified."""
     return binary_table(spark, sf_dir).mapInPandas(frame_sample, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mm_scan_binary_files
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_scan_binary_files",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def mm_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob ingestion via Spark's ``binaryFile`` source — the
+    entry path for real image/audio/video corpora (one opaque blob per
+    file + path metadata), upstream of the `mm_decode_features` /
+    `mm_frame_sample` processing tier. Fifty deterministic blobs (the
+    first documents' UTF-8 bytes, a stand-in for media bytes) are
+    written once to scratch, read back as (path, length, content), and
+    verified by content checksum: the doc id is recovered FROM THE PATH
+    (the layout-as-metadata convention every blob lake uses) and the
+    md5/byte-length of each blob must match the oracle's values computed
+    from the source table — any truncation, encoding drift, or
+    path-mapping error breaks the hash.
+
+    Scale: binaryFile splits per file (blobs are indivisible);
+    production reads shard by directory and govern file size at write
+    (maxRecordsPerFile analog for blobs: one media object per file,
+    metadata in the path, features extracted once into parquet
+    alongside — the plumbing contract the mm tier documents)."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    blob_dir = _os.path.join(scratch_root(), f"blobs_{sf_name}_v1")
+    marker = _os.path.join(blob_dir, "_BLOBS_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(blob_dir, exist_ok=True)
+        for r in d.select("doc_id", "text").collect():  # 50 rows, one-time
+            with open(
+                _os.path.join(blob_dir, f"doc_{r['doc_id']:06d}.bin"), "wb"
+            ) as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(blob_dir)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )

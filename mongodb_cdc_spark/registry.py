@@ -225,6 +225,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "api_pandas_on_spark",
     "win_lag_ignore_nulls",
     "ext_dedup_segments",
+    "mm_scan_binary_files",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
