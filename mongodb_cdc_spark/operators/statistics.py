@@ -586,3 +586,60 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OVER (PARTITION BY r_name) AS BIGINT)"
         ).alias("share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_markov_transitions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 10000) // CAST(SUM(n) OVER (PARTITION BY from_type)
+                               AS BIGINT) AS p_bp
+    FROM t
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain: the event-type transition matrix with
+    row-normalized probabilities in integer basis points — P(next |
+    current) estimated from every within-user consecutive pair, the
+    input to journey simulation, removal-effect attribution, and churn
+    path analysis.
+
+    Scale: one keyed LEAD (same sort every sessionization op shares),
+    one map-combinable (from, to) count — the matrix is |types|² rows,
+    so normalization windows run over a dimension-sized relation.
+    Transition counts are exact; probabilities are integer
+    cross-multiplication, never float division of float sums."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wr = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "(n * 10000) div CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)"
+        ).alias("p_bp"),
+    )

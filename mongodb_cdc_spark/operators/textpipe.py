@@ -1378,3 +1378,86 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(count(is_bp) * 10000) div count(*)").alias("bp_rate_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext_lm_predictability
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_lm_predictability",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, source,
+             arr[i] AS w1, arr[i + 1] AS w2
+      FROM words, UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE len(arr) >= 2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigrams GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bigrams GROUP BY 1
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source, (bg.c2 * 10000) // uni.c1 AS p_bp
+      FROM bigrams b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2
+                     JOIN uni ON b.w1 = uni.w1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_bp) AS BIGINT) // COUNT(*) AS avg_predictability_bp
+    FROM scored
+    GROUP BY source
+    """,
+)
+def ext_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the perplexity-filter stage,
+    log-free): every bigram is scored by its corpus conditional
+    frequency P(w2|w1) in integer basis points — (count(w1 w2) * 10000)
+    div count(w1·) — and sources are ranked by average predictability.
+    Low scores flag gibberish/OCR noise; implausibly high scores flag
+    templated spam — the two tails a CCNet-style perplexity filter
+    removes. Integer ratios replace log-probabilities because libm's
+    `ln` is not bit-portable across engines; the ranking signal is the
+    same monotone statistic.
+
+    Scale: bigram extraction is an order-safe per-row array pass; the
+    bigram and unigram COUNT tables are vocabulary-squared/vocabulary
+    sized dims (broadcast at this corpus; partitioned hash joins at
+    web scale), and each doc-bigram row joins against both — two
+    vocab-keyed joins + one source aggregate, never a window."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.filter(
+        # guard: Spark's sequence(1, 0) DESCENDS for single-word docs,
+        # which would fabricate null bigrams (DuckDB's generate_series
+        # is empty there) — filter before the transform
+        F.size(F.split("text", " ")) >= 2
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i - 1] AS w1, "
+                "split(text, ' ')[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
+    uni = bigrams.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    scored = (
+        bigrams.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(uni), ["w1"])
+        .select("source", F.expr("(c2 * 10000) div c1").alias("p_bp"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.expr("CAST(SUM(p_bp) AS BIGINT) div COUNT(*)").alias(
+            "avg_predictability_bp"
+        ),
+    )
