@@ -151,6 +151,10 @@ HEAVY = [
     "udf_arrow_optimized",
     "api_pandas_on_spark",
     "win_lag_ignore_nulls",
+    "ext_dedup_segments",
+    "mm_scan_binary_files",
+    "ext_lm_predictability",
+    "agg_markov_transitions",
 ]
 
 
