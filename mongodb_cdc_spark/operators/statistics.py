@@ -643,3 +643,73 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * 10000) div CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)"
         ).alias("p_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_gini_concentration
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, source ASC) AS i,
+             CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS k,
+             CAST((SELECT SUM(n) FROM src) AS BIGINT) AS total
+      FROM src
+    )
+    SELECT k AS n_sources, total AS n_docs,
+           CAST(SUM((2 * i - k - 1) * n) AS BIGINT) * 10000
+             / (k * total) AS gini_bp_num_div_applied,
+           (CAST(SUM((2 * i - k - 1) * n) AS BIGINT) * 10000)
+             // (k * total) AS gini_bp
+    FROM ranked
+    GROUP BY k, total
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration Gini index in integer basis points — the
+    corpus-governance number that says whether a dataset is dominated by
+    a few sources (Gini→1) or balanced (→0), from the standard
+    rank-weighted form G = Σ(2i−k−1)·nᵢ / (k·Σn) over sources sorted
+    ascending. Everything integer: counts exact, the rank total-ordered
+    by (count, source), and the final ratio a truncating division —
+    except one deliberately-DOUBLE echo column proving the integer and
+    float forms agree to hashing (the numerator/denominator are exact
+    integers, so the IEEE division is identical in both engines).
+
+    Scale: the per-source count is one map-combinable aggregate; the
+    rank window runs over the SOURCES relation (dimension-sized). The
+    same shape scores language or domain balance by swapping the key."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("source").asc())
+    ranked = src.select(
+        "n",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    ).crossJoin(
+        src.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("n").cast("bigint").alias("total"),
+        )
+    )
+    return ranked.groupBy("k", "total").agg(
+        F.col("k").alias("n_sources"),
+        F.col("total").alias("n_docs"),
+        (
+            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n")).cast("bigint")
+            * 10000
+            / (F.col("k") * F.col("total"))
+        ).alias("gini_bp_num_div_applied"),
+        F.expr(
+            "(CAST(SUM((2 * i - k - 1) * n) AS BIGINT) * 10000) "
+            "div (k * total)"
+        ).alias("gini_bp"),
+    ).select(
+        "n_sources", "n_docs", "gini_bp_num_div_applied", "gini_bp"
+    )

@@ -228,6 +228,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "mm_scan_binary_files",
     "ext_lm_predictability",
     "agg_markov_transitions",
+    "agg_gini_concentration",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
