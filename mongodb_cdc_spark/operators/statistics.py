@@ -713,3 +713,86 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_sources", "n_docs", "gini_bp_num_div_applied", "gini_bp"
     )
+
+
+# --------------------------------------------------------------------------
+# agg_funnel_time_to_convert
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_ns(ts) // 1000000000) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_ns(ts) // 1000000000) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click' AND (epoch_ns(ts) // 1000000000) > t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_ns(ts) // 1000000000) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND (epoch_ns(ts) // 1000000000) > t2
+      GROUP BY e.user_id
+    ),
+    conv AS (
+      SELECT s1.user_id, t1, t2, t3
+      FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+              JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(t2 - t1, 0.5) AS med_view_to_click_s,
+           quantile_cont(t3 - t2, 0.5) AS med_click_to_purchase_s,
+           quantile_cont(t3 - t1, 0.5) AS med_total_s
+    FROM conv
+    """,
+)
+def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity: the exact median seconds between funnel steps
+    (first view -> first later click -> first later purchase) across
+    fully-converting users — the time-to-convert companion of
+    `agg_funnel_steps`' conversion COUNTS (how many convert vs how fast
+    they move are different product questions).
+
+    Determinism: step times are integer epoch seconds via chained
+    min-aggregates (the same decorrelated shape as the funnel), and the
+    medians are type-7 continuous quantiles over exact integers —
+    identical both engines (even counts average two ints: .0/.5
+    exact). Scale: three user-keyed min-aggregates sharing one
+    partitioning, then ONE exact median over the converted-users
+    relation (population-bounded, not event-bounded)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("sec") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("sec") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    conv = s1.join(s2, "user_id").join(s3, "user_id")
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.expr("percentile(t2 - t1, 0.5D)").alias("med_view_to_click_s"),
+        F.expr("percentile(t3 - t2, 0.5D)").alias("med_click_to_purchase_s"),
+        F.expr("percentile(t3 - t1, 0.5D)").alias("med_total_s"),
+    )
