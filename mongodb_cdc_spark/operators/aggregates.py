@@ -659,11 +659,16 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches HLL mergeability, driver-proven (Spark >= 3.5
     ``hll_sketch_agg`` / ``hll_union_agg``): build one sketch per
     (event_type, day), union the per-day sketches per event_type, and
-    check the merged estimate (a) equals the one-shot whole-column sketch
-    (HLL registers are max-combined, so pre-partitioned merge is exactly
-    associative) and (b) lands within 5% of the exact distinct count.
-    Both checks travel as booleans next to exact BIGINTs the oracle can
-    state.
+    check the merged estimate (a) lands within 1% of the one-shot
+    whole-column sketch and (b) within 5% of the exact distinct count.
+    (a) is deliberately a TOLERANCE, not equality: HLL registers
+    max-combine associatively, but DataSketches keeps small sketches in
+    an exact sparse mode while a union promotes to dense HLL — so a
+    one-shot sketch of 1.5k users reads 1494 while the union of its
+    daily parts reads 1488 (measured at sf0.1; equal at sf0.01 where
+    both stay sparse). Bounded-error equivalence IS the mergeability
+    contract sketches actually offer. Both checks travel as booleans
+    next to exact BIGINTs the oracle can state.
 
     This is THE pre-aggregation pattern for distinct counting at 100 TB:
     daily (or per-shard) sketches are a few KB each, stored once, and any
@@ -692,9 +697,10 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("exact_users").cast("bigint").alias("exact_users"),
         F.col("n_day_sketches").cast("bigint").alias("n_day_sketches"),
-        (F.col("merged_est") == F.col("oneshot_est")).alias(
-            "merge_matches_oneshot"
-        ),
+        (
+            F.abs(F.col("merged_est") - F.col("oneshot_est"))
+            <= F.col("oneshot_est") * F.lit(0.01)
+        ).alias("merge_matches_oneshot"),
         (
             F.abs(F.col("merged_est") - F.col("exact_users"))
             <= F.col("exact_users") * F.lit(0.05)
