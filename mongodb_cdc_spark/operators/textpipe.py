@@ -1461,3 +1461,91 @@ def ext_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_predictability_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ext_decontaminate_train
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_decontaminate_train",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text, {_SPLIT_BUCKET_SQL} AS bucket
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, bucket,
+             substring(md5(substring(text, i, {_GRAM_LEN})), 1, 16) AS gram
+      FROM docs, unnest(generate_series(1, len(text) - {_GRAM_LEN - 1}, {_GRAM_STRIDE})) AS t(i)
+      WHERE len(text) >= {_GRAM_LEN}
+    ), test_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE bucket >= 95
+    ), dropped AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN test_grams t USING (gram)
+      WHERE g.bucket < 90
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1
+                ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS drop_rate_bp
+    FROM (SELECT doc_id, lang FROM docs WHERE bucket < 90) d
+    LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    GROUP BY d.lang
+    """,
+)
+def ext_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY (the removal stage paired with
+    `ext_split_contamination`'s detection): training documents sharing a
+    verbatim 24-char shingle with ANY held-out document are dropped from
+    the train split — the direction production pipelines actually
+    enforce (the eval set is sacred; train is what yields), reported per
+    language with the drop rate in basis points.
+
+    Same scale mechanics as the detector, sides swapped: the TEST
+    shingle set is the small distinct side (5% of docs) — broadcastable
+    at any realistic eval size — and the train shingles semi-join
+    against it, shuffling 16-byte keys only; the roster left-join keeps
+    clean languages reporting zero."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _split_bucket().alias("bucket")
+    )
+    offsets = F.when(
+        F.length("text") >= _GRAM_LEN,
+        F.sequence(
+            F.lit(1), F.length("text") - (_GRAM_LEN - 1), F.lit(_GRAM_STRIDE)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", "bucket", F.explode(offsets).alias("i"), "text"
+    ).select(
+        "doc_id",
+        "bucket",
+        F.substring(
+            F.md5(F.expr(f"substring(text, i, {_GRAM_LEN})")), 1, 16
+        ).alias("gram"),
+    )
+    test_grams = grams.filter(F.col("bucket") >= 95).select("gram").distinct()
+    dropped = (
+        grams.filter(F.col("bucket") < 90)
+        .join(F.broadcast(test_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(F.col("bucket") < 90).select("doc_id", "lang")
+    return (
+        train.join(dropped, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.count("hit").cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.count("hit")).cast("bigint").alias("n_kept"),
+            F.expr("(count(hit) * 10000) div count(*)").alias("drop_rate_bp"),
+        )
+    )
