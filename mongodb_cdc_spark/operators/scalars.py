@@ -563,3 +563,63 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_collation_ci
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                  ELSE LOWER(c_mktsegment) END AS seg_mixed
+      FROM customer
+    )
+    SELECT LOWER(seg_mixed) AS seg_ci,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_raw_spellings
+    FROM mixed
+    GROUP BY LOWER(seg_mixed)
+    """,
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive COLLATION (Spark 4's engine-level collation
+    support): a deliberately case-mangled segment column is grouped
+    under ``COLLATE UTF8_LCASE`` — the collation does the folding inside
+    the GROUP BY, no manual LOWER in the grouping key — and the oracle
+    states the same partition via explicit LOWER (DuckDB has no
+    per-expression collations), proving the collated grouping equals
+    the canonical-form grouping while `n_raw_spellings = 2` per group
+    shows the raw values really were mixed.
+
+    At scale collations matter because they fold in CODEGEN during hash
+    aggregation — one pass — where the pre-Spark-4 idiom (LOWER
+    everywhere, or worse a Python normalizer) doubles string
+    materialization on every grouped pipeline."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                  ELSE LOWER(c_mktsegment) END AS seg_mixed
+      FROM customer
+    )
+    SELECT LOWER(seg_ci_grp) AS seg_ci,
+           n,
+           n_raw_spellings
+    FROM (
+      SELECT MIN(seg_mixed) AS seg_ci_grp,
+             COUNT(*) AS n,
+             CAST(COUNT(DISTINCT seg_mixed COLLATE UTF8_BINARY) AS BIGINT)
+               AS n_raw_spellings
+      FROM (SELECT c_custkey,
+                   seg_mixed COLLATE UTF8_LCASE AS seg_mixed FROM mixed)
+      GROUP BY seg_mixed
+    )
+    """)

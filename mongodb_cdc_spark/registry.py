@@ -231,6 +231,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "agg_gini_concentration",
     "agg_funnel_time_to_convert",
     "ext_decontaminate_train",
+    "fn_collation_ci",
     # --- remaining canaries + refresh slice (outside the ~50 window if
     # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
     # these rows are bonus evidence, not load-bearing) ---
