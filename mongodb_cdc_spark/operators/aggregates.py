@@ -659,14 +659,17 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataSketches HLL mergeability, driver-proven (Spark >= 3.5
     ``hll_sketch_agg`` / ``hll_union_agg``): build one sketch per
     (event_type, day), union the per-day sketches per event_type, and
-    check the merged estimate (a) lands within 1% of the one-shot
+    check the merged estimate (a) lands within 5% of the one-shot
     whole-column sketch and (b) within 5% of the exact distinct count.
     (a) is deliberately a TOLERANCE, not equality: HLL registers
     max-combine associatively, but DataSketches keeps small sketches in
     an exact sparse mode while a union promotes to dense HLL — so a
     one-shot sketch of 1.5k users reads 1494 while the union of its
     daily parts reads 1488 (measured at sf0.1; equal at sf0.01 where
-    both stay sparse). Bounded-error equivalence IS the mergeability
+    both stay sparse). The bound is 5%: lgK=12's RSE is ~1.6%, so a
+    1-3% sparse-vs-dense divergence sits INSIDE the sketch's own
+    contract and a tighter check would recreate the fragile-equality
+    mistake. Bounded-error equivalence IS the mergeability
     contract sketches actually offer. Both checks travel as booleans
     next to exact BIGINTs the oracle can state.
 
@@ -699,7 +702,7 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_day_sketches").cast("bigint").alias("n_day_sketches"),
         (
             F.abs(F.col("merged_est") - F.col("oneshot_est"))
-            <= F.col("oneshot_est") * F.lit(0.01)
+            <= F.col("oneshot_est") * F.lit(0.05)
         ).alias("merge_matches_oneshot"),
         (
             F.abs(F.col("merged_est") - F.col("exact_users"))

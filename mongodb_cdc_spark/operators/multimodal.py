@@ -159,7 +159,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_scan_binary_files",
     oracle="""
     SELECT doc_id, md5(text) AS content_md5,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+           CAST(strlen(text) AS BIGINT) AS n_bytes
     FROM documents WHERE doc_id < 50
     """,
 )

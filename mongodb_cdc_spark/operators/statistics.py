@@ -634,7 +634,6 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = seq.groupBy("from_type", "to_type").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    wr = Window.partitionBy("from_type")
     return t.select(
         "from_type",
         "to_type",

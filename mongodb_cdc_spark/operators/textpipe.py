@@ -50,6 +50,44 @@ from mongodb_cdc_spark.registry import query
 _GRAM_LEN = 24
 _GRAM_STRIDE = 8
 
+# Shared shingle geometry (detector + decontaminator MUST agree — they
+# describe the same holdout): the docs/grams CTE pair for oracles, and
+# the Spark-side gram extractor, defined ONCE.
+
+
+def _grams_cte() -> str:
+    return f"""
+    docs AS (
+      SELECT doc_id, lang, text, {_SPLIT_BUCKET_SQL} AS bucket
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, bucket,
+             substring(md5(substring(text, i, {_GRAM_LEN})), 1, 16) AS gram
+      FROM docs, unnest(generate_series(1, len(text) - {_GRAM_LEN - 1}, {_GRAM_STRIDE})) AS t(i)
+      WHERE len(text) >= {_GRAM_LEN}
+    )"""
+
+
+def _shingle_grams(d):
+    """(doc_id, lang, bucket, gram) — strided 24-char shingles hashed to
+    16-hex keys, the Spark twin of _grams_cte()."""
+    offsets = F.when(
+        F.length("text") >= _GRAM_LEN,
+        F.sequence(
+            F.lit(1), F.length("text") - (_GRAM_LEN - 1), F.lit(_GRAM_STRIDE)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return d.select(
+        "doc_id", "lang", "bucket", "text", F.explode(offsets).alias("i")
+    ).select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.substring(
+            F.md5(F.expr(f"substring(text, i, {_GRAM_LEN})")), 1, 16
+        ).alias("gram"),
+    )
+
 # Deterministic split assignment — same seed and bucketing as
 # `ext_data_split` so the two operators describe the same holdout.
 _SPLIT_BUCKET_SQL = (
@@ -76,15 +114,7 @@ def _split_bucket() -> F.Column:
 @query(
     "ext_split_contamination",
     oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, lang, text, {_SPLIT_BUCKET_SQL} AS bucket
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, lang, bucket,
-             substring(md5(substring(text, i, {_GRAM_LEN})), 1, 16) AS gram
-      FROM docs, unnest(generate_series(1, len(text) - {_GRAM_LEN - 1}, {_GRAM_STRIDE})) AS t(i)
-      WHERE len(text) >= {_GRAM_LEN}
-    ), train_grams AS (
+    WITH {_grams_cte()}, train_grams AS (
       SELECT DISTINCT gram FROM grams WHERE bucket < 90
     ), test_docs AS (
       SELECT DISTINCT doc_id, lang FROM docs WHERE bucket >= 95
@@ -114,23 +144,7 @@ def ext_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", _split_bucket().alias("bucket")
     )
-    offsets = F.when(
-        F.length("text") >= _GRAM_LEN,
-        F.sequence(
-            F.lit(1), F.length("text") - (_GRAM_LEN - 1), F.lit(_GRAM_STRIDE)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = (
-        d.select("doc_id", "lang", "bucket", "text", F.explode(offsets).alias("i"))
-        .select(
-            "doc_id",
-            "lang",
-            "bucket",
-            F.substring(
-                F.md5(F.expr(f"substring(text, i, {_GRAM_LEN})")), 1, 16
-            ).alias("gram"),
-        )
-    )
+    grams = _shingle_grams(d)
     train_grams = grams.filter(F.col("bucket") < 90).select("gram").distinct()
     test_docs = d.filter(F.col("bucket") >= 95).select("doc_id", "lang").distinct()
     contaminated = (
@@ -1451,7 +1465,10 @@ def ext_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
     uni = bigrams.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
     scored = (
-        bigrams.join(F.broadcast(bg), ["w1", "w2"])
+        # bg is vocabulary-SQUARED — no broadcast hint, let Catalyst
+        # decide (the hint would force driver materialization at web
+        # scale); uni is vocabulary-sized and safe to pin
+        bigrams.join(bg, ["w1", "w2"])
         .join(F.broadcast(uni), ["w1"])
         .select("source", F.expr("(c2 * 10000) div c1").alias("p_bp"))
     )
@@ -1471,15 +1488,7 @@ def ext_lm_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_decontaminate_train",
     oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, lang, text, {_SPLIT_BUCKET_SQL} AS bucket
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, bucket,
-             substring(md5(substring(text, i, {_GRAM_LEN})), 1, 16) AS gram
-      FROM docs, unnest(generate_series(1, len(text) - {_GRAM_LEN - 1}, {_GRAM_STRIDE})) AS t(i)
-      WHERE len(text) >= {_GRAM_LEN}
-    ), test_grams AS (
+    WITH {_grams_cte()}, test_grams AS (
       SELECT DISTINCT gram FROM grams WHERE bucket >= 95
     ), dropped AS (
       SELECT DISTINCT g.doc_id
@@ -1515,21 +1524,7 @@ def ext_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", _split_bucket().alias("bucket")
     )
-    offsets = F.when(
-        F.length("text") >= _GRAM_LEN,
-        F.sequence(
-            F.lit(1), F.length("text") - (_GRAM_LEN - 1), F.lit(_GRAM_STRIDE)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
-        "doc_id", "bucket", F.explode(offsets).alias("i"), "text"
-    ).select(
-        "doc_id",
-        "bucket",
-        F.substring(
-            F.md5(F.expr(f"substring(text, i, {_GRAM_LEN})")), 1, 16
-        ).alias("gram"),
-    )
+    grams = _shingle_grams(d)
     test_grams = grams.filter(F.col("bucket") >= 95).select("gram").distinct()
     dropped = (
         grams.filter(F.col("bucket") < 90)
