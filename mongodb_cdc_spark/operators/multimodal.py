@@ -190,14 +190,29 @@ def mm_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob_dir = _os.path.join(scratch_root(), f"blobs_{sf_name}_v1")
     marker = _os.path.join(blob_dir, "_BLOBS_DONE")
     if not _os.path.exists(marker):
-        _os.makedirs(blob_dir, exist_ok=True)
+        # Stage-then-commit (the upsert.py discipline): populate a temp
+        # sibling and rename it into place so a concurrent session sharing
+        # scratch_root can never glob a half-written blob directory.
+        import tempfile as _tempfile
+
+        stage = _tempfile.mkdtemp(
+            prefix=".blobs_stage_", dir=scratch_root()
+        )
         for r in d.select("doc_id", "text").collect():  # 50 rows, one-time
             with open(
-                _os.path.join(blob_dir, f"doc_{r['doc_id']:06d}.bin"), "wb"
+                _os.path.join(stage, f"doc_{r['doc_id']:06d}.bin"), "wb"
             ) as f:
                 f.write(r["text"].encode("utf-8"))
-        with open(marker, "w"):
+        with open(_os.path.join(stage, "_BLOBS_DONE"), "w"):
             pass
+        try:
+            _os.rename(stage, blob_dir)
+        except OSError:
+            # Another session committed first; its blobs are identical
+            # (content is a pure function of sf_dir), keep theirs.
+            import shutil as _shutil
+
+            _shutil.rmtree(stage, ignore_errors=True)
     blobs = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

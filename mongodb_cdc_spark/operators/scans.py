@@ -297,14 +297,24 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("_corrupt_record", StringType()),
         ]
     )
-    read = (
-        spark.read.format("json")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(schema)
-        .load(path)
-        .cache()  # SPARK-21610: corrupt-column queries need materialization
-    )
+    # SPARK-21610: corrupt-column queries need materialization. A bare
+    # .cache() here leaks one cached relation per invocation into executor
+    # storage memory (223-operator sweeps, bench loops never unpersist it);
+    # instead stage the parsed rows through a scratch parquet ONCE per
+    # sf_dir — same materialization guarantee, zero storage-memory residue,
+    # and repeat invocations are a plain parquet scan.
+    parsed = path + "_parsed"
+    if not _os.path.exists(_os.path.join(parsed, "_SUCCESS")):
+        (
+            spark.read.format("json")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema(schema)
+            .load(path)
+            .write.mode("overwrite")
+            .parquet(parsed)
+        )
+    read = spark.read.parquet(parsed)
     return read.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1))
         .cast("bigint")

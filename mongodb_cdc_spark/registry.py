@@ -66,185 +66,111 @@ def load_all_operators() -> None:
 # Driver-facing presentation order. The per-round CORRECTNESS gate walks the
 # ``queries()`` dict in insertion order and only reaches the first ~50 keys,
 # so rounds rotate which operators sit at the front: round 1 verified the
-# relational core, round 2 the CDC/streaming/extension/UDF tiers (50/50
-# green). Round 3 (this rotation) fronts the 29 keys registered late in
-# round 2 that had no driver row yet — guaranteed inside the window by
-# putting them FIRST — then two cross-round canaries, the rewritten
-# win_ntile_pctrank, and the 20 operators new in round 3 ordered
-# most-critical-first. Round 4 should front whatever tail the round-3
-# window cut (see the inline note below) plus any round-4 additions.
+# relational core (50/50), round 2 the CDC/streaming/extension/UDF tiers
+# (50/50), round 3 the late-round-2 tier + round-3 additions (50/50).
+# Round 4 (this rotation) fronts 47 of the 80 keys that have never had a
+# driver row — TPC-H q2-q22, the file-format scans, bitmap/BPE/time-series/
+# graph/CDC tiers — then the three cross-round canaries at positions 48-50.
+# ROUND 5 ROTATION RULE: front EVERY key from "agg_filtered_distinct" below
+# through "ext_quality_rules" (the 33-key remainder), then any round-4/5
+# additions, then the canaries (agg_hash_groupby, cdc_apply_upsert,
+# ext_dedup_exact) — that finishes full-registry driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
-    # --- the 29 round-2 keys with no driver row yet (positions 1-29) ---
-    # scale-mechanism joins
-    "join_skew_salted",
-    "join_bucketed",
-    # ANN / similarity
-    "ext_sim_lsh_topk",
-    "ext_sim_knn_join",
-    # CDC evolution
-    "cdc_schema_drift",
-    "cdc_apply_tombstone",
-    # sketch tier
-    "agg_countmin_sketch",
-    "agg_hll_partial_merge",
-    # aggregate statistics
-    "agg_funnel_steps",
-    "agg_mode_disc",
-    "agg_stats_moments",
-    # corpus-prep tier
-    "ext_corpus_prep_e2e",
-    "ext_doc_chunks",
-    "ext_pack_sequences",
-    "ext_pii_scrub",
-    "ext_repetition_stats",
-    "ext_sample_stratified",
-    "ext_split_contamination",
-    "ext_tfidf_topterms",
-    "ext_token_histogram",
-    "ext_topk_tokens",
-    # remaining surface
-    "fn_variant",
-    "maintenance_compact",
-    "mm_frame_sample",
-    "set_except_all",
-    "set_intersect_all",
-    "stream_join_interval",
-    "udf_cogrouped_profile",
-    "win_cume_dist_nth",
-    # --- cross-round canaries INSIDE the window (positions 30-31):
-    # r2-green and r1-green flagships re-run to prove no regression ---
-    "cdc_apply_upsert",
-    "agg_hash_groupby",
-    # --- win_ntile_pctrank re-fronted after its round-3 two-pass
-    # rewrite: the code changed, so its r1 row is stale (position 32) ---
-    "win_ntile_pctrank",
-    # --- keys NEW in round 3 (positions 33-50), most-critical first:
-    # scale mechanisms and novel-FP contracts before trivial SQL shapes.
-    # The window is ~50 keys, so the tail of this list may be cut; the
-    # last two (cdc_op_ratio_guard, maintenance_table_stats) are the
-    # simplest conditional/UNION aggregates and stay pytest-proven. ---
-    "join_dpp_pruned",
-    "join_bloom_pruned",
-    "ext_sim_ann_pq",
-    "ml_kmeans_refine",
-    "ext_embed_centroids",
-    "agg_corr_regression",
-    "agg_percentile_cont",
-    "sql_lateral_topn",
-    "cdc_scd2_history",
-    "cdc_point_in_time",
-    "ext_dedup_incremental",
-    "ext_bigram_novelty",
-    "ext_collocations",
-    "ext_heavy_hitters",
-    "ext_sample_weighted",
-    "maintenance_zorder_key",
-    "agg_retention_cohort",
-    "agg_segment_overlap",
-    "sql_tpch_q3",
-    "sql_tpch_q5",
-    "sql_tpch_q10",
-    "agg_histogram_bins",
-    "cdc_op_ratio_guard",
-    "maintenance_table_stats",
-    "ext_sample_topk_hash",
-    "fn_struct",
-    "cdc_idempotency_audit",
-    "udtf_table_args",
-    "ext_quality_rules",
+    # --- round-4 window: 47 never-driver-checked keys (positions 1-47) ---
+    # file-format + layout scans (every real user's first touch)
     "scan_csv",
     "scan_json",
     "scan_orc",
-    # --- keys added LATE in round 3 (after the window rotation): these
-    # sit past the ~50-key cut, so their driver row waits for round 4;
-    # every one of them IS strict-driver-gate-simulated green at BOTH
-    # sf0.01 and sf0.1 (tools/driver_gate_sim.py; full-registry sweeps
-    # recorded in the round-3 commit log). ROUND 4 ROTATION RULE — no
-    # enumeration to go stale: front EVERY key from
-    # "scan_partitioned_pruned" below through the END of this tuple
-    # (~70 keys, so round 4's ~50-key window covers most and round 5
-    # fronts the remainder), then any round-4 additions, then the usual
-    # cross-round canaries (agg_hash_groupby, cdc_apply_upsert,
-    # ext_dedup_exact). ---
     "scan_partitioned_pruned",
-    "sql_tpch_q4",
-    "sql_tpch_q6",
-    "sql_tpch_q14",
-    "sql_tpch_q18",
-    "ext_shuffle_shards",
-    "ext_dedup_containment",
-    "agg_bitmap_distinct",
     "scan_schema_merge",
+    "scan_corrupt_records",
     "source_pydatasource_pushdown",
-    "cdc_resume_gap_detect",
-    "cdc_bootstrap_sync",
-    "ext_dataset_card",
-    "ext_classifier_metrics",
-    "agg_bitmap_range_merge",
-    "agg_bitmap_audience_ops",
-    "sql_tpch_q19",
+    # the TPC-H completion suite (q1 == agg_hash_groupby, canary below)
     "sql_tpch_q2",
+    "sql_tpch_q3",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
     "sql_tpch_q7",
     "sql_tpch_q8",
     "sql_tpch_q9",
+    "sql_tpch_q10",
     "sql_tpch_q11",
     "sql_tpch_q12",
     "sql_tpch_q13",
+    "sql_tpch_q14",
     "sql_tpch_q15",
     "sql_tpch_q16",
     "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
     "sql_tpch_q20",
     "sql_tpch_q21",
     "sql_tpch_q22",
-    "ts_gapfill_daily",
-    "win_streak_days",
-    "graph_triangle_count",
-    "ext_fuzzy_block_match",
-    "ts_rolling_wau",
-    "ts_anomaly_zscore",
-    "cdc_dbhash_buckets",
-    "win_pattern_triples",
-    "ts_cumulative_users",
-    "ts_wow_growth",
-    "sql_null_semantics",
-    "ext_winsorize",
-    "fn_array_hof",
-    "win_ratio_to_report",
-    "agg_filtered_distinct",
-    "cdc_snapshot_time_travel",
-    "agg_string_agg",
-    "fn_try_arith",
-    "cdc_ivm_aggregate",
+    # exact-distinct bitmap tier
+    "agg_bitmap_distinct",
+    "agg_bitmap_range_merge",
+    "agg_bitmap_audience_ops",
+    # BPE tokenizer pair
     "ext_bpe_vocab_merges",
     "ext_bpe_tokenize_apply",
-    "scan_corrupt_records",
-    "win_rolling_median",
-    "fn_url",
-    "ext_bitext_mine_margin",
-    "udf_arrow_optimized",
-    "api_pandas_on_spark",
-    "win_lag_ignore_nulls",
-    "ext_dedup_segments",
-    "mm_scan_binary_files",
-    "ext_lm_predictability",
+    # time-series tier
+    "ts_gapfill_daily",
+    "ts_rolling_wau",
+    "ts_anomaly_zscore",
+    "ts_cumulative_users",
+    "ts_wow_growth",
+    "win_streak_days",
+    "win_pattern_triples",
+    # graph
+    "graph_triangle_count",
+    # CDC snapshot/audit tier
+    "cdc_snapshot_time_travel",
+    "cdc_ivm_aggregate",
+    "cdc_dbhash_buckets",
+    "cdc_bootstrap_sync",
+    "cdc_resume_gap_detect",
+    "cdc_idempotency_audit",
+    # --- cross-round canaries INSIDE the window (positions 48-50):
+    # r1/r2/r3-green flagships re-run to prove no regression ---
+    "agg_hash_groupby",
+    "cdc_apply_upsert",
+    "ext_dedup_exact",
+    # --- round-5 window: the 33-key remainder (strict-gate-sim green at
+    # both SFs; see ROUND 5 ROTATION RULE above) ---
+    "agg_filtered_distinct",
+    "agg_string_agg",
+    "agg_histogram_bins",
     "agg_markov_transitions",
     "agg_gini_concentration",
     "agg_funnel_time_to_convert",
-    "ext_decontaminate_train",
+    "win_rolling_median",
+    "win_lag_ignore_nulls",
+    "win_ratio_to_report",
+    "fn_struct",
+    "fn_array_hof",
+    "fn_try_arith",
+    "fn_url",
     "fn_collation_ci",
-    # --- remaining canaries + refresh slice (outside the ~50 window if
-    # the driver stops exactly at 50; r1/r2-green and pytest-covered, so
-    # these rows are bonus evidence, not load-bearing) ---
-    "ext_dedup_exact",
-    "scan_parquet",
-    "join_asof_latest",
-    "join_theta_self",
-    "win_latest_per_key",
-    "agg_rollup",
-    "topk_orders",
-    "set_intersect",
-    "fn_array",
-    "fn_cast_decimal",
+    "cdc_op_ratio_guard",
+    "maintenance_table_stats",
+    "ext_dedup_containment",
+    "ext_dedup_segments",
+    "ext_classifier_metrics",
+    "ext_bitext_mine_margin",
+    "ext_sample_topk_hash",
+    "ext_shuffle_shards",
+    "ext_dataset_card",
+    "ext_fuzzy_block_match",
+    "ext_lm_predictability",
+    "ext_decontaminate_train",
+    "ext_winsorize",
+    "ext_quality_rules",
+    "mm_scan_binary_files",
+    "sql_null_semantics",
+    "udtf_table_args",
+    "udf_arrow_optimized",
+    "api_pandas_on_spark",
 )
 
 

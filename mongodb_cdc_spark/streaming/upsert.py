@@ -76,6 +76,11 @@ class ParquetUpsertTarget:
     ):
         self.path = path
         self.n_buckets = n_buckets
+        if keep_versions < 1:
+            # keep_versions=0 would make the retention slice [:None] and
+            # delete EVERY manifest/version including the one just
+            # written — silently destroying the snapshot log.
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         self.keep_versions = keep_versions
         # Micro-batch merge jobs are latency-sensitive and their partition
         # sizes are bounded by construction (that is what the bucketing is
