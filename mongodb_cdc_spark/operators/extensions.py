@@ -951,11 +951,17 @@ def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The rank window partitions by probe_id — bounded by the
     probe set, never the corpus.
     """
+    # Dup-collapse ONCE and materialize: `e` feeds three plan arms (the
+    # signature pass and both cosine-score sides). Without the checkpoint
+    # the groupBy-on-array shuffle re-runs per arm — the r3 recall fix
+    # added exactly that and cost 1.31x (BENCH_r03 6.13 s vs r2 4.69 s);
+    # at scale this is the dedup'd vector table you'd persist anyway.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .groupBy("embedding")
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
     )
     bit_cols = [
         F.when(
@@ -1003,16 +1009,22 @@ def ext_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
         .distinct()
     )
+    # cand is bounded (probes x bands x bucket-cap) — broadcast it against
+    # the vector table instead of shuffling the vectors on the join key,
+    # and broadcast the <= _LSH_PROBES-row probe-embedding side outright.
     scored = (
-        cand.join(
-            e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
-            "probe_id",
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
         )
+        .join(F.broadcast(cand), "neighbor_id")
         .join(
-            e.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            F.broadcast(
+                e.filter(F.col("vec_id") < _LSH_PROBES).select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pe"),
+                )
             ),
-            "neighbor_id",
+            "probe_id",
         )
         .select(
             "probe_id",

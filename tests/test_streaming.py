@@ -930,6 +930,50 @@ def test_snapshot_log_time_travel_and_manifest_diff(spark, sf_dir):
     assert 0 < len(changed) <= target.n_buckets
 
 
+def test_snapshot_retention_prunes_log_and_names_pruned_reads(spark, sf_dir):
+    """Retention/vacuum semantics on the snapshot seam (the Delta
+    `VACUUM` + `VERSION AS OF` contract): with keep_versions=2, merging
+    four batches must (a) keep at most 2 manifests listed, (b) keep
+    every LISTED snapshot readable — retention may never advertise a
+    version whose buckets it pruned, (c) fail a read of a pruned
+    version with the documented named error (not a bare parquet
+    missing-path stack), and (d) reject the keep_versions=0 foot-gun
+    that would vacuum the manifest just written."""
+    import pytest
+
+    from mongodb_cdc_spark.streaming.upsert import upsert_projection
+
+    feed = derive_change_log(spark, sf_dir).orderBy("clusterTime", "_id")
+    rows = feed.count()
+    quarter = max(rows // 4, 1)
+    target = ParquetUpsertTarget(new_scratch_dir("ret_target"), keep_versions=2)
+
+    seen_versions = []
+    for i in range(4):
+        batch = feed.offset(i * quarter).limit(quarter)
+        target.merge_batch(upsert_projection(batch), i)
+        seen_versions.append(target.snapshots()[-1])
+
+    listed = target.snapshots()
+    assert len(listed) <= 2, f"retention left {len(listed)} manifests"
+    assert listed[-1] == seen_versions[-1]
+
+    # (b) every listed snapshot reads cleanly end-to-end
+    for v in listed:
+        assert target.read_snapshot(spark, v).count() > 0
+
+    # (c) a vacuumed version is gone from the log and a direct manifest
+    # read of it fails with the named pruned-read contract
+    pruned = seen_versions[0]
+    assert pruned not in listed
+    with pytest.raises(FileNotFoundError):
+        target._snapshot_paths(pruned)
+
+    # (d) the zero-retention foot-gun is rejected at construction
+    with pytest.raises(ValueError, match="keep_versions"):
+        ParquetUpsertTarget(new_scratch_dir("ret_bad"), keep_versions=0)
+
+
 def test_fanout_two_independent_consumers_converge(spark, sf_dir):
     """Multi-consumer architecture: TWO replication queries tail the
     same change feed into independent targets with independent
