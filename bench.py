@@ -115,6 +115,11 @@ HEADLINE = [
     ("sql_tpch_q21", None),
     ("ts_gapfill_daily", None),
     ("graph_triangle_count", None),
+    # round-4 curation tier
+    ("ext_ngram_dup_coverage", None),
+    ("ext_semantic_dedup", None),
+    ("ext_dsir_select", None),
+    ("graph_pagerank", None),
 ]
 
 

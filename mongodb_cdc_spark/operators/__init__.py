@@ -30,6 +30,7 @@ MODULES = (
     "benchmarks2",
     "timeseries",
     "graphs",
+    "curation",
 )
 
 _loaded = False

@@ -1,0 +1,572 @@
+"""Corpus-curation operators, round 4: the dedup/selection stages a
+100 TB LLM training-data pipeline runs AFTER the basic text/dedup tier
+(extensions.py, textpipe.py) — duplicated-ngram coverage (the "memorized
+span" signal from exact-substring dedup literature), SemDeDup-style
+semantic deduplication over embeddings, DSIR-style importance selection
+toward a target distribution, and the persisted MinHash signature store
+that turns near-dup detection from a per-query recompute into a
+maintenance artifact. The reference engine has no corpus surface
+(its analytics stop at CDC aggregates, js:478-538); this module is
+north-star extension surface per SURVEY.md §2B.
+
+Scale design notes, per operator:
+
+* `ext_ngram_dup_coverage`: every shuffle is keyed on a 16-hex md5
+  prefix of the trigram, never the trigram text — at 100 TB the ngram
+  table is (doc_id, 16-byte key), two keyed shuffles (count docs per
+  ngram, re-aggregate per doc), no windows, no all-pairs.
+* `ext_semantic_dedup`: clusters (the SemDeDup trick) PLUS a
+  sorted-neighborhood window inside each cluster, so pair work is
+  N x WINDOW — linear — instead of quadratic in cluster size; the
+  window join is a block join, never a cross product. Assignment is a
+  broadcast map-side pass.
+* `ext_dsir_select`: the feature-statistics table is bounded by the
+  hash-bucket count (65536), so it BROADCASTS; scoring is one broadcast
+  join + one doc_id-keyed aggregate; selection is sort+limit ->
+  TakeOrderedAndProject, never a global window.
+* `maintenance_signature_store`: signatures are computed once per
+  ingested doc and persisted columnar; LSH queries then scan 8 BIGINT
+  columns instead of re-shingling text. Stage-then-rename write, same
+  discipline as the multimodal blob cache.
+
+Integer/exactness discipline: fractions are e6-scaled BIGINTs produced
+by integer division; cosine thresholds run through the UNROLLED
+bit-exact expression (functions/vectors.py) so both engines agree on
+every boundary comparison.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.functions.text import tokens, tokens_sql
+from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.registry import query
+
+# --------------------------------------------------------------------------
+# ext_ngram_dup_coverage — per-doc duplicated-ngram fraction
+# --------------------------------------------------------------------------
+# Word-trigram shingles; a trigram is "duplicated" when it occurs in >= 2
+# distinct documents. The per-doc fraction of duplicated trigrams is the
+# standard memorization/boilerplate risk score from the exact-substring
+# dedup line of work: docs dominated by corpus-repeated spans are cut or
+# down-weighted before training.
+
+_TRI_SQL = f"""
+      SELECT doc_id, substring(md5(g), 1, 16) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len({tokens_sql('text')}) - 2),
+                 i -> {tokens_sql('text')}[i] || ' ' ||
+                      {tokens_sql('text')}[i+1] || ' ' ||
+                      {tokens_sql('text')}[i+2]))) AS g
+        FROM documents
+        WHERE len({tokens_sql('text')}) >= 3
+      )
+"""
+
+
+@query(
+    "ext_ngram_dup_coverage",
+    oracle=f"""
+    WITH tri AS ({_TRI_SQL}),
+    freq AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM tri
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST((2000000 * SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS dup_frac_e6
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def ext_ngram_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-trigram coverage: the fraction of a doc's
+    distinct word-trigrams that appear in at least one OTHER document
+    (docfreq >= 2; since trigrams are per-doc distinct, occurrence count
+    equals doc count). High coverage = boilerplate / near-copy risk.
+
+    Plan: explode distinct trigrams -> md5-16hex key -> frequency as a
+    COUNT window PARTITIONED BY h (one h-keyed shuffle; a groupBy+self-
+    join formulation would compute the exploded trigram table twice and
+    shuffle it three times — measured 2x slower at sf0.1) -> groupBy
+    (doc_id). The trigram STRINGS never shuffle, only 16-byte keys; the
+    window partitions are bucket-sized (docfreq of one trigram), so no
+    skewed WindowExec task. The fraction
+    is e6-scaled via pure integer arithmetic
+    (``(2e6*dup + total) div (2*total)`` = round-half-up), exact in both
+    engines. Docs with < 3 tokens contribute no rows (no trigrams — same
+    as the oracle's WHERE)."""
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the token ARRAY as a column first: referencing the raw
+    # `tokens("text")` expression inside the transform lambda would
+    # re-run split+filter at every element_at — O(tokens^2) per doc (the
+    # same recompute cliff the r3 LSH fix removed)
+    toked = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    tk = F.col("toks")
+    tri = (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(tk, i),
+                            F.element_at(tk, i + 1),
+                            F.element_at(tk, i + 2),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+    )
+    from pyspark.sql.window import Window
+
+    freq = tri.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("h")).alias("ndocs")
+    )
+    return freq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.expr(
+            "CAST((2000000 * SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)"
+            " + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("dup_frac_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_semantic_dedup — SemDeDup with sorted-neighborhood refinement
+# --------------------------------------------------------------------------
+# Cluster embeddings around deterministic seed centroids, then WITHIN each
+# cluster order members by their (bit-exact) cosine to centroid 0 — a
+# stable 1-D projection — and compare each vector only against the next
+# _SEM_WINDOW members in that order (the sorted-neighborhood method from
+# entity resolution, applied as SemDeDup's refinement stage). A vector is
+# dropped when any EARLIER-ranked window-mate reaches the cosine
+# threshold; the earliest rank is the deterministic keeper.
+#
+# Why the window: an unwindowed within-cluster pair join is quadratic in
+# cluster size — the first cut of this operator did exactly that and the
+# 100x rehearsal (under full noop materialization) ran >10 min, while the
+# count()-timed run looked fine because Catalyst ELIMINATED the unreferenced
+# outer join (SCALING.md round-4 notes). With the window, pair work is
+# N x W regardless of cluster size; production additionally grows K with
+# corpus size, and near-dup recall is governed by the projection quality
+# (near-identical vectors have near-identical projections, so they sort
+# adjacently — boundary misses are the documented approximation, exactly
+# as in ER sorted-neighborhood).
+
+_SEM_K = 4
+_SEM_WINDOW = 16
+_SEM_TAU = 0.40  # chosen against the synthetic corpus: a real but
+# non-degenerate prune at both test SFs
+
+
+def _sem_assign_case() -> str:
+    """Nearest-seed-centroid assignment as an unrolled CASE over the four
+    bit-exact cosine columns (ties -> lowest centroid id). Dialect-free:
+    plain comparisons parse identically in Spark SQL and DuckDB."""
+    return """
+      CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           WHEN s2 >= s3 THEN 2 ELSE 3 END
+    """
+
+
+_SEM_ORACLE = f"""
+    WITH c AS (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
+    ),
+    sims AS (
+      SELECT e.vec_id, e.embedding,
+             {cosine_unrolled_sql('e.embedding', 'c0', dialect='duck')} AS s0,
+             {cosine_unrolled_sql('e.embedding', 'c1', dialect='duck')} AS s1,
+             {cosine_unrolled_sql('e.embedding', 'c2', dialect='duck')} AS s2,
+             {cosine_unrolled_sql('e.embedding', 'c3', dialect='duck')} AS s3
+      FROM embeddings e, c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, {_sem_assign_case()} AS cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY {_sem_assign_case()}
+               ORDER BY s0, vec_id) AS rn
+      FROM sims
+    ),
+    aexp AS (
+      SELECT cluster, rn, embedding, rn // {_SEM_WINDOW} AS blk FROM ranked
+      UNION ALL
+      SELECT cluster, rn, embedding, rn // {_SEM_WINDOW} + 1 AS blk FROM ranked
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM aexp a JOIN ranked b
+        ON a.cluster = b.cluster
+       AND a.blk = (b.rn - 1) // {_SEM_WINDOW}
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SEM_WINDOW}
+      WHERE {cosine_unrolled_sql('a.embedding', 'b.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )
+    SELECT g.vec_id, CAST(g.cluster AS BIGINT) AS cluster,
+           d.vec_id IS NULL AS kept
+    FROM ranked g LEFT JOIN dropped d ON d.vec_id = g.vec_id
+"""
+
+
+@query("ext_semantic_dedup", oracle=_SEM_ORACLE)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication with sorted-neighborhood
+    refinement: assign every embedding to its nearest seed centroid
+    (vec_id < 4, broadcast; cosine argmax unrolled into a deterministic
+    CASE), rank cluster members by cosine-to-centroid-0 (bit-exact, so
+    ranks agree across engines), and drop any vector with an
+    earlier-ranked neighbor within the 16-wide sorted window at cosine
+    >= 0.40.
+
+    Scale: pair work is N x WINDOW — linear — because the window join is
+    a BLOCK join (each left row carries its block id and its successor's;
+    right rows join on their own block), never a per-cluster cross
+    product. The per-cluster ROW_NUMBER is bounded by cluster size, which
+    production bounds by growing K ~ sqrt(N). The quadratic formulation
+    this replaced died at the 100x rehearsal (>10 min; see SCALING.md
+    round-4). Every cosine and every ordering key is the unrolled
+    bit-exact expression, so assignment, ranks, and threshold
+    comparisons agree with the DuckDB oracle at the last bit."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < _SEM_K)
+        .groupBy()
+        .pivot("vec_id", list(range(_SEM_K)))
+        .agg(F.first("embedding"))
+        .select(*[F.col(str(k)).alias(f"c{k}") for k in range(_SEM_K)])
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(cosine_unrolled_sql("embedding", f"c{k}")).alias(f"s{k}")
+            for k in range(_SEM_K)
+        ],
+    )
+    # materialized ONCE: four consumers (the two block-exploded arms, the
+    # window join's probe side, and the final left join) would otherwise
+    # each re-run the interpreted 4-cosine assignment — measured 7.8 s ->
+    # 2.6 s at sf0.1
+    ranked = (
+        sims.select(
+            "vec_id",
+            "embedding",
+            "s0",
+            F.expr(_sem_assign_case()).alias("cluster"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy("s0", "vec_id")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    W = _SEM_WINDOW
+    aexp = ranked.select(
+        "cluster", "rn", "embedding", F.expr(f"rn div {W}").alias("blk")
+    ).unionAll(
+        ranked.select(
+            "cluster", "rn", "embedding", F.expr(f"rn div {W} + 1").alias("blk")
+        )
+    )
+    a = aexp.alias("a")
+    b = ranked.alias("b")
+    pair_cos = F.expr(cosine_unrolled_sql("a.embedding", "b.embedding"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.blk") == F.expr(f"(b.rn - 1) div {W}"))
+            & F.col("b.rn").between(F.col("a.rn") + 1, F.col("a.rn") + W),
+        )
+        .filter(pair_cos >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_dsir_select — hashed-ngram importance selection toward a target
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling, integer-exact form: features
+# are hashed word unigrams (md5-4hex -> 65536 buckets); a doc scores
+# +1 for each distinct feature that is RELATIVELY more frequent in the
+# target subcorpus (lang = 'en') than in the raw corpus, -1 when less
+# frequent (the cross-multiplied sign test cnt_t*N_r <=> cnt_r*N_t — the
+# exact-integer sign of the log-likelihood ratio, no floating logs).
+
+_DSIR_TOPK = 50
+
+_DSIR_ORACLE = f"""
+    WITH occ AS (
+      SELECT doc_id, lang, substring(md5(t), 1, 4) AS f
+      FROM (SELECT doc_id, lang, unnest({tokens_sql('text')}) AS t
+            FROM documents)
+    ),
+    stats AS (
+      SELECT f,
+             COUNT(*) AS cnt_r,
+             COUNT(*) FILTER (WHERE lang = 'en') AS cnt_t
+      FROM occ GROUP BY f
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt_r) AS BIGINT) AS n_r,
+             CAST(SUM(cnt_t) AS BIGINT) AS n_t
+      FROM stats
+    ),
+    docfeat AS (SELECT DISTINCT doc_id, f FROM occ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN s.cnt_t * t.n_r > s.cnt_r * t.n_t THEN 1
+                           WHEN s.cnt_t * t.n_r < s.cnt_r * t.n_t THEN -1
+                           ELSE 0 END) AS BIGINT) AS score
+      FROM docfeat d JOIN stats s USING (f) CROSS JOIN totals t
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT {_DSIR_TOPK}
+"""
+
+
+@query("ext_dsir_select", oracle=_DSIR_ORACLE)
+def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: rank documents by how strongly their
+    hashed-unigram features skew toward the target subcorpus (lang='en')
+    versus the raw corpus, keep the top 50 (doc_id tiebreak).
+
+    The score is the exact integer sign-vote over distinct doc features:
+    ``sign(cnt_target(f) * N_raw - cnt_raw(f) * N_target)`` — the sign of
+    the log-ratio without computing a log, so no cross-engine float
+    drift. Plan: the feature-stats table is bounded by the 65536-bucket
+    hash space -> BROADCAST into the per-doc feature join; totals ride as
+    a broadcast scalar; the only big shuffles key on the 4-hex feature
+    (stats) and doc_id (score); selection is sort+limit ->
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("t")
+    ).select("doc_id", "lang", F.substring(F.md5("t"), 1, 4).alias("f"))
+    stats = occ.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").cast("bigint").alias("n_r"),
+        F.sum("cnt_t").cast("bigint").alias("n_t"),
+    )
+    docfeat = occ.select("doc_id", "f").distinct()
+    sign = (
+        F.when(F.col("cnt_t") * F.col("n_r") > F.col("cnt_r") * F.col("n_t"), 1)
+        .when(F.col("cnt_t") * F.col("n_r") < F.col("cnt_r") * F.col("n_t"), -1)
+        .otherwise(0)
+    )
+    scored = (
+        docfeat.join(F.broadcast(stats), "f")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum(sign).cast("bigint").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _DSIR_TOPK
+    )
+
+
+# --------------------------------------------------------------------------
+# maintenance_signature_store — persisted MinHash signatures
+# --------------------------------------------------------------------------
+
+
+def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) and return the MinHash signature
+    store for ``sf_dir``: one row per exact-dup-group representative,
+    8 seeded-xxhash64 BIGINT minhash columns. Shared by the maintenance
+    operator below and every store-consuming query
+    (`ext_dedup_from_store`)."""
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"minhash_store_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        reps = d.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+        )
+        tok = reps.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        )
+        mins = tok.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"mh{s}")
+                for s in range(8)
+            ]
+        )
+        stage = path + ".stage"
+        mins.write.mode("overwrite").parquet(stage)
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+@query(
+    "maintenance_signature_store",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM (
+              SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))
+             AS n_signatures,
+           CAST(8 AS BIGINT) AS sig_width,
+           CAST(0 AS BIGINT) AS null_sig_cells,
+           CAST(0 AS BIGINT) AS dup_doc_ids
+    """,
+)
+def maintenance_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the MinHash signature table (one row per exact-dup-group
+    representative, 8 BIGINT minhash columns) to a columnar store and
+    read it back — the maintenance step that production near-dup runs
+    amortize: signatures are computed ONCE at ingest and every LSH query
+    scans 8 BIGINTs per doc instead of re-shingling text (the VERDICT-r3
+    "persist signatures" production shape for `ext_sim_lsh_topk`'s text
+    twin, extensions.py minhash_candidate_pairs).
+
+    Signatures are xxhash64-based (Spark-specific), so the oracle states
+    structural invariants exactly: row count == exact-dup representative
+    count (independently recomputed from md5 groups by the oracle), fixed
+    signature width, no NULL signature cells (every rep has >= 1 token in
+    this corpus), no duplicate doc_ids. Stage-then-rename write keeps
+    concurrent sweeps from reading a half-written store."""
+    store = spark.read.parquet(signature_store_path(spark, sf_dir))
+    null_cells = sum(
+        (F.sum(F.when(F.col(f"mh{s}").isNull(), 1).otherwise(0)) for s in range(8)),
+        F.lit(0),
+    )
+    return store.agg(
+        F.count(F.lit(1)).alias("n_signatures"),
+        F.lit(8).cast("bigint").alias("sig_width"),
+        null_cells.cast("bigint").alias("null_sig_cells"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("dup_doc_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_from_store — LSH candidates off the persisted signatures
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_dedup_from_store",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM (
+              SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))
+             AS n_store_rows,
+           CAST(0 AS BIGINT) AS order_violations,
+           CAST(0 AS BIGINT) AS non_rep_endpoints
+    """,
+)
+def ext_dedup_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs computed FROM THE PERSISTED
+    signature store (`maintenance_signature_store`): read 8 BIGINT
+    minhash columns per doc, band them 4x2, equi-join on
+    (band, band-hash) — the text is never touched, which is the entire
+    point of maintaining the store: at 100 TB, re-shingling the corpus
+    per dedup run costs a full scan of the TEXT (the dominant bytes),
+    while this path scans ~72 bytes/doc and still produces the identical
+    candidate set (same signatures -> same bands -> same buckets; pinned
+    against the from-text pipeline in tests/test_curation.py).
+
+    Same degenerate-bucket cap as the from-text pipeline
+    (extensions._MAX_BUCKET). Invariants stated exactly by the oracle:
+    store cardinality == exact-dup representative count (recomputed
+    independently from md5 groups), zero (a >= b) orientation
+    violations, zero endpoints outside the store's doc_id set."""
+    from mongodb_cdc_spark.operators.extensions import _MAX_BUCKET, _MINHASH_BANDS
+
+    store = spark.read.parquet(signature_store_path(spark, sf_dir))
+    bands = store.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("h"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    ok_buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") > 1) & (F.col("sz") <= _MAX_BUCKET))
+        .select("band", "h")
+    )
+    bands = bands.join(ok_buckets, ["band", "h"], "left_semi")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    stray = endpoints.distinct().join(store.select("doc_id"), "doc_id", "left_anti")
+    order_violations = int(
+        pairs.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("doc_a") >= F.col("doc_b"), 1)), F.lit(0)
+            )
+        ).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(store.count(), order_violations, stray.count())],
+        "n_store_rows bigint, order_violations bigint, non_rep_endpoints bigint",
+    )

@@ -326,3 +326,108 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Raw-text and XML ingestion
+# --------------------------------------------------------------------------
+
+_TEXT_CLEAN_SPARK = "regexp_replace(text, '[\\n\\t]', ' ')"
+_TEXT_CLEAN_DUCK = r"regexp_replace(text, '[\n\t]', ' ', 'g')"
+
+
+@query(
+    "scan_text",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(length({_TEXT_CLEAN_DUCK})) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text ingestion — the format every crawl dump and
+    log shipper ultimately speaks. `documents` is exported once as
+    tab-separated ``doc_id \\t lang \\t text`` lines (embedded newlines/
+    tabs flattened to spaces — the line protocol's framing contract),
+    read back through the `text` source, parsed with split(), and
+    reduced to per-lang parity aggregates the oracle computes from the
+    parquet original after the SAME flattening: any row lost or mangled
+    in the line round-trip breaks the hash.
+
+    Scale: text splits by newline exactly like CSV/JSONL, so a 100 TB
+    raw-text corpus scans fully parallel; parse-then-project happens in
+    codegen, and the first materialization should land columnar
+    (the `ext_shuffle_shards` writer is the companion step)."""
+    from pyspark.sql import functions as F
+
+    path = _fmt_cache_dir(sf_dir, "text", "documents")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        line = F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.expr(_TEXT_CLEAN_SPARK),
+        )
+        d.select(line.alias("value")).write.mode("overwrite").format("text").save(
+            path
+        )
+    raw = spark.read.format("text").load(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = raw.select(
+        F.element_at(parts, 1).cast("bigint").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           CAST(SUM(length(c_name)) AS BIGINT) AS name_chars
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's built-in XML source (spark-xml merged
+    into sql/core): `customer` round-trips through ``<customer>`` row
+    elements with an EXPLICIT schema (XML is schema-on-read like CSV —
+    inference is demo surface, the schema is the contract) and reduces
+    to fixed-point aggregates the oracle computes from the parquet
+    original; entity-escaping round-trip fidelity is pinned by the
+    name-length checksum.
+
+    Scale: the XML source splits files on rowTag boundaries, so many
+    medium files parallelize; one giant document does NOT split —
+    production feeds either many files or a pre-split stage, exactly as
+    for JSON with multiline=true."""
+    from pyspark.sql import functions as F
+
+    path = _fmt_cache_dir(sf_dir, "xml", "customer")
+    src = load_table(spark, sf_dir, "customer")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").format("xml").option(
+            "rowTag", "customer"
+        ).save(path)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(src.schema)
+        .load(path)
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+        F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
+    )

@@ -171,6 +171,16 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "udtf_table_args",
     "udf_arrow_optimized",
     "api_pandas_on_spark",
+    # --- round-4 additions (never driver-checked; part of the round-5
+    # window per the rotation rule above) ---
+    "ext_ngram_dup_coverage",
+    "ext_semantic_dedup",
+    "ext_dsir_select",
+    "maintenance_signature_store",
+    "scan_text",
+    "scan_xml",
+    "graph_pagerank",
+    "ext_dedup_from_store",
 )
 
 

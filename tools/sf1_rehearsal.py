@@ -126,6 +126,11 @@ HEAVY = [
     "win_streak_days",
     "graph_triangle_count",
     "win_ntile_pctrank",
+    # round-4 curation tier
+    "ext_ngram_dup_coverage",
+    "ext_semantic_dedup",
+    "ext_dsir_select",
+    "graph_pagerank",
     "ext_fuzzy_block_match",
     "ts_rolling_wau",
     "ts_anomaly_zscore",
@@ -215,19 +220,29 @@ def main() -> None:
             qs[name](spark, warm_sf).count()
         except Exception:
             pass  # a key that can't run at sf0.001 still gets JVM warmth
+    def _materialize(df) -> int:
+        # Full noop-sink materialization, NOT count(): count() lets
+        # Catalyst prune unreferenced columns and ELIMINATE whole joins
+        # (a distinct-keyed outer join vanished under count() and made a
+        # quadratic pair stage look O(1) — the ext_semantic_dedup 100x
+        # false-green, SCALING.md round-4). The noop write consumes every
+        # output column, so nothing silently drops out of the timing.
+        df.write.format("noop").mode("overwrite").save()
+        return -1  # row count intentionally not recomputed (extra job)
+
     baseline = {}
     if "--baseline" in sys.argv:
         for name in names:
             t0 = time.time()
-            qs[name](spark, SRC).count()
+            _materialize(qs[name](spark, SRC))
             baseline[name] = round(time.time() - t0, 2)
             print(f"  [sf0.1] {name}: {baseline[name]}s")
     timings = {}
     for name in names:
         t0 = time.time()
-        n = qs[name](spark, out).count()
+        _materialize(qs[name](spark, out))
         timings[name] = round(time.time() - t0, 2)
-        print(f"  {name}: {timings[name]}s ({n} rows)")
+        print(f"  {name}: {timings[name]}s")
     rec = {"sf": f"{copies}x sf0.1", "queries": timings}
     if baseline:
         rec["sf0.1_baseline"] = baseline
