@@ -570,3 +570,69 @@ def ext_dedup_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(store.count(), order_violations, stray.count())],
         "n_store_rows bigint, order_violations bigint, non_rep_endpoints bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# ext_temperature_mix — temperature-scaled source mixing weights
+# --------------------------------------------------------------------------
+# Multilingual/multi-source LLM training rebalances corpus shares with a
+# temperature exponent (p_i ∝ n_i^τ, τ<1 upsamples the tail); τ=0.5 is
+# the classic choice and — crucially for the exact oracle — sqrt is a
+# CORRECTLY-ROUNDED IEEE op, so w = floor(sqrt(n)·1e6) is bit-identical
+# in both engines and the shares reduce to integer arithmetic.
+
+
+@query(
+    "ext_temperature_mix",
+    oracle="""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(w) AS BIGINT) AS w_tot
+      FROM src
+    )
+    SELECT s.source, s.n, s.w,
+           CAST((s.w * 1000000) // t.w_tot AS BIGINT) AS share_e6,
+           CAST((s.w * t.n_tot * 1000000) // (t.w_tot * s.n) AS BIGINT)
+             AS upsample_e6
+    FROM src s CROSS JOIN tot t
+    """,
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-τ=0.5 source mixing: per-source weight
+    ``w = floor(sqrt(n) * 1e6)`` (sqrt is correctly rounded, so both
+    engines produce the identical BIGINT), share ``w/Σw`` and effective
+    upsampling factor ``(w/Σw)/(n/Σn)`` both as e6-scaled integer
+    divisions. Rare sources get upsample > 1e6, dominant sources < 1e6 —
+    the exact rebalancing table a training-mix builder feeds the
+    sampler (`ext_corpus_mix` holds the proportional baseline;
+    `ext_sample_weighted` consumes weights of this shape).
+
+    Scale: one groupBy(source) aggregate (source cardinality is tiny);
+    the totals ride a broadcast single-row frame. This never touches
+    row-level data after the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source",
+        "n",
+        F.expr(
+            "CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("w"),
+    )
+    tot = src.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("w").cast("bigint").alias("w_tot"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "w",
+        F.expr("CAST((w * 1000000) div w_tot AS BIGINT)").alias("share_e6"),
+        F.expr(
+            "CAST((w * n_tot * 1000000) div (w_tot * n) AS BIGINT)"
+        ).alias("upsample_e6"),
+    )

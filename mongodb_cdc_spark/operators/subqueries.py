@@ -187,3 +187,39 @@ def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti joins over one fact scan each."""
     register_views(spark, sf_dir)
     return spark.sql(_null_semantics(0))
+
+
+# --------------------------------------------------------------------------
+# sql_pipe_syntax — Spark 4 pipe-operator SQL
+# --------------------------------------------------------------------------
+
+_PIPE_AS_ANSI = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_AS_ANSI)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`FROM t |> WHERE ... |> AGGREGATE`):
+    the same relational plan as the ANSI formulation — the oracle IS the
+    ANSI form, so the check certifies that the pipe parser lowers to the
+    identical algebra (filter -> aggregate, fixed-point money sums). The
+    pipe form exists for pipeline-authoring ergonomics; there is no
+    physical-plan difference, which is exactly what the hash equality
+    demonstrates."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, price_cents
+    """)

@@ -401,3 +401,46 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("value_cents").cast("bigint").alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# udf_sql_function — SQL-defined scalar function (Spark 4 CREATE FUNCTION)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "udf_sql_function",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(
+             CASE WHEN value < 0 THEN 0 ELSE value END * 100) AS BIGINT))
+             AS BIGINT) AS clamped_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE TEMPORARY FUNCTION
+    ... RETURNS ... RETURN <expr>``): the function BODY is a Catalyst
+    expression, so unlike every Python UDF tier it inlines into
+    whole-stage codegen with zero serialization boundary — the right
+    default for shareable scalar logic, with Python UDFs reserved for
+    genuinely imperative code. The oracle states the inlined expression
+    directly; hash equality certifies the function call IS the inline
+    expression (same clamp-to-zero fixed-point semantics)."""
+    from mongodb_cdc_spark.io import register_views
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp_pos_cents(v DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(FLOOR((CASE WHEN v < 0 THEN 0 ELSE v END) * 100) AS BIGINT)"
+    )
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(SUM(clamp_pos_cents(value)) AS BIGINT) AS clamped_cents,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+        """
+    )

@@ -181,6 +181,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_xml",
     "graph_pagerank",
     "ext_dedup_from_store",
+    "ext_temperature_mix",
+    "sql_pipe_syntax",
+    "udf_sql_function",
 )
 
 

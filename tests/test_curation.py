@@ -187,3 +187,38 @@ def test_store_pairs_match_from_text_pipeline(spark, sf_dir):
         .collect()
     }
     assert from_store == from_text
+
+
+def test_temperature_mix_shares_sum_to_one(spark, sf_dir):
+    """Shares are e6 floor-divisions, so they sum to <= 1e6 and no lower
+    than 1e6 minus one ulp per source; upsampling factors straddle 1e6
+    (rare sources up, dominant down) unless the mix is exactly uniform."""
+    from mongodb_cdc_spark.operators.curation import ext_temperature_mix
+
+    rows = ext_temperature_mix(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.share_e6 for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    ns = {r.n for r in rows}
+    if len(ns) > 1:
+        assert max(rows, key=lambda r: r.n).upsample_e6 <= 1_000_000
+        assert min(rows, key=lambda r: r.n).upsample_e6 >= 1_000_000
+
+
+def test_sql_function_inlines_no_python(spark, sf_dir):
+    """The SQL-defined function must inline into the aggregate — no
+    Python evaluation node anywhere in the plan."""
+    from mongodb_cdc_spark.operators.udfs import udf_sql_function
+
+    plan = formatted_plan(udf_sql_function(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_pipe_syntax_plans_like_ansi(spark, sf_dir):
+    """Pipe SQL lowers to the same filter->aggregate algebra as ANSI: no
+    extra exchanges beyond the one aggregation shuffle."""
+    from mongodb_cdc_spark.operators.subqueries import sql_pipe_syntax
+
+    plan = formatted_plan(sql_pipe_syntax(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg only
