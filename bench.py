@@ -120,6 +120,8 @@ HEADLINE = [
     ("ext_semantic_dedup", None),
     ("ext_dsir_select", None),
     ("graph_pagerank", None),
+    ("ts_downsample_m4", None),
+    ("join_asof_tolerance", None),
 ]
 
 

@@ -584,3 +584,99 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["n_lines"], r["qty_cents"], pruned) for r in rows],
         "n_lines bigint, qty_cents bigint, dpp_pruned boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_S = 7 * 86400  # pandas merge_asof(tolerance=...) semantics
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH latest AS (
+      SELECT event_id, asof_orderkey, asof_epoch FROM (
+        SELECT e.event_id,
+               o.o_orderkey AS asof_orderkey,
+               (epoch_us(o.o_orderdate) // 1000000) AS asof_epoch,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN (epoch_ns(e.ts) // 1000000000) - l.asof_epoch
+                     <= {_ASOF_TOL_S}
+                THEN l.asof_orderkey END AS asof_orderkey,
+           CASE WHEN (epoch_ns(e.ts) // 1000000000) - l.asof_epoch
+                     <= {_ASOF_TOL_S}
+                THEN l.asof_epoch END AS asof_order_epoch
+    FROM events e LEFT JOIN latest l ON l.event_id = e.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=7d)``
+    semantics): every event keeps the latest order of its customer with
+    ``o_orderdate <= ts`` ONLY if that order is at most 7 days old at
+    event time; staler matches null out, and every event row survives
+    (left semantics). The tolerance is the practically important variant:
+    an unbounded as-of joyfully attributes an event to an order from two
+    years ago, which is attribution noise in any session/causality
+    analysis.
+
+    Same UNION-SCAN shape as `join_asof_latest` (one user-keyed shuffle,
+    one running `last(ignorenulls)` window over the interleaved
+    timeline — never the |events| x orders-per-user range-join blowup),
+    plus one integer epoch-difference filter mapped over the carried
+    column. Cost is identical to the unbounded as-of; the tolerance is
+    free."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    order_rows = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    event_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("okey"),
+        "event_id",
+    )
+    timeline = order_rows.unionByName(event_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("okey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = timeline.select(
+        "user_id",
+        "event_id",
+        "kind",
+        F.col("t"),
+        F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("asof_t"),
+    )
+    in_tol = (
+        F.to_unix_timestamp("t") - F.to_unix_timestamp("asof_t")
+    ) <= F.lit(_ASOF_TOL_S)
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("asof_orderkey").isNotNull() & in_tol, F.col("asof_orderkey")
+        ).alias("asof_orderkey"),
+        F.when(
+            F.col("asof_orderkey").isNotNull() & in_tol,
+            F.to_unix_timestamp("asof_t").cast("bigint"),
+        ).alias("asof_order_epoch"),
+    )

@@ -508,3 +508,131 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wow_growth_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_downsample_m4
+# --------------------------------------------------------------------------
+
+_M4_BUCKETS = 16
+
+_M4_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+lims AS (
+  SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
+  FROM daily GROUP BY 1
+),
+bucketed AS (
+  SELECT daily.event_type, d, cents,
+         ((d - dmin) * {_M4_BUCKETS}) // (dmax - dmin + 1) AS bkt
+  FROM daily JOIN lims USING (event_type)
+),
+ranked AS (
+  SELECT event_type, bkt, d, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                            ORDER BY d ASC) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                            ORDER BY d DESC) AS rn_last,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                            ORDER BY cents ASC, d ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                            ORDER BY cents DESC, d ASC) AS rn_max
+  FROM bucketed
+)
+SELECT event_type, CAST(bkt AS BIGINT) AS bkt, kind, d, cents
+FROM (
+  SELECT event_type, bkt, 'first' AS kind, d, cents FROM ranked WHERE rn_first = 1
+  UNION ALL
+  SELECT event_type, bkt, 'last', d, cents FROM ranked WHERE rn_last = 1
+  UNION ALL
+  SELECT event_type, bkt, 'ymin', d, cents FROM ranked WHERE rn_min = 1
+  UNION ALL
+  SELECT event_type, bkt, 'ymax', d, cents FROM ranked WHERE rn_max = 1
+)
+"""
+
+
+@query("ts_downsample_m4", oracle=_M4_ORACLE)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization-grade downsampling (Jugel et al., VLDB 2014):
+    per series (event_type) split the time axis into 16 equal-width
+    buckets and keep exactly the first, last, min-y and max-y point of
+    each bucket — the four points that make a line-rendering of the
+    downsample pixel-identical to the full series at bucket-per-pixel
+    resolution. Integer discipline end-to-end: day index and bucket are
+    integer divisions, y is cents, min/max points are selected by
+    total orders with day tiebreaks (ROW_NUMBER-equivalent struct
+    min/max), so both engines pick the identical points.
+
+    Scale: one groupBy(type, day) pre-aggregate collapses the fact to
+    series-length rows; bucket limits are a tiny per-series aggregate
+    joined back (broadcast); the four extremes reduce per (type, bucket)
+    in ONE hash aggregate over struct-ordered min/maxes — no windows
+    over the fact, no sort of the raw series. M4 is the standard answer
+    to "plot 100 TB of telemetry": the downsample is exact for
+    rendering, and each pixel bucket is an independent aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST((to_unix_timestamp(ts)) div 86400 AS BIGINT)").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    lims = daily.groupBy("event_type").agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    b = daily.join(F.broadcast(lims), "event_type").select(
+        "event_type",
+        "d",
+        "cents",
+        F.expr(f"((d - dmin) * {_M4_BUCKETS}) div (dmax - dmin + 1)").alias("bkt"),
+    )
+    # the four extreme points of each bucket in ONE aggregate: struct
+    # min/max encode the same total orders as the oracle's ROW_NUMBERs
+    agg = b.groupBy("event_type", "bkt").agg(
+        F.min(F.struct(F.col("d"), F.col("cents"))).alias("p_first"),
+        F.max(F.struct(F.col("d"), F.col("cents"))).alias("p_last"),
+        F.min(F.struct(F.col("cents"), F.col("d"))).alias("p_ymin"),
+        F.max(F.struct(F.col("cents"), (-F.col("d")).alias("negd"))).alias(
+            "p_ymax"
+        ),
+    )
+    kinds = F.array(
+        F.struct(
+            F.lit("first").alias("kind"),
+            F.col("p_first.d").alias("d"),
+            F.col("p_first.cents").alias("cents"),
+        ),
+        F.struct(
+            F.lit("last").alias("kind"),
+            F.col("p_last.d").alias("d"),
+            F.col("p_last.cents").alias("cents"),
+        ),
+        F.struct(
+            F.lit("ymin").alias("kind"),
+            F.col("p_ymin.d").alias("d"),
+            F.col("p_ymin.cents").alias("cents"),
+        ),
+        F.struct(
+            F.lit("ymax").alias("kind"),
+            (-F.col("p_ymax.negd")).alias("d"),
+            F.col("p_ymax.cents").alias("cents"),
+        ),
+    )
+    return agg.select(
+        "event_type", F.col("bkt").cast("bigint").alias("bkt"),
+        F.explode(kinds).alias("p")
+    ).select(
+        "event_type",
+        "bkt",
+        F.col("p.kind").alias("kind"),
+        F.col("p.d").alias("d"),
+        F.col("p.cents").alias("cents"),
+    )

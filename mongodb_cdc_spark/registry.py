@@ -184,6 +184,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_temperature_mix",
     "sql_pipe_syntax",
     "udf_sql_function",
+    "ts_downsample_m4",
+    "join_asof_tolerance",
 )
 
 

@@ -222,3 +222,59 @@ def test_pipe_syntax_plans_like_ansi(spark, sf_dir):
 
     plan = formatted_plan(sql_pipe_syntax(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan  # partial->final agg only
+
+
+def test_m4_downsample_four_points_per_bucket(spark, sf_dir):
+    """Every (series, bucket) emits exactly 4 kinds; ymin <= every other
+    point's y in the bucket; first.d <= last.d; bucket ids within range;
+    no window over the raw fact (single aggregate after the daily
+    collapse)."""
+    from mongodb_cdc_spark.operators.timeseries import ts_downsample_m4, _M4_BUCKETS
+
+    rows = ts_downsample_m4(spark, sf_dir).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((r.event_type, r.bkt), {})[r.kind] = r
+        assert 0 <= r.bkt < _M4_BUCKETS
+    for (_, _), kinds in by_bucket.items():
+        assert set(kinds) == {"first", "last", "ymin", "ymax"}
+        assert kinds["first"].d <= kinds["last"].d
+        assert kinds["ymin"].cents <= kinds["ymax"].cents
+        for k in ("first", "last"):
+            assert kinds["ymin"].cents <= kinds[k].cents <= kinds["ymax"].cents
+    plan = formatted_plan(ts_downsample_m4(spark, sf_dir))
+    assert "Window" not in plan, plan  # struct min/max, not ROW_NUMBER
+
+
+def test_asof_tolerance_is_left_total_and_bounded(spark, sf_dir):
+    """Every event appears exactly once; any non-null match is at most
+    the tolerance old and never in the future; nulling agrees with the
+    unbounded as-of (a match exists there iff it is either here or
+    older than the tolerance)."""
+    from mongodb_cdc_spark.operators.joins import (
+        _ASOF_TOL_S,
+        join_asof_latest,
+        join_asof_tolerance,
+    )
+
+    tol = {r.event_id: r for r in join_asof_tolerance(spark, sf_dir).collect()}
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert len(tol) == ev_n
+    unbounded = {
+        r.event_id: r for r in join_asof_latest(spark, sf_dir).collect()
+    }
+    ev_ts = {
+        r.event_id: r.epoch
+        for r in load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "to_unix_timestamp(ts) AS epoch")
+        .collect()
+    }
+    for eid, r in tol.items():
+        if r.asof_orderkey is not None:
+            assert 0 <= ev_ts[eid] - r.asof_order_epoch <= _ASOF_TOL_S
+            assert unbounded[eid].asof_orderkey == r.asof_orderkey
+        else:
+            u = unbounded.get(eid)
+            if u is not None:  # unbounded matched, we nulled: must be stale
+                assert ev_ts[eid] - u.asof_order_epoch > _ASOF_TOL_S
