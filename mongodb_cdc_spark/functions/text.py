@@ -72,3 +72,32 @@ def marker_hits_sql(lang: str, col: str = "text") -> str:
         for m in LANG_MARKERS[lang]
     )
     return f"({terms})"
+
+
+def bigram_shingles(toks_col: str = "toks") -> Column:
+    """Distinct word-bigram shingles from an already-projected token
+    ARRAY column. Takes a COLUMN NAME, not the raw `tokens()` expression:
+    referencing that expression here would re-run split+filter at every
+    `element_at` (O(tokens²) per doc — the round-3/4 recompute lesson).
+    Empty-safe: < 2 tokens yields an empty array (Spark's `sequence`
+    counts DOWN when start > stop, so the guard is load-bearing).
+
+    This is the ONE shingle definition shared by the MinHash candidate
+    generator, the signature store, and the ngram-Jaccard verification
+    measure — candidate generation and verification MUST score the same
+    feature space (round 4's `ext_dedup_recall_eval` caught them
+    diverging: unigram-set MinHash collapsed into degenerate LSH buckets
+    on the small unigram vocabulary and the bucket cap silently dropped
+    j≈0.99 true pairs; recall 7/52)."""
+    tk = F.col(toks_col)
+    return F.when(
+        F.size(tk) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from mongodb_cdc_spark.functions.text import (
     LANG_MARKERS,
+    bigram_shingles,
     fingerprint,
     fingerprint_sql,
     marker_hits,
@@ -413,8 +414,15 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
     )
-    tok = reps.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    # BIGRAM shingles — the identical feature space the ngram-Jaccard
+    # verifier scores. Hashing unigram TOKEN sets here (as an earlier
+    # version did) collapses the LSH into degenerate buckets on a small
+    # vocabulary: many docs share the globally-minimal token hash, the
+    # bucket cap evicts the giant buckets, and true j≈0.99 pairs vanish
+    # (ext_dedup_recall_eval measured 7/52 recall; bigrams: 52/52).
+    tok = (
+        reps.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("tok"))
     )
     mins = tok.groupBy("doc_id").agg(
         *[
@@ -1201,24 +1209,44 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(8):  # log2(diameter) bound; dedup graphs are shallow
+    # Each round: (1) neighbor-min propagation, (2) POINTER JUMP — relabel
+    # every node with its label's own label. Plain propagation converges
+    # in O(diameter) rounds (a length-9 near-dup chain broke the old
+    # fixed 8-round loop when the bigram-shingle LSH produced deeper
+    # chains); with the jump, label paths halve each round, so
+    # convergence is O(log diameter) and the 32-round cap is astronomical
+    # headroom. Non-convergence RAISES — a silently-capped CC is a wrong
+    # answer, not a slow one.
+    for round_no in range(32):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "mid_label"
+            ),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jump: mid_label is always some endpoint's doc_id, so the
+        # self-join lookup is total; least() keeps monotone descent
+        jump_map = stepped.select(
+            F.col("doc_id").alias("jk"), F.col("mid_label").alias("jparent")
         )
         # carry the changed flag IN the round's frame: checkpoint cuts
         # lineage and materializes once, and the convergence check is
         # then a filter-count over the checkpointed rows — no extra
         # join-the-old-frame job per round.
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(jump_map, stepped.mid_label == jump_map.jk, "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
-                ),
-                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("mid_label"), F.coalesce("jparent", "mid_label")
+                ).alias("new_label"),
+                "old_label",
             )
             .localCheckpoint(eager=True)
         )
@@ -1228,6 +1256,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_cluster_labels: label propagation did not converge in "
+            "32 pointer-jumped rounds — graph deeper than 2^32 is not a "
+            "dedup graph; investigate the edge set"
+        )
     return d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
     )

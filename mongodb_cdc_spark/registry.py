@@ -186,6 +186,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "udf_sql_function",
     "ts_downsample_m4",
     "join_asof_tolerance",
+    "ext_dedup_recall_eval",
 )
 
 

@@ -278,3 +278,17 @@ def test_asof_tolerance_is_left_total_and_bounded(spark, sf_dir):
             u = unbounded.get(eid)
             if u is not None:  # unbounded matched, we nulled: must be stale
                 assert ev_ts[eid] - u.asof_order_epoch > _ASOF_TOL_S
+
+
+def test_lsh_recall_certified_against_exact_truth(spark, sf_dir):
+    """The recall-eval invariants hold at the test SF: the MinHash-LSH
+    candidate stream catches at least the floor fraction of exact
+    bigram-Jaccard >= 0.5 truth pairs — the feature-space-consistency
+    regression pin for the round-4 finding (unigram MinHash vs bigram
+    verifier: recall was 7/52 before the generator moved to the shared
+    `bigram_shingles` space; 52/52 after)."""
+    from mongodb_cdc_spark.operators.curation import ext_dedup_recall_eval
+
+    row = ext_dedup_recall_eval(spark, sf_dir).collect()[0]
+    assert row.caught_le_truth
+    assert row.recall_ge_floor
