@@ -659,6 +659,85 @@ _RECALL_TAU_E2 = 50  # Jaccard threshold, percent
 _RECALL_FLOOR_E2 = 50  # certified minimum recall, percent
 
 
+def _shingle_index(spark: SparkSession, sf_dir: str, lang: str | None):
+    """(doc_id, 16-hex shingle-hash) inverted index over exact-dup
+    representatives, optionally restricted to one language — the shared
+    machinery of the recall eval and the verification stage. The hash
+    keeps every downstream shuffle at 16 bytes/key; the shingle strings
+    never leave the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.groupBy(F.md5("text").alias("md5h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("text").alias("txt"),
+        F.min("lang").alias("lang"),
+    )
+    if lang is not None:
+        reps = reps.filter(F.col("lang") == lang)
+    return (
+        reps.select("doc_id", tokens("txt").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _jaccard_pairs_ge(ex: DataFrame, pairs: DataFrame | None, tau_e2: int):
+    """Pairs whose exact bigram Jaccard reaches ``tau_e2``/100, computed
+    as integer arithmetic over shared-shingle counts. With ``pairs``
+    None, candidates are ALL hash-sharing pairs from the inverted index
+    (cost sum(df²)); otherwise scoring is restricted to the given
+    (doc_a, doc_b) pair set."""
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if pairs is None:
+        a, b = ex.alias("a"), ex.alias("b")
+        pc = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
+        eb = ex.select(F.col("doc_id").alias("db"), F.col("h").alias("hb"))
+        pc = (
+            pairs.join(ea, "doc_a")
+            .join(
+                eb,
+                (F.col("doc_b") == F.col("db")) & (F.col("h") == F.col("hb")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pc.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            100 * F.col("c")
+            >= F.lit(tau_e2) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select("doc_a", "doc_b", "c", "na", "nb")
+    )
+
+
+def _recall_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard >= tau ground-truth pairs on the lang='en'
+    audit slice (inverted-index plan; see ext_dedup_recall_eval)."""
+    ex = _shingle_index(spark, sf_dir, "en")
+    return (
+        _jaccard_pairs_ge(ex, None, _RECALL_TAU_E2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "ext_dedup_recall_eval",
     oracle=f"""
@@ -720,46 +799,7 @@ def ext_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded equi-join."""
     from mongodb_cdc_spark.operators.extensions import minhash_candidate_pairs
 
-    d = load_table(spark, sf_dir, "documents")
-    reps = d.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.any_value("text").alias("txt"),
-        F.min("lang").alias("lang"),
-    )
-    toked = reps.filter(F.col("lang") == "en").select(
-        "doc_id", tokens("txt").alias("toks")
-    )
-    ex = (
-        toked.select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
-        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pc = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    truth = (
-        pc.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(
-            100 * F.col("c")
-            >= F.lit(_RECALL_TAU_E2) * (F.col("na") + F.col("nb") - F.col("c"))
-        )
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    truth = _recall_truth_pairs(spark, sf_dir)
     cands = minhash_candidate_pairs(spark, sf_dir)
     n_truth = truth.count()
     n_caught = truth.join(cands, ["doc_a", "doc_b"], "left_semi").count()
@@ -772,4 +812,79 @@ def ext_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_truth bigint, caught_le_truth boolean, recall_ge_floor boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_dedup_verify_jaccard — the verification stage over LSH candidates
+# --------------------------------------------------------------------------
+# The production near-dup pipeline is candidates -> VERIFY -> cluster:
+# LSH recall is probabilistic and its precision is deliberately loose
+# (bands fire on chance collisions), so every candidate pair gets an
+# exact Jaccard verdict before clustering. This operator materializes
+# that stage: exact bigram-Jaccard on candidate pairs ONLY (never
+# all-pairs), via the same inverted-index shared-shingle count as the
+# recall eval.
+
+_VERIFY_TAU_E2 = 50
+
+
+@query(
+    "ext_dedup_verify_jaccard",
+    oracle="""
+    SELECT TRUE AS verified_subset_of_candidates,
+           TRUE AS verified_ge_exact_truth_floor,
+           TRUE AS jaccard_bounds_ok
+    """,
+)
+def ext_dedup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification stage: every MinHash-LSH candidate pair is scored
+    with EXACT bigram Jaccard (integer cross-multiplication on shared /
+    total shingle counts — no float division) and kept iff j >= 0.50.
+    The scored pair set depends on Spark's xxhash64 band hashes, so the
+    oracle states invariants the Spark side certifies:
+
+    * ``verified_subset_of_candidates`` — the verify stage only filters,
+      never invents pairs;
+    * ``verified_ge_exact_truth_floor`` — on the lang='en' audit slice
+      the verified set contains at least the floor fraction of the
+      exact ground truth (recall eval composed through verification:
+      verification must not destroy the recall the candidates had);
+    * ``jaccard_bounds_ok`` — every computed shared-count obeys
+      0 <= c <= min(|a|, |b|) (a violated bound means the shingle
+      explode/join machinery itself is broken).
+
+    Scale: the exact scoring touches ONLY candidate pairs — cost is
+    |candidates| x avg shingle overlap via one (pair ⋈ shingle-hash)
+    shuffle; the quadratic all-pairs alternative is exactly what the
+    LSH stage exists to avoid."""
+    from mongodb_cdc_spark.operators.extensions import minhash_candidate_pairs
+
+    ex = _shingle_index(spark, sf_dir, None)
+    cands = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    verified = (
+        _jaccard_pairs_ge(ex, cands, _VERIFY_TAU_E2)
+        .localCheckpoint(eager=True)
+    )
+    bounds_bad = verified.filter(
+        (F.col("c") < 1) | (F.col("c") > F.least("na", "nb"))
+    ).count()
+    n_cands = cands.count()
+    n_verified = verified.count()
+    # recall-through-verification floor on the en audit slice: any truth
+    # pair among the candidates passes the same integer test here, so
+    # verification must preserve the recall the candidates certified
+    truth = _recall_truth_pairs(spark, sf_dir)
+    n_truth = truth.count()
+    n_kept_truth = truth.join(verified, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_verified <= n_cands,
+                n_kept_truth * 100 >= _RECALL_FLOOR_E2 * n_truth,
+                bounds_bad == 0,
+            )
+        ],
+        "verified_subset_of_candidates boolean, "
+        "verified_ge_exact_truth_floor boolean, jaccard_bounds_ok boolean",
     )

@@ -187,6 +187,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ts_downsample_m4",
     "join_asof_tolerance",
     "ext_dedup_recall_eval",
+    "ext_dedup_verify_jaccard",
 )
 
 

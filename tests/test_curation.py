@@ -292,3 +292,13 @@ def test_lsh_recall_certified_against_exact_truth(spark, sf_dir):
     row = ext_dedup_recall_eval(spark, sf_dir).collect()[0]
     assert row.caught_le_truth
     assert row.recall_ge_floor
+
+
+def test_verify_stage_invariants(spark, sf_dir):
+    """All three verification-stage certificates hold at the test SF."""
+    from mongodb_cdc_spark.operators.curation import ext_dedup_verify_jaccard
+
+    row = ext_dedup_verify_jaccard(spark, sf_dir).collect()[0]
+    assert row.verified_subset_of_candidates
+    assert row.verified_ge_exact_truth_floor
+    assert row.jaccard_bounds_ok
