@@ -431,3 +431,39 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_cents"),
         F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
     )
+
+
+@query("scan_compressed_jsonl", oracle=_EV_ORACLE)
+def scan_compressed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL ingestion — the shape most raw corpus drops
+    actually arrive in. The load-bearing scale fact: **gzip is not
+    splittable**, so one .json.gz file = one task no matter its size;
+    the writer side therefore shards into many medium files (8 here,
+    standing in for the thousands a real drop has) so the scan's
+    parallelism survives the codec. The alternatives ladder, cheapest
+    first: many gzip shards (this operator), zstd/bzip2 (splittable-ish
+    frames), or a one-time decompress-to-columnar landing pass. Parity
+    is the same fixed-point events aggregate as `scan_json`, so a row
+    lost to codec/framing issues breaks the hash."""
+    from pyspark.sql import functions as F
+
+    path = _fmt_cache_dir(sf_dir, "jsonl_gz", "events")
+    src = load_table(spark, sf_dir, "events")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            src.repartition(8)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .format("json")
+            .save(path)
+        )
+    df = spark.read.format("json").schema(src.schema).load(path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.sum(F.expr("CAST(to_unix_timestamp(ts) AS BIGINT)"))
+        .cast("bigint")
+        .alias("ts_epoch_sum"),
+    )

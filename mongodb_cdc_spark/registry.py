@@ -71,10 +71,15 @@ def load_all_operators() -> None:
 # Round 4 (this rotation) fronts 47 of the 80 keys that have never had a
 # driver row — TPC-H q2-q22, the file-format scans, bitmap/BPE/time-series/
 # graph/CDC tiers — then the three cross-round canaries at positions 48-50.
-# ROUND 5 ROTATION RULE: front EVERY key from "agg_filtered_distinct" below
-# through "ext_quality_rules" (the 33-key remainder), then any round-4/5
-# additions, then the canaries (agg_hash_groupby, cdc_apply_upsert,
-# ext_dedup_exact) — that finishes full-registry driver coverage.
+# ROUND 5 ROTATION RULE: front the keys from "agg_filtered_distinct" below
+# through "api_pandas_on_spark" (the 33-key round-1-era remainder), then
+# the round-4 additions in listed order THROUGH "ext_dedup_recall_eval"
+# (14 keys), then the three canaries (agg_hash_groupby, cdc_apply_upsert,
+# ext_dedup_exact) at positions 48-50 — canaries INSIDE the window, never
+# after it. That leaves exactly the additions past ext_dedup_recall_eval
+# (currently ext_dedup_verify_jaccard, scan_compressed_jsonl) plus any
+# round-5 additions for the round-6 window, which completes full-registry
+# driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # --- round-4 window: 47 never-driver-checked keys (positions 1-47) ---
     # file-format + layout scans (every real user's first touch)
@@ -188,6 +193,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "ext_dedup_recall_eval",
     "ext_dedup_verify_jaccard",
+    "scan_compressed_jsonl",
 )
 
 
