@@ -224,23 +224,29 @@ def main() -> None:
     timings["cdc_stream_pipeline"] = round(stream_secs, 3)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": SF_DIR,
-            "cdc_stream_events_per_sec": round(eps, 1),
-        }
-    )
+    rec = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cdc_stream_events_per_sec": round(eps, 1),
+    }
+    if subset:
+        # a restricted run is NOT the headline suite — label it and leave
+        # the durable full-suite artifact alone
+        rec["metric"] = "subset_suite_seconds"
+        rec["subset"] = subset
+    line = json.dumps(rec)
     print(line)
     # Durability: the driver captures stdout, which can truncate (r3 lost
     # its headline value that way). The same line also lands in a file the
-    # judge can always parse.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+    # judge can always parse — full-suite runs only, so a subset
+    # re-measurement can never overwrite the real headline number.
+    if not subset:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
     spark.stop()
 
 

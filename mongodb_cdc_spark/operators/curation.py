@@ -421,13 +421,20 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
     8 seeded-xxhash64 BIGINT minhash columns. Shared by the maintenance
     operator below and every store-consuming query
     (`ext_dedup_from_store`)."""
+    from mongodb_cdc_spark.operators.extensions import (
+        _MINHASH_SEEDS,
+        minhash_signatures_from_shingles,
+    )
     from mongodb_cdc_spark.sources.changefeed import scratch_root
 
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     # _v2: signatures moved from unigram token sets to BIGRAM shingles
-    # (the recall-eval finding — see functions/text.py bigram_shingles);
-    # the version bump invalidates cached unigram stores
-    path = _os.path.join(scratch_root(), f"minhash_store_{sf_name}_v2")
+    # (the recall-eval finding — see functions/text.py bigram_shingles).
+    # The seed count is part of the cache key so a geometry bump can
+    # never silently serve stale-width signatures.
+    path = _os.path.join(
+        scratch_root(), f"minhash_store_{sf_name}_s{_MINHASH_SEEDS}_v2"
+    )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         d = load_table(spark, sf_dir, "documents")
         reps = d.groupBy(F.md5("text").alias("h")).agg(
@@ -436,12 +443,7 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
         tok = reps.select("doc_id", tokens("text").alias("toks")).select(
             "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
         )
-        mins = tok.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"mh{s}")
-                for s in range(8)
-            ]
-        )
+        mins = minhash_signatures_from_shingles(tok)
         stage = path + ".stage"
         mins.write.mode("overwrite").parquet(stage)
         try:
@@ -453,9 +455,11 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "maintenance_signature_store",
-    oracle="""
+    oracle=f"""
     SELECT (SELECT COUNT(*) FROM (
-              SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))
+              SELECT MIN(doc_id) FROM documents
+              WHERE len({tokens_sql('text')}) >= 2
+              GROUP BY md5(text)))
              AS n_signatures,
            CAST(8 AS BIGINT) AS sig_width,
            CAST(0 AS BIGINT) AS null_sig_cells,
@@ -472,19 +476,28 @@ def maintenance_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin, extensions.py minhash_candidate_pairs).
 
     Signatures are xxhash64-based (Spark-specific), so the oracle states
-    structural invariants exactly: row count == exact-dup representative
-    count (independently recomputed from md5 groups by the oracle), fixed
-    signature width, no NULL signature cells (every rep has >= 1 token in
-    this corpus), no duplicate doc_ids. Stage-then-rename write keeps
-    concurrent sweeps from reading a half-written store."""
+    structural invariants exactly: row count == count of exact-dup
+    representatives WITH >= 2 tokens (a doc below the bigram-shingle
+    minimum has no signature and correctly never enters the LSH — the
+    oracle's WHERE mirrors this instead of over-claiming every rep),
+    fixed signature width, no NULL signature cells, no duplicate
+    doc_ids. Stage-then-rename write keeps concurrent sweeps from
+    reading a half-written store."""
     store = spark.read.parquet(signature_store_path(spark, sf_dir))
+    from mongodb_cdc_spark.operators.extensions import _MINHASH_SEEDS
+
+    # width derived from the shared seed constant: bumping it breaks the
+    # oracle's literal 8 LOUDLY instead of silently widening the store
     null_cells = sum(
-        (F.sum(F.when(F.col(f"mh{s}").isNull(), 1).otherwise(0)) for s in range(8)),
+        (
+            F.sum(F.when(F.col(f"mh{s}").isNull(), 1).otherwise(0))
+            for s in range(_MINHASH_SEEDS)
+        ),
         F.lit(0),
     )
     return store.agg(
         F.count(F.lit(1)).alias("n_signatures"),
-        F.lit(8).cast("bigint").alias("sig_width"),
+        F.lit(_MINHASH_SEEDS).cast("bigint").alias("sig_width"),
         null_cells.cast("bigint").alias("null_sig_cells"),
         (F.count(F.lit(1)) - F.countDistinct("doc_id"))
         .cast("bigint")
@@ -499,9 +512,11 @@ def maintenance_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_from_store",
-    oracle="""
+    oracle=f"""
     SELECT (SELECT COUNT(*) FROM (
-              SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))
+              SELECT MIN(doc_id) FROM documents
+              WHERE len({tokens_sql('text')}) >= 2
+              GROUP BY md5(text)))
              AS n_store_rows,
            CAST(0 AS BIGINT) AS order_violations,
            CAST(0 AS BIGINT) AS non_rep_endpoints
@@ -518,50 +533,19 @@ def ext_dedup_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (same signatures -> same bands -> same buckets; pinned
     against the from-text pipeline in tests/test_curation.py).
 
-    Same degenerate-bucket cap as the from-text pipeline
-    (extensions._MAX_BUCKET). Invariants stated exactly by the oracle:
-    store cardinality == exact-dup representative count (recomputed
-    independently from md5 groups), zero (a >= b) orientation
-    violations, zero endpoints outside the store's doc_id set."""
-    from mongodb_cdc_spark.operators.extensions import _MAX_BUCKET, _MINHASH_BANDS
+    Same banding geometry and degenerate-bucket cap as the from-text
+    pipeline — literally the same code
+    (extensions.candidate_pairs_from_signatures). Invariants stated
+    exactly by the oracle: store cardinality == count of exact-dup
+    representatives with >= 2 tokens (recomputed independently from md5
+    groups), zero (a >= b) orientation violations, zero endpoints
+    outside the store's doc_id set."""
+    from mongodb_cdc_spark.operators.extensions import (
+        candidate_pairs_from_signatures,
+    )
 
     store = spark.read.parquet(signature_store_path(spark, sf_dir))
-    bands = store.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-                        ).alias("h"),
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.h")
-    ok_buckets = (
-        bands.groupBy("band", "h")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter((F.col("sz") > 1) & (F.col("sz") <= _MAX_BUCKET))
-        .select("band", "h")
-    )
-    bands = bands.join(ok_buckets, ["band", "h"], "left_semi")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pairs = candidate_pairs_from_signatures(store).localCheckpoint(eager=True)
     endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -659,12 +643,16 @@ _RECALL_TAU_E2 = 50  # Jaccard threshold, percent
 _RECALL_FLOOR_E2 = 50  # certified minimum recall, percent
 
 
-def _shingle_index(spark: SparkSession, sf_dir: str, lang: str | None):
-    """(doc_id, 16-hex shingle-hash) inverted index over exact-dup
+def _shingle_index(
+    spark: SparkSession, sf_dir: str, lang: str | None
+) -> DataFrame:
+    """(doc_id, 16-hex shingle-hash, lang) inverted index over exact-dup
     representatives, optionally restricted to one language — the shared
-    machinery of the recall eval and the verification stage. The hash
-    keeps every downstream shuffle at 16 bytes/key; the shingle strings
-    never leave the scan stage."""
+    machinery of the recall eval and the verification stage. The lang
+    column rides along so a full-corpus index can serve a per-lang
+    consumer (the verify stage's truth floor) WITHOUT a second
+    tokenize+shingle pass. The hash keeps every downstream shuffle at
+    16 bytes/key; the shingle strings never leave the scan stage."""
     d = load_table(spark, sf_dir, "documents")
     reps = d.groupBy(F.md5("text").alias("md5h")).agg(
         F.min("doc_id").alias("doc_id"),
@@ -674,9 +662,11 @@ def _shingle_index(spark: SparkSession, sf_dir: str, lang: str | None):
     if lang is not None:
         reps = reps.filter(F.col("lang") == lang)
     return (
-        reps.select("doc_id", tokens("txt").alias("toks"))
-        .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
-        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        reps.select("doc_id", "lang", tokens("txt").alias("toks"))
+        .select(
+            "doc_id", "lang", F.explode(bigram_shingles("toks")).alias("g")
+        )
+        .select("doc_id", "lang", F.substring(F.md5("g"), 1, 16).alias("h"))
         .localCheckpoint(eager=True)
     )
 
@@ -727,10 +717,18 @@ def _jaccard_pairs_ge(ex: DataFrame, pairs: DataFrame | None, tau_e2: int):
     )
 
 
-def _recall_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _recall_truth_pairs(
+    spark: SparkSession, sf_dir: str, index: DataFrame | None = None
+) -> DataFrame:
     """Exact bigram-Jaccard >= tau ground-truth pairs on the lang='en'
-    audit slice (inverted-index plan; see ext_dedup_recall_eval)."""
-    ex = _shingle_index(spark, sf_dir, "en")
+    audit slice (inverted-index plan; see ext_dedup_recall_eval). Pass
+    a prebuilt full-corpus ``_shingle_index`` to reuse its
+    materialization instead of shingling a second time."""
+    ex = (
+        _shingle_index(spark, sf_dir, "en")
+        if index is None
+        else index.filter(F.col("lang") == "en")
+    )
     return (
         _jaccard_pairs_ge(ex, None, _RECALL_TAU_E2)
         .select("doc_a", "doc_b")
@@ -873,8 +871,9 @@ def ext_dedup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_verified = verified.count()
     # recall-through-verification floor on the en audit slice: any truth
     # pair among the candidates passes the same integer test here, so
-    # verification must preserve the recall the candidates certified
-    truth = _recall_truth_pairs(spark, sf_dir)
+    # verification must preserve the recall the candidates certified.
+    # The truth reuses the checkpointed full index (one shingle pass).
+    truth = _recall_truth_pairs(spark, sf_dir, index=ex)
     n_truth = truth.count()
     n_kept_truth = truth.join(verified, ["doc_a", "doc_b"], "left_semi").count()
     return spark.createDataFrame(

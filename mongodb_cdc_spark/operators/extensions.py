@@ -424,12 +424,28 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(bigram_shingles("toks")).alias("tok"))
     )
-    mins = tok.groupBy("doc_id").agg(
+    mins = minhash_signatures_from_shingles(tok)
+    return candidate_pairs_from_signatures(mins)
+
+
+def minhash_signatures_from_shingles(tok: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{N-1}) seeded-xxhash64 minhash signatures from an
+    exploded (doc_id, tok) shingle stream — the ONE signature definition
+    shared by the from-text pipeline and the persisted store
+    (curation.signature_store_path); a seed-count change here flows to
+    both or breaks the store's sig_width oracle loudly."""
+    return tok.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"mh{s}")
             for s in range(_MINHASH_SEEDS)
         ]
     )
+
+
+def candidate_pairs_from_signatures(mins: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs from a signature frame — shared by the
+    from-text pipeline, the store-reading query, and the store-parity
+    test, so the banding geometry cannot drift between them."""
     bands = mins.select(
         "doc_id",
         F.explode(

@@ -196,36 +196,18 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select("r_name", "n_name")
 
 
-@query(
-    "join_asof_latest",
-    oracle="""
-    SELECT event_id, user_id, asof_orderkey, asof_order_epoch
-    FROM (
-      SELECT e.event_id, e.user_id,
-             o.o_orderkey AS asof_orderkey,
-             (epoch_us(o.o_orderdate) // 1000000) AS asof_order_epoch,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.event_id
-               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-      FROM events e
-      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-    ) WHERE rn = 1
-    """,
-)
-def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no native Spark DataFrame asof): each event paired with
-    the latest order of that customer with o_orderdate <= ts.
-
-    Implementation is a UNION-SCAN, not join-then-filter: orders and
-    events interleave as one per-user timeline (orders sort before events
-    at equal instants, o_orderkey ascending so the largest key at a given
-    date wins), and one ``last(..., ignorenulls)`` running window carries
-    the most recent order onto every event row. Cost is O(n log n) per
-    key on |events|+|orders| rows — the naive range-join explodes to
-    |events| x avg-orders-per-user intermediate rows (~10M at sf0.1,
-    ~4x slower measured; catastrophically worse at 100 TB with heavy
-    keys). One shuffle on user_id serves both the interleave and the
-    window."""
+def _asof_carried_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared as-of UNION-SCAN: orders and events interleave as one
+    per-user timeline and a running ``last(..., ignorenulls)`` window
+    carries the most recent order onto every row. Three load-bearing
+    details live HERE and only here (both as-of operators consume this):
+    orders sort BEFORE events at equal instants (kind 0 < 1, so
+    ``o_orderdate <= ts`` is inclusive), o_orderkey ascends so the
+    largest key at a given date wins, and the carried order timestamp is
+    taken only from order rows. One shuffle on user_id serves the
+    interleave and the window — the naive range-join explodes to
+    |events| x avg-orders-per-user rows (~10M at sf0.1, ~4x slower
+    measured; catastrophically worse at 100 TB with heavy keys)."""
     ev = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
     order_rows = o.select(
@@ -248,15 +230,40 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("okey").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = timeline.select(
+    return timeline.select(
         "user_id",
         "event_id",
         "kind",
+        F.col("t"),
         F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
         F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True)
         .over(w)
         .alias("asof_t"),
     )
+
+
+@query(
+    "join_asof_latest",
+    oracle="""
+    SELECT event_id, user_id, asof_orderkey, asof_order_epoch
+    FROM (
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS asof_orderkey,
+             (epoch_us(o.o_orderdate) // 1000000) AS asof_order_epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark DataFrame asof): each event paired with
+    the latest order of that customer with o_orderdate <= ts. See
+    :func:`_asof_carried_timeline` for the UNION-SCAN shape and its
+    scale argument; this operator keeps only matched events."""
+    carried = _asof_carried_timeline(spark, sf_dir)
     return carried.filter(
         (F.col("kind") == 1) & F.col("asof_orderkey").isNotNull()
     ).select(
@@ -628,44 +635,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     years ago, which is attribution noise in any session/causality
     analysis.
 
-    Same UNION-SCAN shape as `join_asof_latest` (one user-keyed shuffle,
-    one running `last(ignorenulls)` window over the interleaved
-    timeline — never the |events| x orders-per-user range-join blowup),
-    plus one integer epoch-difference filter mapped over the carried
-    column. Cost is identical to the unbounded as-of; the tolerance is
+    Shares :func:`_asof_carried_timeline` with `join_asof_latest` (one
+    user-keyed shuffle, one running window — never the range-join
+    blowup); the tolerance is one integer epoch-difference filter mapped
+    over the carried column, so its cost over the unbounded as-of is
     free."""
-    ev = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
-    order_rows = o.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
-        F.lit(0).alias("kind"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(None).cast("bigint").alias("event_id"),
-    )
-    event_rows = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("bigint").alias("okey"),
-        "event_id",
-    )
-    timeline = order_rows.unionByName(event_rows)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("okey").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = timeline.select(
-        "user_id",
-        "event_id",
-        "kind",
-        F.col("t"),
-        F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
-        F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True)
-        .over(w)
-        .alias("asof_t"),
-    )
+    carried = _asof_carried_timeline(spark, sf_dir)
     in_tol = (
         F.to_unix_timestamp("t") - F.to_unix_timestamp("asof_t")
     ) <= F.lit(_ASOF_TOL_S)

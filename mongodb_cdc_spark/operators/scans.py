@@ -57,11 +57,30 @@ def _fmt_cache_dir(sf_dir: str, fmt: str, table: str) -> str:
     return _os.path.join(scratch_root(), f"fmt_{fmt}_{table}_{sf_name}_v1")
 
 
+def _staged_write(path: str, write_fn) -> None:
+    """Populate a shared-scratch cache dir atomically: write into a
+    sibling stage dir, then os.rename() into place — the same
+    stage-then-commit discipline as the multimodal blob cache and the
+    signature store. Two concurrent cold-starting sessions cannot
+    interleave writes into the final path; the rename loser keeps the
+    winner's identical content."""
+    if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return
+    stage = path + ".stage"
+    write_fn(stage)
+    try:
+        _os.rename(stage, path)
+    except OSError:
+        pass  # another session won the rename; content is identical
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, fmt: str, **wopts):
     src = load_table(spark, sf_dir, table)
     path = _fmt_cache_dir(sf_dir, fmt, table)
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        src.write.mode("overwrite").format(fmt).options(**wopts).save(path)
+    _staged_write(
+        path,
+        lambda p: src.write.mode("overwrite").format(fmt).options(**wopts).save(p),
+    )
     return path, src.schema
 
 
@@ -278,15 +297,17 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     path = _fmt_cache_dir(sf_dir, "jsonl_corrupt", "documents")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
-        truncated = F.substring(line, F.lit(1), F.length(line) - 1)
-        corrupted = d.select(
-            F.when(F.col("doc_id") % 10 == 3, truncated)
-            .otherwise(line)
-            .alias("value")
-        )
-        corrupted.write.mode("overwrite").format("text").save(path)
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    truncated = F.substring(line, F.lit(1), F.length(line) - 1)
+    corrupted = d.select(
+        F.when(F.col("doc_id") % 10 == 3, truncated)
+        .otherwise(line)
+        .alias("value")
+    )
+    _staged_write(
+        path,
+        lambda p: corrupted.write.mode("overwrite").format("text").save(p),
+    )
     schema = StructType(
         [
             StructField("doc_id", d.schema["doc_id"].dataType),
@@ -304,16 +325,16 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir — same materialization guarantee, zero storage-memory residue,
     # and repeat invocations are a plain parquet scan.
     parsed = path + "_parsed"
-    if not _os.path.exists(_os.path.join(parsed, "_SUCCESS")):
-        (
-            spark.read.format("json")
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
-            .schema(schema)
-            .load(path)
-            .write.mode("overwrite")
-            .parquet(parsed)
-        )
+    _staged_write(
+        parsed,
+        lambda p: spark.read.format("json")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .load(path)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     read = spark.read.parquet(parsed)
     return read.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1))
@@ -332,8 +353,10 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Raw-text and XML ingestion
 # --------------------------------------------------------------------------
 
-_TEXT_CLEAN_SPARK = "regexp_replace(text, '[\\n\\t]', ' ')"
-_TEXT_CLEAN_DUCK = r"regexp_replace(text, '[\n\t]', ' ', 'g')"
+# \r included: Spark's text reader treats CR as a line terminator too,
+# so an unflattened carriage return would split one exported line in two
+_TEXT_CLEAN_SPARK = "regexp_replace(text, '[\\n\\t\\r]', ' ')"
+_TEXT_CLEAN_DUCK = r"regexp_replace(text, '[\n\t\r]', ' ', 'g')"
 
 
 @query(
@@ -362,17 +385,20 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = _fmt_cache_dir(sf_dir, "text", "documents")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        d = load_table(spark, sf_dir, "documents")
-        line = F.concat_ws(
-            "\t",
-            F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.expr(_TEXT_CLEAN_SPARK),
-        )
-        d.select(line.alias("value")).write.mode("overwrite").format("text").save(
-            path
-        )
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        "\t",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.expr(_TEXT_CLEAN_SPARK),
+    )
+    _staged_write(
+        path,
+        lambda p: d.select(line.alias("value"))
+        .write.mode("overwrite")
+        .format("text")
+        .save(p),
+    )
     raw = spark.read.format("text").load(path)
     parts = F.split(F.col("value"), "\t", 3)
     parsed = raw.select(
@@ -414,10 +440,13 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _fmt_cache_dir(sf_dir, "xml", "customer")
     src = load_table(spark, sf_dir, "customer")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        src.write.mode("overwrite").format("xml").option(
-            "rowTag", "customer"
-        ).save(path)
+    _staged_write(
+        path,
+        lambda p: src.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .save(p),
+    )
     df = (
         spark.read.format("xml")
         .option("rowTag", "customer")
@@ -449,14 +478,14 @@ def scan_compressed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _fmt_cache_dir(sf_dir, "jsonl_gz", "events")
     src = load_table(spark, sf_dir, "events")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        (
-            src.repartition(8)
-            .write.mode("overwrite")
-            .option("compression", "gzip")
-            .format("json")
-            .save(path)
-        )
+    _staged_write(
+        path,
+        lambda p: src.repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .format("json")
+        .save(p),
+    )
     df = spark.read.format("json").schema(src.schema).load(path)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -75,11 +75,13 @@ def load_all_operators() -> None:
 # through "api_pandas_on_spark" (the 33-key round-1-era remainder), then
 # the round-4 additions in listed order THROUGH "ext_dedup_recall_eval"
 # (14 keys), then the three canaries (agg_hash_groupby, cdc_apply_upsert,
-# ext_dedup_exact) at positions 48-50 — canaries INSIDE the window, never
-# after it. That leaves exactly the additions past ext_dedup_recall_eval
-# (currently ext_dedup_verify_jaccard, scan_compressed_jsonl) plus any
-# round-5 additions for the round-6 window, which completes full-registry
-# driver coverage.
+# ext_dedup_exact — untouched since their green rows, returning as true
+# cross-round canaries) at positions 48-50 — canaries INSIDE the window,
+# never after it. That leaves exactly the additions past
+# ext_dedup_recall_eval (currently ext_dedup_verify_jaccard,
+# scan_compressed_jsonl) plus any round-5 additions AND any round-5
+# behavior-changed keys for the round-6 window, which completes
+# full-registry driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # --- round-4 window: 47 never-driver-checked keys (positions 1-47) ---
     # file-format + layout scans (every real user's first touch)
@@ -136,11 +138,16 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "cdc_bootstrap_sync",
     "cdc_resume_gap_detect",
     "cdc_idempotency_audit",
-    # --- cross-round canaries INSIDE the window (positions 48-50):
-    # r1/r2/r3-green flagships re-run to prove no regression ---
-    "agg_hash_groupby",
-    "cdc_apply_upsert",
-    "ext_dedup_exact",
+    # --- positions 48-50: the three operators THIS round behavior-changed
+    # (LSH single-materialization rework; unigram->bigram minhash switch;
+    # pointer-jumped CC) — their earlier green rows describe the old code,
+    # so re-verification beats re-running untouched canaries whose old
+    # rows remain valid (agg_hash_groupby / cdc_apply_upsert /
+    # ext_dedup_exact code is unchanged this round; they return as
+    # canaries in round 5) ---
+    "ext_sim_lsh_topk",
+    "ext_dedup_near_minhash",
+    "ext_dedup_cluster",
     # --- round-5 window: the 33-key remainder (strict-gate-sim green at
     # both SFs; see ROUND 5 ROTATION RULE above) ---
     "agg_filtered_distinct",

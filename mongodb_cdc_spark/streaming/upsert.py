@@ -232,7 +232,18 @@ class ParquetUpsertTarget:
     def _manifest(self, version: str) -> dict[str, str]:
         import json
 
-        with open(os.path.join(self._log_dir(), f"{version}.json")) as f:
+        p = os.path.join(self._log_dir(), f"{version}.json")
+        if not os.path.exists(p):
+            # name the pruned-read contract HERE too: retention deletes
+            # the manifest json first, so without this check a pruned
+            # version surfaced as a bare open() stack instead of the
+            # documented error (the bucket-level check below it never ran)
+            raise FileNotFoundError(
+                f"snapshot {version} was pruned from the manifest log "
+                f"(keep_versions={self.keep_versions}); raise keep_versions "
+                "to retain deeper time travel"
+            )
+        with open(p) as f:
             return json.load(f)["buckets"]
 
     def _bucket_version_path(self, b: str, v: str, context: str) -> str:

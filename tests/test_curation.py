@@ -142,49 +142,19 @@ def test_store_pairs_match_from_text_pipeline(spark, sf_dir):
     pair set as the from-text MinHash pipeline (same signatures -> same
     bands -> same buckets) — the property that makes the store a safe
     amortization and not an approximation."""
-    from mongodb_cdc_spark.operators.extensions import minhash_candidate_pairs
     from mongodb_cdc_spark.operators.curation import signature_store_path
-    from mongodb_cdc_spark.operators.extensions import _MAX_BUCKET, _MINHASH_BANDS
+    from mongodb_cdc_spark.operators.extensions import (
+        candidate_pairs_from_signatures,
+        minhash_candidate_pairs,
+    )
 
     from_text = {
         (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(spark, sf_dir).collect()
     }
     store = spark.read.parquet(signature_store_path(spark, sf_dir))
-    bands = store.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-                        ).alias("h"),
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.h")
-    ok = (
-        bands.groupBy("band", "h")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter((F.col("sz") > 1) & (F.col("sz") <= _MAX_BUCKET))
-        .select("band", "h")
-    )
-    bands = bands.join(ok, ["band", "h"], "left_semi")
-    a, b = bands.alias("a"), bands.alias("b")
     from_store = {
         (r.doc_a, r.doc_b)
-        for r in a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .collect()
+        for r in candidate_pairs_from_signatures(store).collect()
     }
     assert from_store == from_text
 

@@ -966,7 +966,9 @@ def test_snapshot_retention_prunes_log_and_names_pruned_reads(spark, sf_dir):
     # read of it fails with the named pruned-read contract
     pruned = seen_versions[0]
     assert pruned not in listed
-    with pytest.raises(FileNotFoundError):
+    # match pins the NAMED contract — a bare missing-file stack from
+    # open() must not satisfy this test
+    with pytest.raises(FileNotFoundError, match="pruned"):
         target._snapshot_paths(pruned)
 
     # (d) the zero-retention foot-gun is rejected at construction

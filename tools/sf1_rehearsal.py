@@ -217,7 +217,13 @@ def main() -> None:
     warm_sf = SRC.replace("sf0.1", "sf0.001")
     for name in names:
         try:
-            qs[name](spark, warm_sf).count()
+            # warm through the NOOP SINK, same as the timed pass: count()
+            # would let Catalyst prune exactly the plan arms (unreferenced
+            # outer joins) whose first-execution JIT the warmup exists to
+            # absorb — the ext_semantic_dedup count()-elimination lesson
+            qs[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass  # a key that can't run at sf0.001 still gets JVM warmth
     def _materialize(df) -> int:
