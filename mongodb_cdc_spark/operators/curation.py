@@ -155,26 +155,26 @@ def ext_ngram_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ext_semantic_dedup — SemDeDup with sorted-neighborhood refinement
+# ext_semantic_dedup — SemDeDup with multi-projection sorted neighborhoods
 # --------------------------------------------------------------------------
 # Cluster embeddings around deterministic seed centroids, then WITHIN each
-# cluster order members by their (bit-exact) cosine to centroid 0 — a
-# stable 1-D projection — and compare each vector only against the next
-# _SEM_WINDOW members in that order (the sorted-neighborhood method from
-# entity resolution, applied as SemDeDup's refinement stage). A vector is
-# dropped when any EARLIER-ranked window-mate reaches the cosine
-# threshold; the earliest rank is the deterministic keeper.
+# cluster run FOUR sorted-neighborhood passes — one per centroid
+# projection s0..s3 — and compare a pair iff it falls within the
+# _SEM_WINDOW in ANY of the four orderings (the multi-pass SNM standard
+# from entity resolution). A vector is dropped when a window-mate with a
+# SMALLER vec_id reaches the cosine threshold (vec_id is the canonical
+# keeper order, same rule as ext_dedup_exact).
 #
-# Why the window: an unwindowed within-cluster pair join is quadratic in
-# cluster size — the first cut of this operator did exactly that and the
-# 100x rehearsal (under full noop materialization) ran >10 min, while the
-# count()-timed run looked fine because Catalyst ELIMINATED the unreferenced
-# outer join (SCALING.md round-4 notes). With the window, pair work is
-# N x W regardless of cluster size; production additionally grows K with
-# corpus size, and near-dup recall is governed by the projection quality
-# (near-identical vectors have near-identical projections, so they sort
-# adjacently — boundary misses are the documented approximation, exactly
-# as in ER sorted-neighborhood).
+# Why windows at all: an unwindowed within-cluster pair join is quadratic
+# in cluster size — the first cut did exactly that and the 100x rehearsal
+# (under full noop materialization) ran >10 min while count() timing
+# looked fine because Catalyst ELIMINATED the unreferenced outer join
+# (SCALING.md round-4). Why FOUR passes: the single-s0 window caught only
+# 9/80 true pairs at sf0.1 (measured by ext_semantic_window_recall below)
+# — one projection is a weak locality key at this low tau — while the
+# union of four correlated projections catches 27/80 at 4x the (still
+# linear, N x W per pass) pair budget. Production raises tau toward the
+# SemDeDup ~0.95 regime where projections are tight, and/or widens W.
 
 _SEM_K = 4
 _SEM_WINDOW = 16
@@ -193,8 +193,22 @@ def _sem_assign_case() -> str:
     """
 
 
-_SEM_ORACLE = f"""
-    WITH c AS (
+def _sem_ranked_cte(dialect: str = "duck") -> str:
+    """Shared WITH-fragment: seed centroids -> bit-exact projections ->
+    cluster assignment -> per-cluster ROW_NUMBER under each of the four
+    projection orderings (rn0..rn3). Both oracles below embed this
+    verbatim so the ranked relation cannot drift between them."""
+    cos = [
+        cosine_unrolled_sql("e.embedding", f"c{k}", dialect=dialect)
+        for k in range(_SEM_K)
+    ]
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY {_sem_assign_case()} "
+        f"ORDER BY s{k}, vec_id) AS rn{k}"
+        for k in range(_SEM_K)
+    )
+    return f"""
+    c AS (
       SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
              (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
              (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
@@ -202,58 +216,22 @@ _SEM_ORACLE = f"""
     ),
     sims AS (
       SELECT e.vec_id, e.embedding,
-             {cosine_unrolled_sql('e.embedding', 'c0', dialect='duck')} AS s0,
-             {cosine_unrolled_sql('e.embedding', 'c1', dialect='duck')} AS s1,
-             {cosine_unrolled_sql('e.embedding', 'c2', dialect='duck')} AS s2,
-             {cosine_unrolled_sql('e.embedding', 'c3', dialect='duck')} AS s3
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
       FROM embeddings e, c
     ),
     ranked AS (
       SELECT vec_id, embedding, {_sem_assign_case()} AS cluster,
-             ROW_NUMBER() OVER (
-               PARTITION BY {_sem_assign_case()}
-               ORDER BY s0, vec_id) AS rn
+             {rns}
       FROM sims
-    ),
-    aexp AS (
-      SELECT cluster, rn, embedding, rn // {_SEM_WINDOW} AS blk FROM ranked
-      UNION ALL
-      SELECT cluster, rn, embedding, rn // {_SEM_WINDOW} + 1 AS blk FROM ranked
-    ),
-    dropped AS (
-      SELECT DISTINCT b.vec_id
-      FROM aexp a JOIN ranked b
-        ON a.cluster = b.cluster
-       AND a.blk = (b.rn - 1) // {_SEM_WINDOW}
-       AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SEM_WINDOW}
-      WHERE {cosine_unrolled_sql('a.embedding', 'b.embedding', dialect='duck')}
-            >= {_SEM_TAU}
-    )
-    SELECT g.vec_id, CAST(g.cluster AS BIGINT) AS cluster,
-           d.vec_id IS NULL AS kept
-    FROM ranked g LEFT JOIN dropped d ON d.vec_id = g.vec_id
-"""
+    )"""
 
 
-@query("ext_semantic_dedup", oracle=_SEM_ORACLE)
-def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication with sorted-neighborhood
-    refinement: assign every embedding to its nearest seed centroid
-    (vec_id < 4, broadcast; cosine argmax unrolled into a deterministic
-    CASE), rank cluster members by cosine-to-centroid-0 (bit-exact, so
-    ranks agree across engines), and drop any vector with an
-    earlier-ranked neighbor within the 16-wide sorted window at cosine
-    >= 0.40.
-
-    Scale: pair work is N x WINDOW — linear — because the window join is
-    a BLOCK join (each left row carries its block id and its successor's;
-    right rows join on their own block), never a per-cluster cross
-    product. The per-cluster ROW_NUMBER is bounded by cluster size, which
-    production bounds by growing K ~ sqrt(N). The quadratic formulation
-    this replaced died at the 100x rehearsal (>10 min; see SCALING.md
-    round-4). Every cosine and every ordering key is the unrolled
-    bit-exact expression, so assignment, ranks, and threshold
-    comparisons agree with the DuckDB oracle at the last bit."""
+def _sem_ranked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_sem_ranked_cte`, checkpointed once: many
+    consumers (four window passes x two block arms, the pair-embedding
+    lookups, the final left join) would otherwise each re-run the
+    interpreted 4-cosine assignment (measured 7.8 -> 2.6 s at sf0.1 for
+    the single-projection ancestor)."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -272,45 +250,126 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_SEM_K)
         ],
     )
-    # materialized ONCE: four consumers (the two block-exploded arms, the
-    # window join's probe side, and the final left join) would otherwise
-    # each re-run the interpreted 4-cosine assignment — measured 7.8 s ->
-    # 2.6 s at sf0.1
-    ranked = (
-        sims.select(
-            "vec_id",
-            "embedding",
-            "s0",
-            F.expr(_sem_assign_case()).alias("cluster"),
-        )
-        .withColumn(
-            "rn",
+    out = sims.select(
+        "vec_id",
+        "embedding",
+        *[f"s{k}" for k in range(_SEM_K)],
+        F.expr(_sem_assign_case()).alias("cluster"),
+    )
+    for k in range(_SEM_K):
+        out = out.withColumn(
+            f"rn{k}",
             F.row_number().over(
-                Window.partitionBy("cluster").orderBy("s0", "vec_id")
+                Window.partitionBy("cluster").orderBy(f"s{k}", "vec_id")
             ),
         )
-        .localCheckpoint(eager=True)
-    )
+    return out.localCheckpoint(eager=True)
+
+
+def _sem_window_pairs(ranked: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (da < db by vec_id) within _SEM_WINDOW of
+    each other under ANY projection ordering — four linear block joins,
+    never a per-cluster cross product."""
     W = _SEM_WINDOW
-    aexp = ranked.select(
-        "cluster", "rn", "embedding", F.expr(f"rn div {W}").alias("blk")
+    long = None
+    for k in range(_SEM_K):
+        part = ranked.select(
+            "vec_id", "cluster", F.lit(k).alias("k"), F.col(f"rn{k}").alias("rn")
+        )
+        long = part if long is None else long.unionAll(part)
+    aexp = long.select(
+        "vec_id", "cluster", "k", "rn", F.expr(f"rn div {W}").alias("blk")
     ).unionAll(
-        ranked.select(
-            "cluster", "rn", "embedding", F.expr(f"rn div {W} + 1").alias("blk")
+        long.select(
+            "vec_id", "cluster", "k", "rn",
+            F.expr(f"rn div {W} + 1").alias("blk"),
         )
     )
     a = aexp.alias("a")
-    b = ranked.alias("b")
-    pair_cos = F.expr(cosine_unrolled_sql("a.embedding", "b.embedding"))
+    b = long.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.blk") == F.expr(f"(b.rn - 1) div {W}"))
+        & F.col("b.rn").between(F.col("a.rn") + 1, F.col("a.rn") + W),
+    )
+    return raw.select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("da"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("db"),
+    ).distinct()
+
+
+_SEM_PAIRS_CTE = f"""
+    long AS (
+      SELECT vec_id, cluster, 0 AS k, rn0 AS rn FROM ranked
+      UNION ALL SELECT vec_id, cluster, 1, rn1 FROM ranked
+      UNION ALL SELECT vec_id, cluster, 2, rn2 FROM ranked
+      UNION ALL SELECT vec_id, cluster, 3, rn3 FROM ranked
+    ),
+    aexp AS (
+      SELECT vec_id, cluster, k, rn, rn // {_SEM_WINDOW} AS blk FROM long
+      UNION ALL
+      SELECT vec_id, cluster, k, rn, rn // {_SEM_WINDOW} + 1 FROM long
+    ),
+    pairsd AS (
+      SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS da,
+                      GREATEST(a.vec_id, b.vec_id) AS db
+      FROM aexp a JOIN long b
+        ON a.cluster = b.cluster AND a.k = b.k
+       AND a.blk = (b.rn - 1) // {_SEM_WINDOW}
+       AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SEM_WINDOW}
+    )"""
+
+
+_SEM_ORACLE = f"""
+    WITH {_sem_ranked_cte()},
+    {_SEM_PAIRS_CTE},
+    dropped AS (
+      SELECT DISTINCT p.db AS vec_id
+      FROM pairsd p
+      JOIN ranked x ON x.vec_id = p.da
+      JOIN ranked y ON y.vec_id = p.db
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )
+    SELECT g.vec_id, CAST(g.cluster AS BIGINT) AS cluster,
+           d.vec_id IS NULL AS kept
+    FROM ranked g LEFT JOIN dropped d ON d.vec_id = g.vec_id
+"""
+
+
+@query("ext_semantic_dedup", oracle=_SEM_ORACLE)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication with MULTI-PROJECTION
+    sorted-neighborhood refinement: assign every embedding to its
+    nearest seed centroid (vec_id < 4, broadcast; argmax unrolled into a
+    deterministic CASE), rank cluster members under each of the four
+    centroid projections, and drop any vector with a smaller-vec_id
+    partner within the 16-wide window of ANY ordering at cosine >= 0.40
+    (vec_id = canonical keeper).
+
+    Scale: pair work is 4 x N x WINDOW — still linear — via block joins
+    (each left row carries its block id and its successor's), never a
+    per-cluster cross product; candidate pairs are DISTINCT'd before the
+    single cosine-scoring join so no pair is scored twice. Recall of the
+    window scheme is MEASURED, not assumed: `ext_semantic_window_recall`
+    reports it exactly (single-projection caught 9/80 at sf0.1; the
+    four-projection union catches 27/80 at this deliberately-low tau —
+    production SemDeDup runs tau ~0.95 where projections are tight).
+    Every cosine and ordering key is the unrolled bit-exact expression,
+    so assignment, all four rank columns, and threshold comparisons
+    agree with the DuckDB oracle at the last bit."""
+    ranked = _sem_ranked_frame(spark, sf_dir)
+    pairs = _sem_window_pairs(ranked)
+    x = ranked.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
+    y = ranked.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
+    pair_cos = F.expr(cosine_unrolled_sql("ea", "eb"))
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.blk") == F.expr(f"(b.rn - 1) div {W}"))
-            & F.col("b.rn").between(F.col("a.rn") + 1, F.col("a.rn") + W),
-        )
+        pairs.join(x, "da")
+        .join(y, "db")
         .filter(pair_cos >= _SEM_TAU)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        .select(F.col("db").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
@@ -321,6 +380,87 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster").cast("bigint").alias("cluster"),
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_semantic_window_recall — EXACT recall measurement of the window scheme
+# --------------------------------------------------------------------------
+
+_SEM_AUDIT_CLUSTER = 0
+
+
+@query(
+    "ext_semantic_window_recall",
+    oracle=f"""
+    WITH {_sem_ranked_cte()},
+    r0 AS (
+      SELECT * FROM ranked WHERE cluster = {_SEM_AUDIT_CLUSTER}
+    ),
+    truth AS (
+      SELECT x.vec_id AS da, y.vec_id AS db,
+             LEAST(abs(x.rn0 - y.rn0), abs(x.rn1 - y.rn1),
+                   abs(x.rn2 - y.rn2), abs(x.rn3 - y.rn3)) AS dr
+      FROM r0 x JOIN r0 y ON x.vec_id < y.vec_id
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )
+    SELECT COUNT(*) AS n_truth,
+           CAST(COALESCE(SUM(CASE WHEN dr <= {_SEM_WINDOW} THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_caught,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1000000
+                ELSE (2000000 * COALESCE(SUM(CASE WHEN dr <= {_SEM_WINDOW}
+                                             THEN 1 ELSE 0 END), 0)
+                      + COUNT(*)) // (2 * COUNT(*)) END AS BIGINT)
+             AS recall_e6
+    FROM truth
+    """,
+)
+def ext_semantic_window_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recall of the multi-projection window scheme, measured on
+    the audit cluster (cluster 0): brute-force all-pairs cosine >= tau
+    ground truth — affordable because it is confined to ONE cluster, the
+    same audit-slice philosophy as `ext_dedup_recall_eval` — against
+    "within the window under some ordering". Everything here is
+    bit-exact cross-engine (unrolled cosines, deterministic ranks,
+    integer rank distances), so unlike the LSH eval this one needs no
+    invariant booleans: n_truth, n_caught, and the e6 recall are all
+    hash-compared values. The number this reports is the honest one:
+    at the corpus's deliberately-low tau=0.40 the window catches a
+    minority of true pairs (see the operator docstring) — the eval
+    exists precisely so that tuning W / passes / tau is driven by a
+    measured recall, not a hope."""
+    ranked = _sem_ranked_frame(spark, sf_dir)
+    r0 = ranked.filter(F.col("cluster") == _SEM_AUDIT_CLUSTER)
+    x = r0.alias("x")
+    y = r0.alias("y")
+    dr = F.least(
+        *[
+            F.abs(F.col(f"x.rn{k}") - F.col(f"y.rn{k}"))
+            for k in range(_SEM_K)
+        ]
+    )
+    truth = (
+        x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+        .filter(
+            F.expr(cosine_unrolled_sql("x.embedding", "y.embedding"))
+            >= _SEM_TAU
+        )
+        .select(dr.alias("dr"))
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(
+            F.sum(F.when(F.col("dr") <= _SEM_WINDOW, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            f"CAST(CASE WHEN COUNT(*) = 0 THEN 1000000 "
+            f"ELSE (2000000 * COALESCE(SUM(CASE WHEN dr <= {_SEM_WINDOW} "
+            f"THEN 1 ELSE 0 END), 0) + COUNT(*)) div (2 * COUNT(*)) END "
+            f"AS BIGINT)"
+        ).alias("recall_e6"),
     )
 
 

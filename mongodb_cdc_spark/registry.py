@@ -201,6 +201,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_dedup_recall_eval",
     "ext_dedup_verify_jaccard",
     "scan_compressed_jsonl",
+    "ext_semantic_window_recall",
 )
 
 
