@@ -272,3 +272,36 @@ def test_verify_stage_invariants(spark, sf_dir):
     assert row.verified_subset_of_candidates
     assert row.verified_ge_exact_truth_floor
     assert row.jaccard_bounds_ok
+
+
+def test_bigram_shingles_edge_cases(spark, sf_dir):
+    """The one shared shingle builder: empty/one-token inputs yield an
+    EMPTY array (never a descending-sequence artifact), order is
+    positional, duplicates are collapsed."""
+    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
+
+    df = spark.createDataFrame(
+        [("",), ("solo",), ("a b c",), ("x y x y",), ("  spaced   out  ",)],
+        "text string",
+    ).select(tokens("text").alias("toks"))
+    rows = df.select(bigram_shingles("toks").alias("s")).collect()
+    assert rows[0].s == []          # empty text
+    assert rows[1].s == []          # single token: no bigram
+    assert rows[2].s == ["a b", "b c"]
+    assert rows[3].s == ["x y", "y x"]  # distinct collapses the repeat
+    assert rows[4].s == ["spaced out"]  # tokenizer strips empties
+
+
+def test_semantic_window_recall_is_exact_and_consistent(spark, sf_dir):
+    """The recall measurement agrees with the dedup operator's own
+    behavior: every truth pair within the window (numerator) implies the
+    higher vec_id was droppable, so dropped-count >= n_caught cannot be
+    asserted directly (drops also come from other clusters), but the
+    measured recall must be a valid e6 fraction and deterministic."""
+    from mongodb_cdc_spark.operators.curation import ext_semantic_window_recall
+
+    a = ext_semantic_window_recall(spark, sf_dir).collect()[0]
+    b = ext_semantic_window_recall(spark, sf_dir).collect()[0]
+    assert a == b
+    assert 0 <= a.n_caught <= a.n_truth
+    assert 0 <= a.recall_e6 <= 1_000_000
