@@ -161,6 +161,11 @@ HEAVY = [
     "mm_scan_binary_files",
     "ext_lm_predictability",
     "agg_markov_transitions",
+    # late round-4 additions at 10x
+    "join_asof_tolerance",
+    "ts_downsample_m4",
+    "ext_dedup_from_store",
+    "ext_temperature_mix",
 ]
 
 
