@@ -1027,3 +1027,105 @@ def ext_dedup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verified_subset_of_candidates boolean, "
         "verified_ge_exact_truth_floor boolean, jaccard_bounds_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# ext_token_budget_fill — greedy quality-first token-budget selection
+# --------------------------------------------------------------------------
+# "Fill a 10%-of-corpus token budget with the highest-quality documents"
+# — the selection step every fixed-budget pretraining run executes after
+# scoring. Quality here is the deterministic type-token ratio in e6
+# integer units (distinct_tokens * 1e6 div tokens); the selected set is
+# the maximal prefix of the (quality DESC, doc_id ASC) order whose
+# running token sum fits the budget.
+#
+# Scale design — the oracle is a single global window cumsum, but the
+# engine deliberately is NOT: a global ORDER BY window is one task at
+# 100 TB. Two passes instead (the windows.py two-pass global-rank
+# discipline): (1) bucket quality_e6 into ~1000 ranges, aggregate token
+# mass per bucket (<= 1024 rows to the driver — bounded, like the
+# bucket-offset collects in windows.py), walk buckets best-first to find
+# the one bucket where the running sum crosses the budget; (2) fully
+# include every better bucket with a plain filter (codegen, no shuffle),
+# and window ONLY the crossing bucket's ~1/1000 slice with the carry-in
+# offset. Prefix semantics make everything after the crossing doc
+# ineligible (the cumsum is monotone), so lower buckets drop entirely.
+
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH toked AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS tok_cnt,
+             len(list_distinct({tokens_sql('text')})) AS uniq
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(tok_cnt AS BIGINT) AS tok_cnt,
+             CAST(uniq * 1000000 // tok_cnt AS BIGINT) AS quality_e6
+      FROM toked WHERE tok_cnt >= 1
+    ),
+    ranked AS (
+      SELECT doc_id, tok_cnt, quality_e6,
+             SUM(tok_cnt) OVER (ORDER BY quality_e6 DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, tok_cnt, quality_e6
+    FROM ranked
+    WHERE cum <= (SELECT CAST(SUM(tok_cnt) // 10 AS BIGINT) FROM scored)
+"""
+
+
+@query("ext_token_budget_fill", oracle=_TOKEN_BUDGET_ORACLE)
+def ext_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget corpus selection (docstring block above)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # project toks ONCE: re-stating tokens("text") per consumer re-runs
+    # split+filter per reference (the transform-lambda recompute lesson)
+    scored = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("tok_cnt"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias("uniq"),
+        )
+        .filter(F.col("tok_cnt") >= 1)
+        .select(
+            "doc_id",
+            "tok_cnt",
+            F.expr("uniq * 1000000 div tok_cnt").alias("quality_e6"),
+        )
+        # three consumers (budget total, bucket stats, final filters):
+        # materialize once or the tokenizing scan re-runs per consumer
+        .localCheckpoint(eager=True)
+    )
+    budget = int(scored.agg(F.sum("tok_cnt")).collect()[0][0]) // 10
+    # pass 1: <= ~1000 bucket rows to the driver (quality_e6 <= 1e6)
+    buckets = scored.groupBy(
+        F.expr("quality_e6 div 1024").alias("bkt")
+    ).agg(F.sum("tok_cnt").alias("t")).collect()
+    buckets.sort(key=lambda r: -r["bkt"])
+    pre = 0
+    partial_bkt = None  # the bucket where the running sum crosses budget
+    for r in buckets:
+        if pre + r["t"] <= budget:
+            pre += r["t"]
+        else:
+            partial_bkt = int(r["bkt"])
+            break
+    cols = ["doc_id", "tok_cnt", "quality_e6"]
+    if partial_bkt is None:  # everything fits (degenerate tiny budget=all)
+        return scored.select(*cols)
+    full = scored.filter(F.expr(f"quality_e6 div 1024 > {partial_bkt}"))
+    # pass 2: the single-partition window runs over ONE bucket's slice
+    # (~1/1000 of the corpus), never the corpus — bounded by construction
+    w = (
+        Window.orderBy(F.col("quality_e6").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = (
+        scored.filter(F.expr(f"quality_e6 div 1024 = {partial_bkt}"))
+        .withColumn("cum", F.sum("tok_cnt").over(w))
+        .filter(F.col("cum") <= F.lit(budget - pre))
+    )
+    return full.select(*cols).unionByName(part.select(*cols))

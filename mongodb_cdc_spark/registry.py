@@ -79,7 +79,8 @@ def load_all_operators() -> None:
 # cross-round canaries) at positions 48-50 — canaries INSIDE the window,
 # never after it. That leaves exactly the additions past
 # ext_dedup_recall_eval (currently ext_dedup_verify_jaccard,
-# scan_compressed_jsonl, ext_semantic_window_recall) plus any round-5
+# scan_compressed_jsonl, ext_semantic_window_recall,
+# ext_token_budget_fill) plus any round-5
 # additions AND any round-5 behavior-changed keys for the round-6
 # window, which completes full-registry driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
@@ -202,6 +203,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_dedup_verify_jaccard",
     "scan_compressed_jsonl",
     "ext_semantic_window_recall",
+    "ext_token_budget_fill",
 )
 
 

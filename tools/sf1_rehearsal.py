@@ -166,6 +166,7 @@ HEAVY = [
     "ts_downsample_m4",
     "ext_dedup_from_store",
     "ext_temperature_mix",
+    "ext_token_budget_fill",
 ]
 
 
