@@ -1129,3 +1129,89 @@ def ext_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= F.lit(budget - pre))
     )
     return full.select(*cols).unionByName(part.select(*cols))
+
+
+# --------------------------------------------------------------------------
+# ext_source_cap — per-(source, lang) document capping, two-arm plan
+# --------------------------------------------------------------------------
+# C4-style domain capping: no (source, lang) cell may contribute more
+# than `cap` documents; within an over-cap cell the keepers are chosen
+# by a deterministic hash order (md5 of the doc_id + a fixed salt), so
+# the sample is reproducible and unbiased by ingestion order. The cap is
+# relative — max(1, corpus_size div 125) — so the operator binds at
+# every scale factor instead of going inert when cells outgrow a
+# constant.
+#
+# Scale design: the cell-size table is |sources| x |langs| rows — it
+# BROADCASTS. Under-cap cells (the long tail of domains — most of any
+# web corpus) are kept by a broadcast semi-join and a plain filter: NO
+# window, NO extra shuffle. Only over-cap cells (the head domains) pay
+# the rank window, partitioned by cell; the rank <= cap filter lets
+# Spark plan a WindowGroupLimit partial pass, so each input partition
+# forwards at most cap rows per cell into the exchange — the shuffle
+# carries O(cells x cap x partitions), never the head domains' raw mass.
+
+_CAP_DIVISOR = 125  # cap = max(1, corpus_docs div 125)
+_CAP_SEED = ":cap-seed"
+
+
+@query(
+    "ext_source_cap",
+    oracle=f"""
+    WITH cap AS (
+      SELECT GREATEST(1, COUNT(*) // {_CAP_DIVISOR}) AS cap FROM documents
+    ),
+    cells AS (
+      SELECT source, lang, COUNT(*) AS n_cell
+      FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+      SELECT d.source, d.lang, d.doc_id, c.n_cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source, d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '{_CAP_SEED}'),
+                        d.doc_id) AS rk
+      FROM documents d
+      JOIN cells c ON d.source = c.source AND d.lang = c.lang
+    )
+    SELECT source, lang, doc_id,
+           (n_cell > (SELECT cap FROM cap)) AS was_capped
+    FROM ranked WHERE rk <= (SELECT cap FROM cap)
+    """,
+)
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) document cap (docstring block above): output
+    is the kept set plus a was_capped flag marking docs that survived a
+    binding cap (their cell was over the limit).
+
+    Two arms: under-cap cells keep ALL docs through a broadcast join +
+    filter (windowless — the long-tail arm); over-cap cells rank by
+    (md5(doc_id + salt), doc_id) inside a cell-partitioned window and
+    keep rank <= cap, planned with a WindowGroupLimit partial pass
+    (pinned in tests/test_curation.py). The reference engine caps
+    nothing — its closest surface is the collection-stats report
+    (js:478-538); this is north-star curation surface per SURVEY §2B."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cap = max(1, int(d.agg(F.count(F.lit(1))).collect()[0][0]) // _CAP_DIVISOR)
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    under = cells.filter(F.col("n_cell") <= cap).select("source", "lang")
+    over = cells.filter(F.col("n_cell") > cap).select("source", "lang")
+    keep_all = (
+        d.join(F.broadcast(under), ["source", "lang"], "left_semi")
+        .select("source", "lang", "doc_id", F.lit(False).alias("was_capped"))
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_CAP_SEED))),
+        F.col("doc_id"),
+    )
+    capped = (
+        d.join(F.broadcast(over), ["source", "lang"], "left_semi")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("source", "lang", "doc_id", F.lit(True).alias("was_capped"))
+    )
+    return keep_all.unionByName(capped)

@@ -20,6 +20,7 @@ from mongodb_cdc_spark.functions.text import (
     tokens,
     tokens_sql,
 )
+from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
 
@@ -629,4 +630,123 @@ def ext_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         "CAST(n_fail AS BIGINT) AS n_fail",
         "CAST((n_fail * 1000000) div n_docs AS BIGINT) AS fail_ppm",
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_embed_knn_eval — leave-one-out kNN label eval over the embeddings
+# --------------------------------------------------------------------------
+# Embedding-space governance: before an embedding column is trusted for
+# semantic dedup / clustering / retrieval, measure how label-consistent
+# its neighborhoods are. For each probe vector, take the 10 nearest
+# corpus vectors (leave-one-out: the probe itself excluded), and report
+# (a) precision@10 against the probe's own label and (b) the 10-NN
+# majority-vote prediction — the classic kNN-classifier eval, which is
+# also exactly the quantity SemDeDup-style pipelines sanity-check before
+# trusting cosine neighborhoods. Companion to `ext_dedup_recall_eval`
+# (the dedup-side governance op); the probe set is a bounded audit
+# slice, rotated per run in production.
+#
+# Scale: probes broadcast (<= 80 vectors even at 100x — the vec_id <
+# 2000 bound is absolute); the corpus is scanned ONCE and scored against
+# all probes map-side with the unrolled bit-exact cosine; the per-probe
+# rank <= k filter plans a WindowGroupLimit partial pass so the exchange
+# carries O(probes x k x partitions) rows, never corpus x probes. The
+# majority vote runs integer-encoded — max(c*16 + 15 - label) packs
+# (count DESC, label ASC) into one BIGINT aggregate, no second window.
+
+_KNNE_K = 10
+_KNNE_STEP = 25  # probe stride over vec_id
+_KNNE_MAX = 2000  # absolute probe-id ceiling: probe set stays bounded
+
+
+@query(
+    "ext_embed_knn_eval",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, label AS true_label, embedding AS p
+      FROM embeddings
+      WHERE vec_id % {_KNNE_STEP} = 0 AND vec_id < {_KNNE_MAX}
+    ), topk AS (
+      SELECT probe_id, true_label, nlabel FROM (
+        SELECT probe_id, true_label, e.label AS nlabel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY {cosine_unrolled_sql('e.embedding', 'p', dialect='duck')} DESC,
+                          e.vec_id ASC) AS rk
+        FROM embeddings e, probes WHERE e.vec_id <> probe_id
+      ) WHERE rk <= {_KNNE_K}
+    ), votes AS (
+      SELECT probe_id, true_label, nlabel, COUNT(*) AS c
+      FROM topk GROUP BY probe_id, true_label, nlabel
+    )
+    SELECT probe_id, true_label,
+           CAST(SUM(CASE WHEN nlabel = true_label THEN c ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN nlabel = true_label THEN c ELSE 0 END)
+                * 1000000 // {_KNNE_K} AS BIGINT) AS prec_e6,
+           CAST(15 - MAX(c * 16 + 15 - nlabel) % 16 AS BIGINT) AS pred_label,
+           (15 - MAX(c * 16 + 15 - nlabel) % 16 = true_label) AS knn_correct
+    FROM votes GROUP BY probe_id, true_label
+    """,
+)
+def ext_embed_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 10-NN label evaluation (docstring block above):
+    per-probe precision@10, integer-encoded majority-vote prediction
+    (count DESC, label ASC tiebreak), and the correct/incorrect flag.
+    Labels are 0..9 and counts <= 10, so the vote packs exactly into
+    ``c*16 + (15 - label)`` and unpacks with one mod — pure integer
+    arithmetic, no second window, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(
+        (F.col("vec_id") % _KNNE_STEP == 0) & (F.col("vec_id") < _KNNE_MAX)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("p"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("nlabel"),
+            "vec_id",
+            F.expr(
+                cosine_unrolled_sql("embedding", "p", dialect="spark")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNE_K)
+        .select("probe_id", "true_label", "nlabel")
+    )
+    votes = topk.groupBy("probe_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        votes.groupBy("probe_id", "true_label")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("true_label"), F.col("c")).otherwise(0)
+            ).cast("bigint").alias("hits"),
+            F.max(F.expr("c * 16 + 15 - nlabel")).alias("enc"),
+        )
+        .select(
+            "probe_id",
+            "true_label",
+            "hits",
+            F.expr(f"CAST(hits * 1000000 div {_KNNE_K} AS BIGINT)").alias(
+                "prec_e6"
+            ),
+            F.expr("CAST(15 - (enc % 16) AS BIGINT)").alias("pred_label"),
+            F.expr("(15 - (enc % 16)) = true_label").alias("knn_correct"),
+        )
     )

@@ -80,9 +80,9 @@ def load_all_operators() -> None:
 # never after it. That leaves exactly the additions past
 # ext_dedup_recall_eval (currently ext_dedup_verify_jaccard,
 # scan_compressed_jsonl, ext_semantic_window_recall,
-# ext_token_budget_fill) plus any round-5
-# additions AND any round-5 behavior-changed keys for the round-6
-# window, which completes full-registry driver coverage.
+# ext_token_budget_fill, ext_source_cap, ext_embed_knn_eval) plus any
+# round-5 additions AND any round-5 behavior-changed keys for the
+# round-6 window, which completes full-registry driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # --- round-4 window: 47 never-driver-checked keys (positions 1-47) ---
     # file-format + layout scans (every real user's first touch)
@@ -204,6 +204,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "scan_compressed_jsonl",
     "ext_semantic_window_recall",
     "ext_token_budget_fill",
+    "ext_source_cap",
+    "ext_embed_knn_eval",
 )
 
 

@@ -360,3 +360,118 @@ def test_token_budget_fill_full_arm_is_windowless(spark, sf_dir):
     # exactly one Window NODE (the crossing-bucket arm), never two —
     # node headers in formatted explain read "(n) Window"
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_source_cap_semantics_and_plan(spark, sf_dir):
+    """Cap semantics: no (source, lang) cell exceeds the cap; under-cap
+    cells are kept in full and flagged False; the kept subset within an
+    over-cap cell is the hash-order prefix. Plan: the under-cap arm is
+    windowless — exactly one Window node total, with a WindowGroupLimit
+    partial pass."""
+    import re
+
+    from mongodb_cdc_spark.operators.curation import (
+        _CAP_DIVISOR,
+        _CAP_SEED,
+        ext_source_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    cap = max(1, total // _CAP_DIVISOR)
+    cells = {
+        (r["source"], r["lang"]): r["n"]
+        for r in d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = ext_source_cap(spark, sf_dir)
+    rows = out.collect()
+    kept: dict[tuple, list] = {}
+    for r in rows:
+        kept.setdefault((r["source"], r["lang"]), []).append(r)
+    assert set(kept) == set(cells)  # every cell contributes
+    for cell, rs in kept.items():
+        n_cell = cells[cell]
+        assert len(rs) == min(cap, n_cell)
+        assert all(r["was_capped"] == (n_cell > cap) for r in rs)
+    # over-cap keepers are the md5-order prefix (naive recomputation)
+    import hashlib
+
+    over = [c for c, n in cells.items() if n > cap]
+    if over:
+        cell = over[0]
+        ids = [
+            r["doc_id"]
+            for r in d.filter(
+                (F.col("source") == cell[0]) & (F.col("lang") == cell[1])
+            ).collect()
+        ]
+        want = sorted(
+            ids,
+            key=lambda i: (
+                hashlib.md5(f"{i}{_CAP_SEED}".encode()).hexdigest(),
+                i,
+            ),
+        )[:cap]
+        assert sorted(r["doc_id"] for r in kept[cell]) == sorted(want)
+    # fresh frame: explaining the collected one would print the AQE
+    # final AND initial plans, double-counting the Window node
+    plan = formatted_plan(ext_source_cap(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_embed_knn_eval_matches_numpy_loo(spark, sf_dir):
+    """The integer-encoded majority vote and precision@10 must match a
+    straightforward numpy leave-one-out recomputation."""
+    import numpy as np
+
+    from mongodb_cdc_spark.operators.quality import (
+        _KNNE_K,
+        _KNNE_MAX,
+        _KNNE_STEP,
+        ext_embed_knn_eval,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    got = {
+        r["probe_id"]: r for r in ext_embed_knn_eval(spark, sf_dir).collect()
+    }
+    probe_ix = np.where((ids % _KNNE_STEP == 0) & (ids < _KNNE_MAX))[0]
+    assert len(got) == len(probe_ix) > 0
+    for pi in probe_ix:
+        cos = M @ M[pi]
+        order = sorted(
+            (i for i in range(len(ids)) if i != pi),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:_KNNE_K]
+        nl = labels[order]
+        hits = int((nl == labels[pi]).sum())
+        votes: dict[int, int] = {}
+        for x in nl:
+            votes[int(x)] = votes.get(int(x), 0) + 1
+        pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        g = got[int(ids[pi])]
+        assert g["hits"] == hits
+        assert g["pred_label"] == pred
+        assert g["knn_correct"] == (pred == labels[pi])
+
+
+def test_embed_knn_eval_plan_has_group_limit(spark, sf_dir):
+    """The per-probe rank<=k filter must plan the WindowGroupLimit
+    partial pass (shuffle carries O(probes x k x partitions), not
+    corpus x probes) and the probe side must broadcast."""
+    from mongodb_cdc_spark.operators.quality import ext_embed_knn_eval
+
+    plan = formatted_plan(ext_embed_knn_eval(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
