@@ -795,3 +795,205 @@ def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(t3 - t2, 0.5D)").alias("med_click_to_purchase_s"),
         F.expr("percentile(t3 - t1, 0.5D)").alias("med_total_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# stat_ab_ttest — Welch two-sample t-test per event-type arm vs control
+# --------------------------------------------------------------------------
+# Experimentation analytics: each event_type is an experiment arm whose
+# per-event `value` is compared against the 'view' control arm with a
+# Welch (unequal-variance) two-sample t statistic. Built on the
+# agg_corr_regression discipline: per-row fixed-point ints (scale 100),
+# exact DECIMAL(38,0)/HUGEINT sums, floating point entered ONLY for the
+# final divisions/sqrt on already-exact integers — identical expression
+# trees in both engines, so the t statistic is bit-deterministic (builtin
+# stddev/avg would sum doubles in partial-agg order and differ run to
+# run at scale).
+
+_AB_CONTROL = "view"
+_AB_XI = "CAST(FLOOR(value * 100) AS BIGINT)"
+_AB_SUMS = {
+    "n": "COUNT(*)",
+    "s": f"SUM(CAST({_AB_XI} AS DECIMAL(38,0)))",
+    "ss": f"SUM(CAST({_AB_XI} * {_AB_XI} AS DECIMAL(38,0)))",
+}
+
+
+def _welch_t(cast: str, a: tuple[str, str, str], b: tuple[str, str, str]) -> str:
+    """Welch t on exact integer moments; `cast` is the wide integer type
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT — same integers either way)."""
+
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    def mean(n: str, s: str) -> str:
+        return f"(CAST({c(s)} AS DOUBLE) / CAST({n} AS DOUBLE))"
+
+    def var(n: str, s: str, ss: str) -> str:  # sample variance, x10000 units
+        return (
+            f"(CAST({c(n)} * {c(ss)} - {c(s)} * {c(s)} AS DOUBLE)"
+            f" / CAST({c(n)} * ({c(n)} - 1) AS DOUBLE))"
+        )
+
+    (na, sa, ssa), (nb, sb, ssb) = a, b
+    return (
+        f"(({mean(na, sa)}) - ({mean(nb, sb)})) / "
+        f"SQRT({var(na, sa, ssa)} / CAST({na} AS DOUBLE)"
+        f" + {var(nb, sb, ssb)} / CAST({nb} AS DOUBLE))"
+    )
+
+
+_AB_T = _welch_t("DECIMAL(38,0)", ("n", "s", "ss"), ("cn", "cs", "css"))
+_AB_T_D = _welch_t("HUGEINT", ("a.n", "a.s", "a.ss"), ("c.n", "c.s", "c.ss"))
+_AB_MEAN = "(CAST(CAST(s AS DECIMAL(38,0)) AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
+_AB_MEAN_D = "(CAST(CAST(a.s AS HUGEINT) AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0"
+_AB_INNER = ", ".join(f"{v} AS {k}" for k, v in _AB_SUMS.items())
+
+
+@query(
+    "stat_ab_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, {_AB_INNER}
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, a.n,
+           {_round4(_AB_MEAN_D)} AS mean_value,
+           {_round4(_AB_T_D)} AS t_vs_control,
+           (ABS({_round4(_AB_T_D)}) > 1.96) AS significant_95
+    FROM m a, (SELECT * FROM m WHERE event_type = '{_AB_CONTROL}') c
+    WHERE a.event_type <> '{_AB_CONTROL}'
+    """,
+)
+def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of every event-type arm against the
+    'view' control arm (docstring block above): per-arm n, mean
+    value, the t statistic (4-decimal sign-mirrored rounding), and the
+    |t| > 1.96 two-sided 95% flag.
+
+    Scale: one map-side-combinable aggregate over events (3 numbers +
+    count per arm, exactly the corr_regression shuffle shape); the
+    control row rides a broadcast single-row frame. Arms x 4 output
+    rows, input-size-independent after the first aggregate. Moments
+    merge associatively — the same shape serves a sequential-test /
+    always-valid monitoring loop over the change feed."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        *[F.expr(v).alias(k) for k, v in _AB_SUMS.items()]
+    )
+    ctrl = (
+        m.filter(F.col("event_type") == _AB_CONTROL)
+        .select(
+            F.col("n").alias("cn"),
+            F.col("s").alias("cs"),
+            F.col("ss").alias("css"),
+        )
+    )
+    return (
+        m.filter(F.col("event_type") != _AB_CONTROL)
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            "event_type",
+            "n",
+            F.expr(_round4(_AB_MEAN)).alias("mean_value"),
+            F.expr(_round4(_AB_T)).alias("t_vs_control"),
+            F.expr(f"(ABS({_round4(_AB_T)}) > 1.96)").alias("significant_95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stat_benford_digits — Benford first-digit audit over prices
+# --------------------------------------------------------------------------
+# Financial-forensics staple: the first significant digit of organic
+# amounts follows Benford's law; a digit histogram that deviates flags
+# fabricated or truncated data. The first digit is taken from the
+# DECIMAL STRING of the exact e2 fixed-point price (no log10 floats —
+# log10 isn't guaranteed correctly rounded, string heads are exact), and
+# the expected shares are hard literals (log10(1+1/d) pre-scaled to e6),
+# identical bytes in both engines. The chi-square contribution runs in
+# wide-integer arithmetic (DECIMAL(38,0) / HUGEINT — the corr_regression
+# dialect split), exact to ~1e12 rows per digit.
+
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_E6.items())
+    + " END"
+)
+
+
+def _benford_chi2(cast: str, div: str) -> str:
+    """chi2 contribution in e6 units: 1e6 * (obs - exp)^2 / exp, with
+    diff = obs*1e6 - n*p_e6 squared in the wide integer type."""
+
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    diff = f"({c('n_obs')} * 1000000 - {c('nt')} * {c('pe6')})"
+    return (
+        f"CAST({diff} * {diff} {div} ({c('nt')} * {c('pe6')} * 1000000)"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "stat_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n_obs
+      FROM lineitem WHERE l_extendedprice > 0
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS nt,
+             CAST({_BENFORD_CASE} AS BIGINT) AS pe6
+      FROM digits
+    )
+    SELECT digit, n_obs,
+           CAST(n_obs * 1000000 // nt AS BIGINT) AS share_e6,
+           pe6 AS benford_e6,
+           {_benford_chi2('HUGEINT', '//')} AS chi2_contrib_e6
+    FROM t
+    """,
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit histogram over ``l_extendedprice`` (docstring
+    block above): per digit the observed count, observed share (e6),
+    Benford expectation (e6), and the exact-integer chi-square
+    contribution ``1e6*(obs-exp)^2/exp``.
+
+    Scale: one map-side-combinable aggregate to <= 9 rows; everything
+    after is arithmetic on the 9-row frame (the window total never sees
+    the fact table). The digit expression is a scan-stage projection in
+    codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substring(CAST(CAST(FLOOR(l_extendedprice * 100)"
+                " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = digits.select(
+        "digit",
+        "n_obs",
+        F.expr("CAST(SUM(n_obs) OVER () AS BIGINT)").alias("nt"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("pe6"),
+    )
+    return t.select(
+        "digit",
+        "n_obs",
+        F.expr("CAST(n_obs * 1000000 div nt AS BIGINT)").alias("share_e6"),
+        F.col("pe6").alias("benford_e6"),
+        F.expr(_benford_chi2("DECIMAL(38,0)", "div")).alias("chi2_contrib_e6"),
+    )

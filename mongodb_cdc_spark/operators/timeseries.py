@@ -636,3 +636,125 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.d").alias("d"),
         F.col("p.cents").alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_changepoint_cusum — one-sided CUSUM level-shift detection per type
+# --------------------------------------------------------------------------
+# Page's CUSUM over each event type's DAILY-MEAN series: the standard
+# upward level-shift detector a metrics pipeline runs on KPI series.
+# The textbook recursion C_t = max(0, C_{t-1} + (x_t - target - k)) is
+# NOT a prefix sum — but it has the exact closed form
+#     C_t = S_t - min(0, min_{i<=t} S_i),   S_t = prefix-sum(x_i - target - k)
+# so the whole detector is two prefix windows (cumsum + running min)
+# over the daily aggregate: no recursion, no UDF, no iterative loop.
+#
+# Integer discipline: daily means are e2 fixed-point integer divisions;
+# target and slack derive from exact integer moments of the daily-mean
+# series (std via FLOOR(SQRT(double-of-exact-int)) — sqrt is correctly
+# rounded, so the BIGINT matches cross-engine). Alarm threshold is the
+# classic h = 4*sigma, slack k = sigma/2.
+#
+# Scale: the raw fact collapses to (type, day) rows in one map-side-
+# combinable aggregate; every window after that runs on the bounded
+# daily series (partitions = event types, rows = days — thousands, not
+# billions). Per-type moments ride a broadcast join. This is the
+# windows.py two-tier discipline: unbounded-input work is keyed
+# aggregation; ordered-window work happens only on the collapsed series.
+
+_CUSUM_STATS = (
+    "COUNT(*) AS nd, SUM(x) AS sx, SUM(x * x) AS sxx"
+)
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type, {_CUSUM_STATS} FROM daily GROUP BY event_type
+    ),
+    params AS (
+      SELECT event_type,
+             CAST(sx // nd AS BIGINT) AS tgt,
+             CAST(FLOOR(SQRT(CAST(
+               (nd * sxx - sx * sx) // (nd * nd) AS DOUBLE))) AS BIGINT)
+               AS sigma
+      FROM stats
+    ),
+    series AS (
+      SELECT d.event_type, d.d, d.x, p.sigma,
+             CAST(SUM(d.x - p.tgt - p.sigma // 2) OVER (
+               PARTITION BY d.event_type ORDER BY d.d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM daily d JOIN params p ON d.event_type = p.event_type
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, x AS daily_mean_e2,
+           CAST(s - LEAST(0, MIN(s) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_e2,
+           (s - LEAST(0, MIN(s) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING)) > 4 * sigma) AS alarm
+    FROM series
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-sided CUSUM over the daily-mean series (docstring
+    block above): daily mean in e2 fixed point, the CUSUM statistic via
+    the prefix-sum/running-min closed form, and the h = 4-sigma alarm
+    flag. Day is emitted as its ISO string (the gapfill/streak tier's
+    date-output convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    params = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("x").alias("sx"),
+            F.expr("SUM(x * x)").alias("sxx"),
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(sx div nd AS BIGINT)").alias("tgt"),
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST((nd * sxx - sx * sx)"
+                " div (nd * nd) AS DOUBLE))) AS BIGINT)"
+            ).alias("sigma"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    series = (
+        daily.join(F.broadcast(params), "event_type")
+        .withColumn(
+            "s",
+            F.sum(
+                F.col("x") - F.col("tgt") - F.expr("sigma div 2")
+            ).over(w).cast("bigint"),
+        )
+        .withColumn("m", F.least(F.lit(0), F.min("s").over(w)))
+    )
+    return series.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        F.col("x").alias("daily_mean_e2"),
+        F.expr("CAST(s - m AS BIGINT)").alias("cusum_e2"),
+        F.expr("(s - m) > 4 * sigma").alias("alarm"),
+    )

@@ -268,3 +268,140 @@ def test_triangle_count_matches_bruteforce_on_small_graph(spark, sf_dir):
     )
     got = QUERIES["graph_triangle_count"](spark, sf_dir).first()["n_triangles"]
     assert got == brute
+
+
+def test_ab_ttest_matches_numpy_welch(spark, sf_dir):
+    """The fixed-point Welch t must match a float recomputation from the
+    same scale-100 integers to well past the 4-decimal rounding."""
+    import math
+
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.statistics import _AB_CONTROL
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("xi"))
+        .collect()
+    )
+    arms: dict[str, list[int]] = {}
+    for r in rows:
+        arms.setdefault(r["event_type"], []).append(r["xi"])
+
+    def stats(xs):
+        n = len(xs)
+        s = sum(xs)
+        ss = sum(x * x for x in xs)
+        m = s / n
+        v = (n * ss - s * s) / (n * (n - 1))
+        return n, m, v
+
+    cn, cm, cv = stats(arms[_AB_CONTROL])
+    got = {r["event_type"]: r for r in QUERIES["stat_ab_ttest"](spark, sf_dir).collect()}
+    assert set(got) == set(arms) - {_AB_CONTROL}
+    for arm, g in got.items():
+        n, m, v = stats(arms[arm])
+        t = (m - cm) / math.sqrt(v / n + cv / cn)
+        assert g["n"] == n
+        assert abs(g["t_vs_control"] - t) < 5e-4
+        assert abs(g["mean_value"] - m / 100.0) < 5e-4
+        assert g["significant_95"] == (abs(g["t_vs_control"]) > 1.96)
+
+
+def test_ab_ttest_plan_single_shuffle_plus_broadcast(spark, sf_dir):
+    """One map-side-combinable aggregate over events; the control arm
+    rides a broadcast — no second exchange of the fact table, no Python."""
+    from mongodb_cdc_spark.plans.explain import formatted_plan
+
+    df = QUERIES["stat_ab_ttest"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "Broadcast" in plan, plan
+    df.collect()
+    executed = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "partial_" in executed, executed
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
+    """The prefix-sum/running-min closed form must equal the literal
+    Page recursion C_t = max(0, C_{t-1} + (x_t - tgt - k)) replayed in
+    Python from the same daily means, and alarms must be C_t > 4*sigma."""
+    from mongodb_cdc_spark.io import load_table
+
+    out = sorted(
+        QUERIES["ts_changepoint_cusum"](spark, sf_dir).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    assert out
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("x")
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((str(r["d"]), r["x"]))
+    import math
+
+    got: dict[str, list] = {}
+    for r in out:
+        got.setdefault(r["event_type"], []).append(r)
+    assert set(got) == set(series)
+    for et, days in series.items():
+        days.sort()
+        xs = [x for _, x in days]
+        nd = len(xs)
+        tgt = sum(xs) // nd
+        var = (nd * sum(x * x for x in xs) - sum(xs) ** 2) // (nd * nd)
+        sigma = math.floor(math.sqrt(var))
+        c = 0
+        want = []
+        for _, x in days:
+            c = max(0, c + (x - tgt - sigma // 2))
+            want.append(c)
+        rows = got[et]
+        assert [r["day"] for r in rows] == [d for d, _ in days]
+        assert [r["cusum_e2"] for r in rows] == want
+        assert all(
+            r["alarm"] == (r["cusum_e2"] > 4 * sigma) for r in rows
+        )
+
+
+def test_benford_digits_exact_histogram(spark, sf_dir):
+    """Digit counts must match a Python recomputation from the same e2
+    fixed-point prices; shares and chi2 contributions must follow the
+    integer formulas; digits cover 1..9 only."""
+    import math
+
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.statistics import _BENFORD_E6
+
+    prices = [
+        r["p"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .select(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("p"))
+        .collect()
+    ]
+    counts: dict[int, int] = {}
+    for p in prices:
+        d = int(str(p)[0])
+        counts[d] = counts.get(d, 0) + 1
+    nt = len(prices)
+    got = {r["digit"]: r for r in QUERIES["stat_benford_digits"](spark, sf_dir).collect()}
+    assert set(got) == set(counts) and set(got) <= set(range(1, 10))
+    for d, g in got.items():
+        n_obs = counts[d]
+        pe6 = _BENFORD_E6[d]
+        assert g["n_obs"] == n_obs
+        assert g["share_e6"] == n_obs * 1000000 // nt
+        assert g["benford_e6"] == pe6
+        diff = n_obs * 1000000 - nt * pe6
+        assert g["chi2_contrib_e6"] == diff * diff // (nt * pe6 * 1000000)

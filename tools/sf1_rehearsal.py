@@ -167,6 +167,11 @@ HEAVY = [
     "ext_dedup_from_store",
     "ext_temperature_mix",
     "ext_token_budget_fill",
+    "ext_source_cap",
+    "ext_embed_knn_eval",
+    "stat_ab_ttest",
+    "ts_changepoint_cusum",
+    "stat_benford_digits",
 ]
 
 
