@@ -714,3 +714,70 @@ def stream_tws_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") / F.lit(1000000)).cast("bigint").alias("ts_epoch"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT printf('%012d', e.event_id) AS token,
+           e.user_id, e.event_type, c.c_mktsegment, n.n_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type <> 'error'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the live change feed joins a
+    STATIC two-level dimension (customer -> nation, pre-joined and
+    broadcast) on the document key — the standard "enrich the CDC stream
+    with reference data" deployment shape (the reference forwards raw
+    documents with no enrichment, js:248-260; this is the first thing a
+    warehouse consumer adds in front of it).
+
+    Unlike the stream-stream interval join there is NO state store: the
+    static side is a broadcast hash map rebuilt per micro-batch, so the
+    operator is stateless, restart-trivial, and its throughput is the
+    stream scan itself. At 100 TB-of-stream the dim stays dim-sized —
+    the broadcast is what makes this run at line rate (a shuffled join
+    would re-exchange every micro-batch). Deletes ('error' ops) pass
+    through the CDC filter, mirroring the insert/update-only semantics
+    of the sink tier (js:159-177).
+
+    Determinism: the drained availableNow fixpoint emits exactly one row
+    per non-error event; enrichment values are copied dim attributes
+    (no arithmetic), so the batch-join oracle matches bit-for-bit."""
+    from mongodb_cdc_spark.io import load_table
+
+    log_path = write_change_log(spark, sf_dir)
+    stream = (
+        read_changefeed_stream(spark, log_path)
+        .filter(F.col("operationType").isin("insert", "update"))
+        .select(
+            F.col("_id").alias("token"),
+            F.col("documentKey._id").alias("user_id"),
+            F.col("fullDocument.event_type").alias("event_type"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", "c_mktsegment", "n_name")
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    ).select("token", "user_id", "event_type", "c_mktsegment", "n_name")
+    out = new_scratch_dir("enrich_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", new_scratch_dir("enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return spark.read.parquet(out)

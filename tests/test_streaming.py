@@ -994,3 +994,35 @@ def test_fanout_two_independent_consumers_converge(spark, sf_dir):
     s1, s2 = _final_state(spark, t1), _final_state(spark, t2)
     assert s1 == s2, "fanout consumers diverged"
     assert len(t1.snapshots()) >= 1 and len(t2.snapshots()) >= 1
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """The drained stream-static enrichment must emit exactly one row
+    per non-error event, each carrying its customer/nation attributes —
+    identical to the batch three-way join, with unique tokens."""
+    from mongodb_cdc_spark.io import load_table
+
+    got = QUERIES["stream_static_enrich"](spark, sf_dir)
+    rows = {
+        (r["token"], r["user_id"], r["event_type"], r["c_mktsegment"], r["n_name"])
+        for r in got.collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    want = {
+        (
+            f"{r['event_id']:012d}",
+            r["user_id"],
+            r["event_type"],
+            r["c_mktsegment"],
+            r["n_name"],
+        )
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select("event_id", "user_id", "event_type", "c_mktsegment", "n_name")
+        .collect()
+    }
+    assert rows == want and len(rows) > 0
+    # one emission per event: tokens are unique (no replay duplication)
+    assert len({t for t, *_ in rows}) == len(rows)
