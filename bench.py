@@ -122,6 +122,14 @@ HEADLINE = [
     ("graph_pagerank", None),
     ("ts_downsample_m4", None),
     ("join_asof_tolerance", None),
+    # round-4 closing additions: selection/eval/experimentation tiers
+    ("ext_token_budget_fill", None),
+    ("ext_source_cap", None),
+    ("ext_embed_knn_eval", None),
+    ("stat_ab_ttest", None),
+    ("ts_changepoint_cusum", None),
+    ("stat_benford_digits", None),
+    ("stream_static_enrich", None),
 ]
 
 
