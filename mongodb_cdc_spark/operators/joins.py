@@ -655,3 +655,104 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_unix_timestamp("asof_t").cast("bigint"),
         ).alias("asof_order_epoch"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, nearest_orderkey, delta_s, dir FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey AS nearest_orderkey,
+             CAST(ABS((epoch_ns(e.ts) // 1000000000)
+               - (epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000))
+               AS BIGINT) AS delta_s,
+             CASE WHEN (epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000)
+                       <= (epoch_ns(e.ts) // 1000000000)
+                  THEN 'backward' ELSE 'forward' END AS dir,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS((epoch_ns(e.ts) // 1000000000)
+                 - (epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000)) ASC,
+                 ((epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000)
+                   <= (epoch_ns(e.ts) // 1000000000)) DESC,
+                 o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join (pandas ``merge_asof(direction='nearest')``):
+    each event pairs with its customer's closest order in TIME — past or
+    future — by |delta|, ties broken backward-first then largest
+    o_orderkey (the `join_asof_latest` keeper rule).
+
+    Scale shape: the `_asof_carried_timeline` UNION-SCAN discipline run
+    in BOTH directions — orders and events interleave once on a single
+    user_id exchange, an ascending running window carries the latest
+    past order and a descending one carries the earliest future order
+    (same partitioning: two sorts, ONE shuffle — never the
+    events x orders range-join blowup, see _asof_carried_timeline). The
+    final pick is a per-row integer comparison of the two carried
+    epochs. At equal instants order rows sort before event rows in both
+    scans (kind 0 first), making both bounds inclusive; within a tied
+    date each carry ends on the max o_orderkey (ascending okey scan
+    order), matching the oracle's o_orderkey DESC rank."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    order_rows = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    event_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("okey"),
+        "event_id",
+    )
+    timeline = order_rows.unionByName(event_rows).withColumn(
+        "es", F.to_unix_timestamp("t").cast("bigint")
+    )
+    okey_t = F.when(F.col("kind") == 0, F.col("es"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("okey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("kind").asc(), F.col("okey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = timeline.select(
+        "user_id",
+        "event_id",
+        "kind",
+        "es",
+        F.last("okey", ignorenulls=True).over(wb).alias("b_key"),
+        F.last(okey_t, ignorenulls=True).over(wb).alias("b_es"),
+        F.last("okey", ignorenulls=True).over(wf).alias("f_key"),
+        F.last(okey_t, ignorenulls=True).over(wf).alias("f_es"),
+    )
+    evr = carried.filter(
+        (F.col("kind") == 1)
+        & (F.col("b_key").isNotNull() | F.col("f_key").isNotNull())
+    )
+    d_b = F.col("es") - F.col("b_es")  # >= 0 by construction
+    d_f = F.col("f_es") - F.col("es")
+    pick_b = F.col("f_key").isNull() | (
+        F.col("b_key").isNotNull() & (d_b <= d_f)
+    )
+    return evr.select(
+        "event_id",
+        "user_id",
+        F.when(pick_b, F.col("b_key")).otherwise(F.col("f_key")).alias(
+            "nearest_orderkey"
+        ),
+        F.when(pick_b, d_b).otherwise(d_f).cast("bigint").alias("delta_s"),
+        F.when(pick_b, F.lit("backward")).otherwise(F.lit("forward")).alias(
+            "dir"
+        ),
+    )

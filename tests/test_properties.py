@@ -405,3 +405,46 @@ def test_benford_digits_exact_histogram(spark, sf_dir):
         assert g["benford_e6"] == pe6
         diff = n_obs * 1000000 - nt * pe6
         assert g["chi2_contrib_e6"] == diff * diff // (nt * pe6 * 1000000)
+
+
+def test_asof_nearest_semantics_and_single_shuffle(spark, sf_dir):
+    """Nearest-asof must equal a brute-force per-event argmin over the
+    user's orders (|delta| ASC, backward-first, o_orderkey DESC), and
+    the plan must be ONE user_id exchange with two sort+window passes —
+    never a range-join explosion."""
+    import re
+
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.plans.explain import formatted_plan
+
+    got = {
+        r["event_id"]: (r["nearest_orderkey"], r["delta_s"], r["dir"])
+        for r in QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    orders: dict[int, list] = {}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_unix_timestamp(
+            F.col("o_orderdate").cast("timestamp_ntz")).cast("bigint").alias("es")
+    ).collect():
+        orders.setdefault(r["o_custkey"], []).append((r["o_orderkey"], r["es"]))
+    evs = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.to_unix_timestamp("ts").cast("bigint").alias("es"),
+    ).collect()
+    n_matched = 0
+    for e in evs:
+        cands = orders.get(e["user_id"])
+        if not cands:
+            assert e["event_id"] not in got
+            continue
+        n_matched += 1
+        best = min(
+            cands,
+            key=lambda c: (abs(e["es"] - c[1]), c[1] > e["es"], -c[0]),
+        )
+        want_dir = "backward" if best[1] <= e["es"] else "forward"
+        assert got[e["event_id"]] == (best[0], abs(e["es"] - best[1]), want_dir)
+    assert len(got) == n_matched > 0
+    plan = formatted_plan(QUERIES["join_asof_nearest"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan

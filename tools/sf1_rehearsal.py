@@ -172,6 +172,7 @@ HEAVY = [
     "stat_ab_ttest",
     "ts_changepoint_cusum",
     "stat_benford_digits",
+    "join_asof_nearest",
 ]
 
 
