@@ -997,3 +997,145 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pe6").alias("benford_e6"),
         F.expr(_benford_chi2("DECIMAL(38,0)", "div")).alias("chi2_contrib_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# stat_ks_drift — binned two-sample Kolmogorov–Smirnov drift per arm
+# --------------------------------------------------------------------------
+# The distribution-shift companion to `stat_ab_ttest`: a mean can hold
+# steady while the shape drifts, so production monitors pair the t-test
+# with a KS/PSI-style distribution check. This is the binned two-sample
+# KS statistic (what drift monitors actually compute — fixed-width bins,
+# not per-row order statistics): for each arm vs the 'view' control,
+# D = max over bins |ECDF_arm - ECDF_ctrl|. The comparison is
+# cross-multiplied into pure integers — |n_ctrl*cum_arm - n_arm*cum_ctrl|
+# — so D is exact in both engines (no float ECDFs), and the 95% flag
+# uses the classic c(0.05)=1.358 critical value with sqrt on exact
+# integers. BIGINT products hold to ~3e9 rows/arm; beyond that the
+# accumulators upgrade to DECIMAL(38,0)/HUGEINT (corr_regression
+# discipline).
+#
+# Scale: one map-combinable aggregate collapses the fact table to
+# (arm, bin) counts (~bins x arms rows); the grid completion, cumsums,
+# and argmax all run on that bounded frame. The windows never see the
+# fact table.
+
+_KS_BIN_W = 5  # value bin width (~100 bins over the fixture range)
+_KS_CRIT_E6 = 1358000  # c(alpha=0.05) * 1e6
+
+
+@query(
+    "stat_ks_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value / {_KS_BIN_W}) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (SELECT DISTINCT event_type FROM b WHERE event_type <> 'view'),
+    bins AS (SELECT DISTINCT bin FROM b),
+    n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY 1),
+    grid AS (
+      SELECT a.event_type, bi.bin,
+             COALESCE(x.c, 0) AS ca, COALESCE(q.c, 0) AS cq
+      FROM arms a CROSS JOIN bins bi
+      LEFT JOIN b x ON x.event_type = a.event_type AND x.bin = bi.bin
+      LEFT JOIN b q ON q.event_type = 'view' AND q.bin = bi.bin
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY bin)
+               AS BIGINT) AS cuma,
+             CAST(SUM(cq) OVER (PARTITION BY event_type ORDER BY bin)
+               AS BIGINT) AS cumq
+      FROM grid
+    ),
+    diffs AS (
+      SELECT c.event_type, c.bin,
+             ABS(nq.n * c.cuma - na.n * c.cumq) AS d,
+             na.n AS na, nq.n AS nq
+      FROM cum c
+      JOIN n na ON na.event_type = c.event_type
+      JOIN n nq ON nq.event_type = 'view'
+    ),
+    mx AS (SELECT event_type, na, nq, MAX(d) AS dmax FROM diffs GROUP BY 1, 2, 3)
+    SELECT m.event_type, m.na AS n,
+           CAST(m.dmax * 1000000 // (m.na * m.nq) AS BIGINT) AS ks_e6,
+           CAST(MIN(CASE WHEN d.d = m.dmax THEN d.bin END) AS BIGINT)
+             AS drift_bin,
+           (CAST(m.dmax * 1000000 // (m.na * m.nq) AS BIGINT) >
+            CAST(FLOOR({_KS_CRIT_E6} * SQRT(CAST(m.na + m.nq AS DOUBLE)
+              / CAST(m.na * m.nq AS DOUBLE))) AS BIGINT)) AS drifted_95
+    FROM mx m JOIN diffs d ON d.event_type = m.event_type
+    GROUP BY m.event_type, m.na, m.nq, m.dmax
+    """,
+)
+def stat_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS drift of each event-type arm vs the 'view'
+    control (docstring block above): exact-integer D in e6 units, the
+    smallest bin attaining it, and the 1.358*sqrt((na+nq)/(na*nq))
+    95% flag.
+
+    Plan: the only fact-table pass is the (arm, bin) count aggregate;
+    the bin grid, both ECDF cumsums, and the argmax run on the bounded
+    binned frame (arms x bins rows) with broadcast-sized joins."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(FLOOR(value / {_KS_BIN_W}) AS BIGINT)").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # five consumers of one tiny frame
+    )
+    arms = b.select("event_type").filter(F.col("event_type") != "view").distinct()
+    bins = b.select("bin").distinct()
+    n = b.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    ctrl_c = b.filter(F.col("event_type") == "view").select("bin", F.col("c").alias("cq"))
+    arm_c = b.select(F.col("event_type"), "bin", F.col("c").alias("ca"))
+    grid = (
+        arms.crossJoin(bins)
+        .join(arm_c, ["event_type", "bin"], "left")
+        .join(F.broadcast(ctrl_c), ["bin"], "left")
+        .fillna(0, subset=["ca", "cq"])
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    n_ctrl = n.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("nq")
+    )
+    cum = (
+        grid.withColumn("cuma", F.sum("ca").over(wcum).cast("bigint"))
+        .withColumn("cumq", F.sum("cq").over(wcum).cast("bigint"))
+        .join(n, "event_type")
+        .crossJoin(F.broadcast(n_ctrl))
+        .select(
+            "event_type",
+            "bin",
+            F.expr("ABS(nq * cuma - n * cumq)").alias("d"),
+            F.col("n").alias("na"),
+            "nq",
+        )
+    )
+    warm = Window.partitionBy("event_type")
+    ks = (
+        cum.withColumn("dmax", F.max("d").over(warm))
+        .groupBy("event_type", "na", "nq", "dmax")
+        .agg(
+            F.min(F.when(F.col("d") == F.col("dmax"), F.col("bin")))
+            .cast("bigint")
+            .alias("drift_bin")
+        )
+    )
+    ks_e6 = "CAST(dmax * 1000000 div (na * nq) AS BIGINT)"
+    crit = (
+        f"CAST(FLOOR({_KS_CRIT_E6} * SQRT(CAST(na + nq AS DOUBLE)"
+        f" / CAST(na * nq AS DOUBLE))) AS BIGINT)"
+    )
+    return ks.select(
+        "event_type",
+        F.col("na").alias("n"),
+        F.expr(ks_e6).alias("ks_e6"),
+        "drift_bin",
+        F.expr(f"({ks_e6} > {crit})").alias("drifted_95"),
+    )

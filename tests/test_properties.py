@@ -448,3 +448,48 @@ def test_asof_nearest_semantics_and_single_shuffle(spark, sf_dir):
     plan = formatted_plan(QUERIES["join_asof_nearest"](spark, sf_dir))
     assert plan.count("+- Exchange") == 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_ks_drift_matches_python_ecdf(spark, sf_dir):
+    """The cross-multiplied integer D must equal a Python binned-ECDF
+    recomputation, including the argmax-bin tiebreak and the 95% flag."""
+    import math
+
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.statistics import _KS_BIN_W, _KS_CRIT_E6
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"CAST(FLOOR(value / {_KS_BIN_W}) AS BIGINT)").alias("bin"),
+        )
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for r in rows:
+        counts.setdefault(r["event_type"], {})[r["bin"]] = (
+            counts.get(r["event_type"], {}).get(r["bin"], 0) + 1
+        )
+    all_bins = sorted({b for cs in counts.values() for b in cs})
+    q = counts["view"]
+    nq = sum(q.values())
+    got = {r["event_type"]: r for r in QUERIES["stat_ks_drift"](spark, sf_dir).collect()}
+    assert set(got) == set(counts) - {"view"}
+    for arm, g in got.items():
+        ca = counts[arm]
+        na = sum(ca.values())
+        cuma = cumq = 0
+        dmax, argmax = -1, None
+        for b in all_bins:
+            cuma += ca.get(b, 0)
+            cumq += q.get(b, 0)
+            d = abs(nq * cuma - na * cumq)
+            if d > dmax:
+                dmax, argmax = d, b
+        ks = dmax * 1000000 // (na * nq)
+        crit = math.floor(_KS_CRIT_E6 * math.sqrt((na + nq) / (na * nq)))
+        assert g["n"] == na
+        assert g["ks_e6"] == ks
+        assert g["drift_bin"] == argmax
+        assert g["drifted_95"] == (ks > crit)

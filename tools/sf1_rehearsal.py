@@ -173,6 +173,7 @@ HEAVY = [
     "ts_changepoint_cusum",
     "stat_benford_digits",
     "join_asof_nearest",
+    "stat_ks_drift",
 ]
 
 
