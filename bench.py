@@ -130,6 +130,8 @@ HEADLINE = [
     ("ts_changepoint_cusum", None),
     ("stat_benford_digits", None),
     ("stream_static_enrich", None),
+    ("join_asof_nearest", None),
+    ("stat_ks_drift", None),
 ]
 
 
