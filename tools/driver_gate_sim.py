@@ -124,7 +124,24 @@ def main() -> int:
     from mongodb_cdc_spark.session import get_spark
     from mongodb_cdc_spark.testing import duckdb_connect
 
-    spark = get_spark(app_name="driver-gate-sim", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]", shuffle_partitions=16)
+    if "--hostile" in sys.argv:
+        # Driver-faithful worst case: the external driver builds its OWN
+        # session with no engine configs and a non-UTC timezone; every
+        # defense must come from ensure_session_confs at load time. The
+        # strict hasher under THIS session is the closest local
+        # reproduction of the real gate.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("driver-gate-sim-hostile")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(app_name="driver-gate-sim", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]", shuffle_partitions=16)
     con = duckdb_connect(sf_dir)
     keys = list(entry.queries())
     if first:
