@@ -926,3 +926,85 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_skyline_pareto — 2-D Pareto front (skyline query) over orders
+# --------------------------------------------------------------------------
+# The skyline operator from the classic Börzsönyi/Kossmann line of work:
+# the non-dominated set under (EARLIEST o_orderdate, HIGHEST
+# o_totalprice) — "which record-setting orders were not beaten by any
+# earlier-or-same-day order". Dominance collapses distributively: the
+# front of a union is the front of the per-part fronts, and in 2-D the
+# whole computation reduces to a per-date max (one keyed aggregate over
+# the fact table) followed by a running max over the CALENDAR-BOUNDED
+# daily frame — a date is on the front iff its max price strictly beats
+# every earlier date's. Same-day same-price ties survive together
+# (mutual non-strict dominance), same-day lower prices are dominated.
+#
+# Scale: the fact table is touched by ONE map-side-combinable aggregate
+# (dates x partitions rows through the shuffle); the ordered window runs
+# on ~|dates| rows (calendar-bounded, thousands), and the front joins
+# back to orders as a broadcast semi-filter. Prices compare in e2
+# fixed-point BIGINT, so dominance is exact in both engines.
+
+_SKY_P = "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, MAX({_SKY_P}) AS pmax
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT d, pmax,
+             MAX(pmax) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM daily
+    ),
+    front AS (SELECT d, pmax FROM run WHERE prev IS NULL OR pmax > prev)
+    SELECT CAST(CAST(f.d AS DATE) AS VARCHAR) AS day,
+           f.pmax AS price_e2,
+           COUNT(*) AS n_orders,
+           MIN(o.o_orderkey) AS min_orderkey
+    FROM front f JOIN orders o
+      ON o.o_orderdate = f.d AND {_SKY_P} = f.pmax
+    GROUP BY f.d, f.pmax
+    """,
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front over orders (docstring block above): per front
+    date the record price (e2 fixed point), how many orders share it,
+    and the smallest such orderkey."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    pe2 = F.expr(_SKY_P)
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max(pe2).alias("pmax")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    front = (
+        daily.withColumn("prev", F.max("pmax").over(w))
+        .filter(F.col("prev").isNull() | (F.col("pmax") > F.col("prev")))
+        .select("d", "pmax")
+    )
+    return (
+        o.join(
+            F.broadcast(front),
+            (o.o_orderdate == front.d) & (pe2 == front.pmax),
+        )
+        .groupBy("d", "pmax")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .select(
+            F.col("d").cast("date").cast("string").alias("day"),
+            F.col("pmax").alias("price_e2"),
+            "n_orders",
+            "min_orderkey",
+        )
+    )

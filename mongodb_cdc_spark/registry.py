@@ -82,7 +82,8 @@ def load_all_operators() -> None:
 # scan_compressed_jsonl, ext_semantic_window_recall,
 # ext_token_budget_fill, ext_source_cap, ext_embed_knn_eval,
 # stat_ab_ttest, ts_changepoint_cusum, stat_benford_digits,
-# stream_static_enrich, join_asof_nearest, stat_ks_drift) plus any
+# stream_static_enrich, join_asof_nearest, stat_ks_drift,
+# agg_skyline_pareto) plus any
 # round-5 additions AND any round-5 behavior-changed keys for the
 # round-6 window, which completes full-registry driver coverage.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
@@ -214,6 +215,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "join_asof_nearest",
     "stat_ks_drift",
+    "agg_skyline_pareto",
 )
 
 

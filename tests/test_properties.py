@@ -493,3 +493,34 @@ def test_ks_drift_matches_python_ecdf(spark, sf_dir):
         assert g["ks_e6"] == ks
         assert g["drift_bin"] == argmax
         assert g["drifted_95"] == (ks > crit)
+
+
+def test_skyline_pareto_equals_brute_force_dominance(spark, sf_dir):
+    """The per-date-collapse + running-max skyline must equal the O(n^2)
+    dominance definition: keep (date, price) iff no other order has
+    (date' <= date, price' >= price) with at least one strict."""
+    from mongodb_cdc_spark.io import load_table
+
+    pts = [
+        (r["d"], r["p"], r["o_orderkey"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").cast("string").alias("d"),
+            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("p"),
+            "o_orderkey",
+        )
+        .collect()
+    ]
+    front: dict[tuple, list] = {}
+    for d, p, k in pts:
+        if not any(
+            (d2 <= d and p2 >= p and (d2 < d or p2 > p)) for d2, p2, _ in pts
+        ):
+            front.setdefault((d, p), []).append(k)
+    got = {
+        (r["day"], r["price_e2"]): (r["n_orders"], r["min_orderkey"])
+        for r in QUERIES["agg_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(front) and len(got) > 0
+    for key, (n, mk) in got.items():
+        assert n == len(front[key]) and mk == min(front[key])

@@ -174,6 +174,7 @@ HEAVY = [
     "stat_benford_digits",
     "join_asof_nearest",
     "stat_ks_drift",
+    "agg_skyline_pareto",
 ]
 
 
