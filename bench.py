@@ -132,6 +132,7 @@ HEADLINE = [
     ("stream_static_enrich", None),
     ("join_asof_nearest", None),
     ("stat_ks_drift", None),
+    ("agg_skyline_pareto", None),
 ]
 
 
