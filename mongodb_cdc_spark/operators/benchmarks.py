@@ -191,19 +191,29 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q18(dialect: int, epoch: str) -> str:
     qty = "CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)"
+    # Aggregate-once rewrite (round 5, the 100x-table residual): the
+    # textbook form scans lineitem TWICE — once in the IN/HAVING subquery,
+    # then again to re-sum quantities after the 3-way join. But the outer
+    # GROUP BY is keyed on o_orderkey (c_custkey/c_name/o_orderdate are
+    # functionally dependent through orders), so the re-aggregation IS the
+    # subquery's aggregate: compute per-order qty once, keep the >25000
+    # survivors (~1%), and join those to orders/customer. Identical rows
+    # (gate-verified both SFs), half the lineitem work, and at 100x the
+    # survivor set is small enough that AQE turns both remaining joins
+    # into broadcasts over a single lineitem scan.
     return f"""
-    SELECT c_custkey, c_name, o_orderkey,
-           {epoch} AS o_orderdate_s,
-           {qty} AS qty_cents
-    FROM customer
-    JOIN orders ON o_custkey = c_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE o_orderkey IN (
-        SELECT l_orderkey FROM lineitem
+    WITH order_qty AS (
+        SELECT l_orderkey, {qty} AS qty_cents
+        FROM lineitem
         GROUP BY l_orderkey
         HAVING {qty} > 25000
     )
-    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    SELECT c_custkey, c_name, o_orderkey,
+           {epoch} AS o_orderdate_s,
+           qty_cents
+    FROM order_qty
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
     ORDER BY qty_cents DESC, o_orderkey ASC
     LIMIT 20
     """

@@ -251,6 +251,34 @@ def stream_stateful_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_stateful_upsert_jvm", oracle=_FINAL_STATE_ORACLE)
+def stream_stateful_upsert_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-side production twin of `stream_stateful_upsert`: the SAME
+    workload (full change feed, maxFilesPerTrigger=2 multi-batch drain,
+    latest-event-per-key fixpoint) run through the ``foreachBatch`` keyed
+    MERGE (streaming/pipeline.py -> streaming/upsert.py) instead of
+    ``applyInPandasWithState``. No Python executes in the per-event loop:
+    each micro-batch reduces to its per-key argmax JVM-side
+    (row_number over (ts, token)) and merges into the parquet target.
+
+    Registered (VERDICT-r4 item 6) so the long-standing prose claim —
+    "the foreachBatch MERGE is the production path and is why the
+    Python-state tier's 3.7 s ceiling is acceptable" — is a measured
+    BENCH row against the identical workload, not an assertion. Same
+    oracle as the Python-state twin: identical fixpoint by construction."""
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("jvm_upsert_target"))
+    q = start_cdc_replication(
+        spark,
+        log_path,
+        target,
+        checkpoint_dir=new_scratch_dir("jvm_upsert_ckpt"),
+        max_files_per_trigger=2,
+    )
+    run_to_completion(q)
+    return _final_state_df(target, spark)
+
+
 @query(
     "stream_dedup_keys",
     oracle="""

@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 from dataclasses import dataclass, field
 
 import duckdb
@@ -26,8 +27,14 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     matching the driver's pre-registration."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        # Spark-written replicas (tools/sf1_rehearsal.py) are DIRECTORIES
+        # of part files; the driver's testdata are single files. Glob the
+        # dir case so the same oracles run on both layouts.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -764,7 +764,19 @@ def test_transform_with_state_upsert_matches_batch_or_skips(spark, sf_dir):
     )
 
     if not tws_available():
-        pytest.skip("protobuf not installed; transformWithState unavailable")
+        # Permanent env gate, not a TODO: transformWithStateInPandas needs
+        # the `google.protobuf` wheel (its state-server wire protocol);
+        # this sandbox bakes in pyspark/pyarrow/pandas/numpy/duckdb only
+        # and installing packages is out of contract (README "environment"
+        # section). The gate is dynamic on purpose — in any env where
+        # `import google.protobuf` succeeds, this test runs and the
+        # operator is exercised for real; here the applyInPandasWithState
+        # tier (tested above) covers identical upsert semantics.
+        pytest.skip(
+            "env contract: google.protobuf absent and pip install "
+            "disallowed in this sandbox -> transformWithState unavailable; "
+            "semantics covered by applyInPandasWithState twin"
+        )
     got = {
         r["user_id"]: (r["event_type"], r["value"], r["props"])
         for r in stream_tws_upsert(spark, sf_dir).collect()
