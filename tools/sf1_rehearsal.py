@@ -175,6 +175,9 @@ HEAVY = [
     "join_asof_nearest",
     "stat_ks_drift",
     "agg_skyline_pareto",
+    # round-5 additions at 10x
+    "ext_dedup_cluster_from_store",
+    "stream_stateful_upsert_jvm",
 ]
 
 
@@ -249,6 +252,16 @@ def main() -> None:
         # output column, so nothing silently drops out of the timing.
         df.write.format("noop").mode("overwrite").save()
         return -1  # row count intentionally not recomputed (extra job)
+
+    # The signature store is an ingest-time maintenance artifact: build it
+    # for every dir a from-store key will read BEFORE the timed loops, so
+    # those rows measure the amortized query path (same rule as bench.py).
+    if any(n.endswith("_from_store") for n in names):
+        from mongodb_cdc_spark.operators.curation import signature_store_path
+
+        signature_store_path(spark, out)
+        if "--baseline" in sys.argv:
+            signature_store_path(spark, SRC)
 
     baseline = {}
     if "--baseline" in sys.argv:

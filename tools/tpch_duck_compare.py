@@ -36,6 +36,15 @@ def main() -> None:
 
     load_all_operators()
     keys = ["agg_hash_groupby"] + [f"sql_tpch_q{i}" for i in range(2, 23)]
+    # --only=sql_tpch_q21,sql_tpch_q22 re-times a subset on an idle box
+    # (a concurrent pytest run pollutes Spark wall-times; re-run clean).
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {s.strip() for s in a.split("=", 1)[1].split(",")}
+            unknown = only - set(keys)
+            if unknown:
+                sys.exit(f"--only keys not in the TPC-H set: {sorted(unknown)}")
+            keys = [k for k in keys if k in only]
     spark = get_spark(
         app_name="tpch-duck-compare",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
