@@ -136,6 +136,14 @@ HEADLINE = [
     # round-5 additions
     ("ext_dedup_cluster_from_store", "dedup_cluster_labels_from_store"),
     ("stream_stateful_upsert_jvm", None),
+    ("ts_seasonal_index", None),
+    ("ts_ewma_halflife", None),
+    ("ext_embed_norm_stats", None),
+    ("ext_token_diversity", None),
+    ("agg_basket_lift", None),
+    ("win_distinct_count_frame", None),
+    ("join_interval_overlap", None),
+    ("sink_dynamic_partition_overwrite", None),
 ]
 
 

@@ -756,3 +756,133 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dir"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# join_interval_overlap
+# --------------------------------------------------------------------------
+
+_SESS_SQL = """
+    marks AS (
+      SELECT user_id, event_id,
+             (epoch_ns(ts) // 1000000000) AS sec,
+             CASE WHEN (epoch_ns(ts) // 1000000000)
+                       - LAG(epoch_ns(ts) // 1000000000) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                         ) > 1800
+                  OR LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(sec) AS s_start, MAX(sec) AS s_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, sec,
+               SUM(is_start) OVER (
+                 PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS sess_no
+        FROM marks
+      )
+      GROUP BY user_id, sess_no
+    ),
+    incidents AS (
+      SELECT event_id AS incident_id,
+             (epoch_ns(ts) // 1000000000) AS i_start,
+             (epoch_ns(ts) // 1000000000) + 1800 AS i_end
+      FROM events
+      ORDER BY value DESC, event_id ASC
+      LIMIT 50
+    )
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_SESS_SQL}
+    SELECT i.incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(s.n_events) AS BIGINT) AS n_events
+    FROM incidents i JOIN sess s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY i.incident_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join: user sessions (gap > 30 min
+    splits, the `win_session_gap` islands) overlapped against incident
+    windows (the 30 minutes after each of the top-50 highest-value
+    events) — 'which sessions were exposed to each incident?', the
+    blast-radius query every on-call postmortem runs.
+
+    Where `join_range_binned` handles POINT-in-window probes at
+    unbounded probe cardinality (bin both sides, explode to candidate
+    bins), this is the bounded-probe variant: the probe side is top-k
+    BY CONSTRUCTION (TakeOrdered, 50 rows), so the engine broadcasts the
+    incident intervals and evaluates overlap as a broadcast theta-join —
+    zero shuffle on the big side beyond the session build itself, and no
+    bin-explosion machinery where a 50-row broadcast is strictly
+    cheaper. Variable-length intervals would defeat fixed-width binning
+    anyway (a session can span many bins); bounded probes are the
+    scale-correct door to interval-interval overlap, and unbounded
+    interval pairs hand off to the binned family.
+
+    Determinism: epoch-second integer interval math, total-ordered
+    top-50 (value DESC, event_id), exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.to_unix_timestamp("ts").cast("bigint")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.when(
+            F.lag(sec).over(wlag).isNull()
+            | ((sec - F.lag(sec).over(wlag)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        marks.withColumn("sess_no", F.sum("is_start").over(wrun))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("sec").alias("s_start"),
+            F.max("sec").alias("s_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    incidents = (
+        e.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(50)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            sec.alias("i_start"),
+            (sec + 1800).alias("i_end"),
+        )
+    )
+    return (
+        sess.join(
+            F.broadcast(incidents),
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end")),
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )

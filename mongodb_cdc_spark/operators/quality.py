@@ -750,3 +750,79 @@ def ext_embed_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(15 - (enc % 16)) = true_label").alias("knn_correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext_embed_norm_stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ext_embed_norm_stats",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(pos - 1 AS BIGINT) AS dim,
+             embedding[pos] AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    fx AS (
+      SELECT dim, {_VI} AS vi,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS vm
+      FROM ex
+    ),
+    s AS (
+      SELECT dim, COUNT(*) AS n, SUM(vi) AS S,
+             SUM(vm * vm) AS sq_milli,
+             MIN(vi) AS min_micro, MAX(vi) AS max_micro,
+             SUM(CASE WHEN vi = 0 THEN 1 ELSE 0 END) AS nz
+      FROM fx GROUP BY dim
+    )
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           CAST({_AVG_MICRO.format(div="//")} AS BIGINT) AS mean_micro,
+           CAST(sq_milli AS BIGINT) AS sumsq_milli,
+           min_micro, max_micro,
+           CAST(nz * 10000 // n AS BIGINT) AS zero_bp
+    FROM s
+    """,
+)
+def ext_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health audit: mean, energy (exact sum of
+    milli-unit squares), min/max, and dead-dimension rate — the QA pass
+    an embedding pipeline runs before indexing a new model's output
+    (collapsed dimensions, saturated dimensions, and mean drift all show
+    up here before they silently wreck ANN recall downstream).
+
+    Determinism: every statistic is fixed-point (micro-unit means via
+    the sign-mirrored half-up division, milli-unit squares summed as
+    exact BIGINTs) — no float accumulation order anywhere.
+
+    Scale: posexplode is a scan-stage expansion (no shuffle); the
+    aggregate is map-side combinable on dim, so the shuffle carries
+    dims x partitions rows regardless of corpus size — the same shape
+    as `ext_embed_centroids`, whose micro-unit conventions this reuses.
+    sumsq_milli stays in BIGINT while rows * 1e6 < 9.2e18 (~9 T
+    vectors); past that, promote the square sum to DECIMAL(38, 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fx = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.expr(_VI).alias("vi"),
+        F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)").alias("vm"),
+    )
+    s = fx.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("S"),
+        F.sum(F.expr("vm * vm")).alias("sq_milli"),
+        F.min("vi").alias("min_micro"),
+        F.max("vi").alias("max_micro"),
+        F.sum(F.expr("CASE WHEN vi = 0 THEN 1 ELSE 0 END")).alias("nz"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.expr(_AVG_MICRO.format(div="div")).alias("mean_micro"),
+        F.col("sq_milli").cast("bigint").alias("sumsq_milli"),
+        "min_micro",
+        "max_micro",
+        F.expr("CAST(nz * 10000 div n AS BIGINT)").alias("zero_bp"),
+    )

@@ -496,3 +496,80 @@ def scan_compressed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ts_epoch_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_dynamic_partition_overwrite
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN 2 * CAST(FLOOR(value * 100) AS BIGINT)
+                         ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+             AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the partition-backfill idiom: a
+    table partitioned by event_type gets ONE partition's data restated
+    (clicks re-priced to double cents) by a second write in
+    partitionOverwriteMode=dynamic, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    partition's files untouched. The static default would TRUNCATE the
+    whole table first — the classic lost-data foot-gun this mode exists
+    to fix; the read-back aggregate proves both halves (clicks restated,
+    everything else intact).
+
+    Scale: this is how 100 TB tables take daily corrections — rewrite
+    one partition's worth of files, never the table; the overwrite is
+    a metadata swap per touched partition, concurrent readers of other
+    partitions are unaffected, and re-running the backfill is
+    idempotent (same partition replaced with the same content).
+
+    The two-write sequence runs once per sf_dir into a staged dir
+    (stage-then-rename, the shared-scratch discipline); repeat
+    invocations scan the committed result."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"dpo_events_{sf_name}_v1")
+
+    def write_both(p: str) -> None:
+        e.write.mode("overwrite").partitionBy("event_type").parquet(p)
+        restated = e.filter(F.col("event_type") == "click").withColumn(
+            "cents", F.expr("cents * CAST(2 AS BIGINT)")
+        )
+        (
+            restated.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(p)
+        )
+
+    _staged_write(path, write_both)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

@@ -1139,3 +1139,113 @@ def stat_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift_bin",
         F.expr(f"({ks_e6} > {crit})").alias("drifted_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_basket_lift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    capped AS (
+      SELECT okey, pkey FROM (
+        SELECT okey, pkey,
+               ROW_NUMBER() OVER (PARTITION BY okey ORDER BY pkey) AS rn
+        FROM items
+      ) WHERE rn <= 32
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets
+            FROM capped),
+    freq AS (
+      SELECT pkey, CAST(COUNT(*) AS BIGINT) AS c FROM capped GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.pkey AS p1, b.pkey AS p2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM capped a JOIN capped b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, c12,
+           f1.c AS c1, f2.c AS c2,
+           CAST((c12 * t.n_baskets * 10000) // (f1.c * f2.c) AS BIGINT)
+             AS lift_bp
+    FROM pairs
+    JOIN freq f1 ON p1 = f1.pkey
+    JOIN freq f2 ON p2 = f2.pkey
+    CROSS JOIN tot t
+    WHERE c12 >= 2
+    ORDER BY lift_bp DESC, p1 ASC, p2 ASC
+    LIMIT 100
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-purchased part pairs ranked by
+    lift — P(a,b) / (P(a)P(b)) in basis points over order baskets — the
+    association-rule mining primitive behind recommenders and assortment
+    planning (a lift far above 10000 bp means the pair co-occurs well
+    beyond independence).
+
+    Scale discipline: baskets reduce to DISTINCT (order, part) first,
+    then each basket is CAPPED at 32 items (row_number per order) BEFORE
+    the pair self-join, so pair fan-out is bounded at C(32,2) per basket
+    no matter how degenerate a basket gets — the quadratic-blowup guard
+    every production basket miner carries. The self-join shuffles both
+    sides on orderkey (co-partitioned equi-join, never a cartesian), the
+    pair aggregate map-side combines, the part-frequency table is a
+    broadcast dim, and min-support (c12 >= 2) prunes the long tail
+    before ranking. Top-100 is a TakeOrdered, not a global sort.
+
+    Determinism: counts and one positive-integer division; total order
+    on (lift_bp DESC, p1, p2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    w = Window.partitionBy("okey").orderBy("pkey")
+    capped = (
+        items.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .drop("rn")
+    )
+    tot = capped.agg(
+        F.countDistinct("okey").cast("bigint").alias("n_baskets")
+    )
+    freq = capped.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .groupBy(
+            F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(freq.withColumnRenamed("pkey", "p1")
+                        .withColumnRenamed("c", "c1")), "p1")
+        .join(
+            F.broadcast(freq.withColumnRenamed("pkey", "p2")
+                        .withColumnRenamed("c", "c2")), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1", "p2", "c12", "c1", "c2",
+            F.expr(
+                "CAST((c12 * n_baskets * 10000) div (c1 * c2) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_bp"), F.asc("p1"), F.asc("p2")
+    ).limit(100)

@@ -758,3 +758,150 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s - m AS BIGINT)").alias("cusum_e2"),
         F.expr("(s - m) > 4 * sigma").alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_seasonal_index
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_index",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               ((epoch_ns(ts) // 1000000000) // 86400 + 4) % 7 AS dow,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(cents) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type,
+               SUM(n) AS n_all, SUM(s) AS s_all
+        FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow, p.n,
+           CAST(p.s * 100 // p.n AS BIGINT) AS dow_avg_e4,
+           CAST((p.s * o.n_all * 10000) // (p.n * o.s_all) AS BIGINT)
+             AS seasonal_index_bp
+    FROM per_dow p JOIN overall o USING (event_type)
+    """,
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per metric: for each (event_type, dow)
+    cell, the average value relative to the event_type's overall average
+    in basis points — the multiplicative seasonal profile behind every
+    'is Monday always like this?' capacity/forecast adjustment (the
+    seasonal-naive baseline of classical decomposition).
+
+    Determinism: day-of-week is pure integer epoch math
+    ((days_since_epoch + 4) % 7, Monday = 0) — never an engine-local
+    DAYOFWEEK whose weekday numbering and session timezone differ across
+    engines; values are exact cents; the index is one positive-integer
+    division, identical on both sides.
+
+    Scale: a 7-cell-per-type aggregate — fully map-side combinable,
+    shuffle carries types x 7 x partitions rows regardless of event
+    volume; the overall totals reuse the per-dow partials (no second
+    scan). The bp product s * n_all * 10000 stays inside BIGINT while
+    SUM(cents) * total_rows < 9.2e14 — beyond that, rescale cents to
+    whole units at ingest or promote the product to DECIMAL(38, 0)
+    (both engines widen exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr(
+            "((CAST(to_unix_timestamp(ts) AS BIGINT) DIV 86400) + 4) % 7"
+        ).alias("dow"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    overall = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    return per_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "n",
+        F.expr("CAST(s * 100 div n AS BIGINT)").alias("dow_avg_e4"),
+        F.expr(
+            "CAST((s * n_all * 10000) div (n * s_all) AS BIGINT)"
+        ).alias("seasonal_index_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_ewma_halflife
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_ewma_halflife",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               list(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+               ) AS arr
+        FROM events
+    )
+    SELECT user_id, event_id, cents,
+           CAST(
+             list_sum(list_transform(arr, (x, i) -> x * (1 << (i - 1))))
+             // ((1 << len(arr)) - 1)
+           AS BIGINT) AS ewma_cents
+    FROM seq
+    """,
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 1/2 per step) of each
+    user's value stream, integer-exact: over the trailing 16-row frame,
+    element j (oldest first, 0-based) carries weight 2^j, so
+    ewma = SUM(cents_j << j) / (2^n - 1) — the alpha = 0.5 EWMA truncated
+    at 16 taps (the dropped tail's total weight is < 2^-16 of the
+    current sample, below cents resolution). Power-of-two weights turn
+    the classic float-recursive EWMA into exact BIGINT shift-adds that
+    hash identically across engines — the same smoothing every
+    latency/QPS dashboard runs, restart-safe at any partitioning.
+
+    Scale: one keyed window sort per user (the same shuffle any per-key
+    smoothing needs); the frame is a bounded 16-element running buffer,
+    so window state is O(1) per row and the whole pass is a single
+    streaming frame scan — no self-join fan-out, no unbounded frame.
+    Max frame sum < 16 * 2^15 * max_cents, far inside BIGINT."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-15, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("arr", F.collect_list("cents").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            F.expr(
+                "CAST(aggregate(zip_with(arr, sequence(0, size(arr) - 1),"
+                " (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+                " div (shiftleft(CAST(1 AS BIGINT), size(arr)) - 1)"
+                " AS BIGINT)"
+            ).alias("ewma_cents"),
+        )
+    )

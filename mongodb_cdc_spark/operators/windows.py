@@ -478,3 +478,48 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_lag_ignore_nulls_sql(0))
+
+
+# --------------------------------------------------------------------------
+# win_distinct_count_frame
+# --------------------------------------------------------------------------
+
+
+@query(
+    "win_distinct_count_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_10
+    FROM events
+    """,
+)
+def win_distinct_count_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a moving frame — the behavioral-breadth
+    signal (how many distinct action types in the user's last 10
+    events?) that flags bots (breadth 1 forever) and account takeovers
+    (sudden breadth spikes). Spark's window aggregates reject DISTINCT,
+    so the engine realizes it as size(collect_set()) over the same
+    frame — semantically identical, and the oracle runs the native
+    DISTINCT window to prove it.
+
+    Scale: one keyed window sort (the shuffle any per-user sequence
+    feature needs); the frame is bounded at 10 rows so the per-row set
+    state is O(frame), never O(history) — the unbounded variant of this
+    is exactly what `ts_cumulative_users` does with a running aggregate
+    instead. Whole pass stays JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("distinct_types_10"),
+    )

@@ -556,3 +556,71 @@ def test_winsorize_broadcasts_thresholds(spark, sf_dir):
     plan = formatted_plan(QUERIES["ext_winsorize"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def _scan_count(plan: str, table: str) -> int:
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip().startswith("Location") and f"{table}.parquet" in ln
+    )
+
+
+def test_q13_q22_aggregate_fact_before_join(spark, sf_dir):
+    """The round-5 rewrites: q13 counts orders per custkey BELOW the
+    outer join (the join input is count rows, not the fact) and q22
+    DISTINCTs recent custkeys below the anti-join. Plan proof for both:
+    one orders scan whose ReadSchema carries ONLY the two columns the
+    pre-aggregate needs — a wide read or a second scan means the
+    eager-aggregation shape regressed."""
+    q13 = formatted_plan(QUERIES["sql_tpch_q13"](spark, sf_dir))
+    assert _scan_count(q13, "orders") == 1, q13
+    sched = [
+        ln for ln in q13.splitlines()
+        if "ReadSchema" in ln and "orders" not in ln.lower() or
+        ("ReadSchema" in ln)
+    ]
+    ord_schema = next(
+        ln for ln in q13.splitlines()
+        if "ReadSchema" in ln and "o_custkey" in ln
+    )
+    assert "o_orderpriority" in ord_schema, ord_schema
+    assert "o_totalprice" not in ord_schema, ord_schema
+
+    q22 = formatted_plan(QUERIES["sql_tpch_q22"](spark, sf_dir))
+    assert _scan_count(q22, "orders") == 1, q22
+    assert "LeftAnti" in q22, q22
+    ord22 = next(
+        ln for ln in q22.splitlines()
+        if "ReadSchema" in ln and "o_custkey" in ln
+    )
+    assert "o_orderdate" in ord22 and "o_orderpriority" not in ord22, ord22
+
+
+def test_q2_computes_supply_once_pruned(spark, sf_dir):
+    """The round-5 q2 rewrite: the canonical correlated-MIN inlined the
+    supply CTE into both branches (two full lineitem scan+aggregates);
+    the engine form prunes lineitem by the qualifying part / EUROPE
+    supplier key sets and aggregates ONCE. Plan proof: exactly one
+    lineitem scan Location."""
+    q2 = formatted_plan(QUERIES["sql_tpch_q2"](spark, sf_dir))
+    assert _scan_count(q2, "lineitem") == 1, q2
+
+
+def test_round5_additions_plan_shapes(spark, sf_dir):
+    """Scale-critical shapes of the round-5 operator additions."""
+    # basket lift: equi-join on okey (never cartesian), broadcast freq
+    # dims, TakeOrdered top-100 (no global sort)
+    lift = formatted_plan(QUERIES["agg_basket_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in lift, lift
+    assert "TakeOrderedAndProject" in lift, lift
+    assert "BroadcastHashJoin" in lift, lift
+    # interval overlap: incidents side broadcasts (bounded probe set)
+    ovl = formatted_plan(QUERIES["join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in ovl or "BroadcastHashJoin" in ovl, ovl
+    # embed norm stats / token diversity / seasonal index: pure JVM
+    for key in ("ext_embed_norm_stats", "ext_token_diversity",
+                "ts_seasonal_index", "ts_ewma_halflife",
+                "win_distinct_count_frame"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{key}:\n{plan}"
