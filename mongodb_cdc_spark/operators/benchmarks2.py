@@ -200,13 +200,31 @@ def _q11(dialect: int) -> str:
         WHERE n_name = 'NATION_5'
     """
     val = f"CAST(SUM({_EP_CENTS}) AS BIGINT)"
+    if dialect == 1:  # oracle keeps the canonical HAVING-scalar form
+        return f"""
+        SELECT l_partkey, {val} AS value_cents
+        {base}
+        GROUP BY l_partkey
+        HAVING {val} > (
+            SELECT {val} {div} 1000 {base}
+        )
+        ORDER BY value_cents DESC, l_partkey ASC
+        """
+    # Engine form: the nation total as a window over the per-part
+    # aggregate (same rows, summed once) — single lineitem scan.
     return f"""
-    SELECT l_partkey, {val} AS value_cents
-    {base}
-    GROUP BY l_partkey
-    HAVING {val} > (
-        SELECT {val} {div} 1000 {base}
+    WITH per_part AS (
+        SELECT l_partkey, {val} AS value_cents
+        {base}
+        GROUP BY l_partkey
     )
+    SELECT l_partkey, value_cents
+    FROM (
+        SELECT l_partkey, value_cents,
+               CAST(SUM(value_cents) OVER () AS BIGINT) AS tot_cents
+        FROM per_part
+    )
+    WHERE value_cents > tot_cents {div} 1000
     ORDER BY value_cents DESC, l_partkey ASC
     """
 
@@ -217,12 +235,17 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     value from one nation's suppliers, keeping parts above a fraction of
     the nation's total — the HAVING-against-global-scalar-subquery
     shape. Substitution: value = extendedprice cents via lineitem
-    (schema has no partsupp availqty/supplycost). The scalar subquery is
-    uncorrelated — it evaluates once, broadcasts as a literal into the
-    HAVING filter, and both engines compute it from the same exact
-    BIGINT sum with truncating division on non-negative operands. Full
-    result ordered by value (unique l_partkey tiebreak); no LIMIT, the
-    threshold itself bounds the output."""
+    (schema has no partsupp availqty/supplycost). The oracle keeps the
+    uncorrelated HAVING scalar; the engine computes the nation total as
+    an empty-frame window SUM over the per-part aggregate — the scalar
+    form made Spark scan + join + aggregate the fact twice (CTE-inline),
+    the window form is a single scan (plan-pinned) with the total taken
+    from the very rows it filters. The unpartitioned window runs over
+    part-catalog-cardinality rows (dim-sized; persist the aggregate
+    instead if that ever became fact-sized). Truncating division on
+    non-negative exact BIGINTs both sides. Full result ordered by value
+    (unique l_partkey tiebreak); no LIMIT, the threshold bounds the
+    output."""
     register_views(spark, sf_dir)
     return spark.sql(_q11(0))
 
@@ -330,6 +353,24 @@ def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q15(dialect: int) -> str:
+    if dialect == 1:  # oracle keeps the canonical scalar-MAX form
+        return f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM({_DISC_CENTS}) AS BIGINT) AS total_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_cents
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+        ORDER BY s_suppkey ASC
+        """
+    # Engine form: the scalar MAX as a window over the revenue aggregate,
+    # so revenue is consumed once (single lineitem scan, plan-pinned).
     return f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
@@ -338,11 +379,16 @@ def _q15(dialect: int) -> str:
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT supplier_no, total_cents,
+               MAX(total_cents) OVER () AS max_cents
+        FROM revenue
     )
     SELECT s_suppkey, s_name, total_cents
     FROM supplier
-    JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    JOIN ranked ON s_suppkey = supplier_no
+    WHERE total_cents = max_cents
     ORDER BY s_suppkey ASC
     """
 
@@ -350,12 +396,17 @@ def _q15(dialect: int) -> str:
 @query("sql_tpch_q15", oracle=_q15(1))
 def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): the view-against-its-own-max
-    shape — a quarterly per-supplier revenue CTE consumed twice, once as
-    the join input and once inside the uncorrelated MAX scalar subquery.
+    shape. The oracle keeps the canonical form (revenue CTE consumed
+    twice — join input + uncorrelated MAX scalar subquery); the engine
+    takes the MAX as an empty-frame window OVER the revenue aggregate so
+    the CTE is consumed ONCE — Spark inlines CTEs, so the scalar form
+    scanned + aggregated lineitem twice (plan-pinned single scan now;
+    result hash-identical at all SFs). The unpartitioned window runs
+    over supplier-cardinality rows (a dim-sized relation even at 100 TB
+    — persist the CTE instead if the group key were fact-sized).
     Revenue is exact cents BIGINT, so the equality against MAX is an
     integer compare with no float-tie hazard (the reason the original
-    query is notorious). The CTE aggregates the fact once; the supplier
-    join is broadcast; ties (multiple max suppliers) all surface,
+    query is notorious); ties (multiple max suppliers) all surface,
     ordered by the unique key."""
     register_views(spark, sf_dir)
     return spark.sql(_q15(0))
@@ -405,20 +456,41 @@ def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q17(dialect: int) -> str:
     div = ("div", "//")[dialect]
-    return f"""
-    SELECT CAST(SUM({_EP_CENTS}) AS BIGINT) {div} 7 AS avg_yearly_cents,
-           COUNT(*) AS n_lines
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN (
-        SELECT l_partkey AS agg_pk,
-               COUNT(*) AS n_li,
-               CAST(SUM({_QTY_CENTS}) AS BIGINT) AS sum_qty_cents
+    if dialect == 1:  # oracle keeps the decorrelated aggregate-join form
+        return f"""
+        SELECT CAST(SUM({_EP_CENTS}) AS BIGINT) {div} 7
+                 AS avg_yearly_cents,
+               COUNT(*) AS n_lines
         FROM lineitem
-        GROUP BY l_partkey
-    ) part_avg ON agg_pk = l_partkey
-    WHERE p_brand = 'Brand#23'
-      AND {_QTY_CENTS} * 5 * n_li < sum_qty_cents
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS agg_pk,
+                   COUNT(*) AS n_li,
+                   CAST(SUM({_QTY_CENTS}) AS BIGINT) AS sum_qty_cents
+            FROM lineitem
+            GROUP BY l_partkey
+        ) part_avg ON agg_pk = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND {_QTY_CENTS} * 5 * n_li < sum_qty_cents
+        """
+    # Engine form: per-part totals as a window over the brand-pruned
+    # detail — the brand filter is on part attributes only, so the
+    # window sees every lineitem row of each surviving part and the
+    # per-part sums are identical to the full-scan aggregate's.
+    return f"""
+    SELECT CAST(SUM(ep_cents) AS BIGINT) {div} 7 AS avg_yearly_cents,
+           COUNT(*) AS n_lines
+    FROM (
+        SELECT {_EP_CENTS} AS ep_cents,
+               {_QTY_CENTS} AS qty_cents,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS n_li,
+               CAST(SUM({_QTY_CENTS}) OVER (PARTITION BY l_partkey)
+                 AS BIGINT) AS sum_qty_cents
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+    )
+    WHERE qty_cents * 5 * n_li < sum_qty_cents
     """
 
 
@@ -426,14 +498,17 @@ def _q17(dialect: int) -> str:
 def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
     lineitems under 20% of their part's average quantity, annualized.
-    The correlated `l_quantity < 0.2 * AVG(l_quantity)` subquery is
-    written in its decorrelated form on BOTH engines (aggregate-per-part
-    then join — exactly what Catalyst's DecorrelateInnerQuery produces),
-    and the 20%-of-average compare is the integer cross-multiplication
-    qty*5*n < sum (strict inequality on exact cents — identical to the
-    rational compare, no float division anywhere). The per-part
-    aggregate shuffles lineitem once on l_partkey; the brand filter
-    prunes the broadcast part side to ~1/25 of the catalog."""
+    The oracle keeps the decorrelated aggregate-then-join form; the
+    engine computes the per-part totals as a PARTITION BY l_partkey
+    window over the brand-pruned detail — correct because the brand
+    filter touches only part attributes, so every lineitem row of a
+    surviving part reaches the window and the per-part sums equal the
+    full-scan aggregate's (hash-proven at all SFs). That turns two full
+    lineitem scans + a full-fact partkey shuffle into ONE scan whose
+    only shuffle carries the ~1/25 brand-pruned rows (plan-pinned
+    single scan). The 20%-of-average compare stays the integer
+    cross-multiplication qty*5*n < sum (strict inequality on exact
+    cents, no float division anywhere)."""
     register_views(spark, sf_dir)
     return spark.sql(_q17(0))
 
