@@ -1190,44 +1190,47 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning (a lift far above 10000 bp means the pair co-occurs well
     beyond independence).
 
-    Scale discipline: baskets reduce to DISTINCT (order, part) first,
-    then each basket is CAPPED at 32 items (row_number per order) BEFORE
-    the pair self-join, so pair fan-out is bounded at C(32,2) per basket
-    no matter how degenerate a basket gets — the quadratic-blowup guard
-    every production basket miner carries. The self-join shuffles both
-    sides on orderkey (co-partitioned equi-join, never a cartesian), the
-    pair aggregate map-side combines, the part-frequency table is a
-    broadcast dim, and min-support (c12 >= 2) prunes the long tail
-    before ranking. Top-100 is a TakeOrdered, not a global sort.
+    Scale discipline: ONE fact shuffle. Each basket is assembled as a
+    sorted-distinct part array in a single map-combinable collect_set
+    aggregate on orderkey, capped at its 32 smallest partkeys (the
+    identical cap the oracle's ROW_NUMBER <= 32 takes, since the array
+    is sorted ascending) — the quadratic-blowup guard every production
+    basket miner carries. Pairs are then generated MAP-SIDE by an array
+    comprehension over each capped basket (i < j positions of a sorted
+    array <=> pkey1 < pkey2) — no DISTINCT pass, no per-order window
+    sort, no self-join: the oracle's three fact-keyed shuffles collapse
+    into one. The pair aggregate map-side combines, part frequencies
+    and the basket total reuse the same capped arrays (dim-sized
+    inputs, broadcast back), min-support (c12 >= 2) prunes the long
+    tail before ranking, and top-100 is a TakeOrdered, not a global
+    sort.
 
     Determinism: counts and one positive-integer division; total order
     on (lift_bp DESC, p1, p2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    w = Window.partitionBy("okey").orderBy("pkey")
-    capped = (
-        items.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 32)
-        .drop("rn")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("l_partkey").alias("pset"))
+        .select(F.expr("slice(array_sort(pset), 1, 32)").alias("items"))
     )
-    tot = capped.agg(
-        F.countDistinct("okey").cast("bigint").alias("n_baskets")
+    tot = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    freq = (
+        baskets.select(F.explode("items").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    freq = capped.groupBy("pkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pkey") < F.col("b.pkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2")
-        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
         .filter(F.col("c12") >= 2)
     )
