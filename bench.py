@@ -144,6 +144,7 @@ HEADLINE = [
     ("win_distinct_count_frame", None),
     ("join_interval_overlap", None),
     ("sink_dynamic_partition_overwrite", None),
+    ("ext_sim_ivf_recall_eval", None),
 ]
 
 

@@ -787,7 +787,8 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow, p.n,
            CAST(p.s * 100 // p.n AS BIGINT) AS dow_avg_e4,
-           CAST((p.s * o.n_all * 10000) // (p.n * o.s_all) AS BIGINT)
+           CAST(((p.s * 100 // p.n) * 10000)
+                // (o.s_all * 100 // o.n_all) AS BIGINT)
              AS seasonal_index_bp
     FROM per_dow p JOIN overall o USING (event_type)
     """,
@@ -808,10 +809,12 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a 7-cell-per-type aggregate — fully map-side combinable,
     shuffle carries types x 7 x partitions rows regardless of event
     volume; the overall totals reuse the per-dow partials (no second
-    scan). The bp product s * n_all * 10000 stays inside BIGINT while
-    SUM(cents) * total_rows < 9.2e14 — beyond that, rescale cents to
-    whole units at ingest or promote the product to DECIMAL(38, 0)
-    (both engines widen exactly)."""
+    scan). The index is a ratio of FIXED-POINT AVERAGES (e4 units),
+    not of raw sums: averages are scale-free magnitudes, so the bp
+    product never grows with row count — the first draft multiplied
+    SUM(cents) * total_rows and overflowed BIGINT exactly where the
+    100x rehearsal said it would (2e21 at 10 M events); ratios of
+    bounded intermediates are the 100 TB-safe form."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type",
@@ -832,7 +835,8 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(s * 100 div n AS BIGINT)").alias("dow_avg_e4"),
         F.expr(
-            "CAST((s * n_all * 10000) div (n * s_all) AS BIGINT)"
+            "CAST(((s * 100 div n) * 10000)"
+            " div (s_all * 100 div n_all) AS BIGINT)"
         ).alias("seasonal_index_bp"),
     )
 

@@ -178,6 +178,15 @@ HEAVY = [
     # round-5 additions at 10x
     "ext_dedup_cluster_from_store",
     "stream_stateful_upsert_jvm",
+    "ts_seasonal_index",
+    "ts_ewma_halflife",
+    "ext_embed_norm_stats",
+    "ext_token_diversity",
+    "agg_basket_lift",
+    "win_distinct_count_frame",
+    "join_interval_overlap",
+    "sink_dynamic_partition_overwrite",
+    "ext_sim_ivf_recall_eval",
 ]
 
 
