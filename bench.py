@@ -145,6 +145,7 @@ HEADLINE = [
     ("join_interval_overlap", None),
     ("sink_dynamic_partition_overwrite", None),
     ("ext_sim_ivf_recall_eval", None),
+    ("cdc_ivm_join", None),
 ]
 
 

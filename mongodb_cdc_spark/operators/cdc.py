@@ -993,3 +993,86 @@ def cdc_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_ivm_join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_ivm_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the bilinearity
+    identity that lets a CDC pipeline keep `lineitem JOIN orders`
+    current without re-joining history: with each table split into
+    (base, delta) by arrival, join(L, O) decomposes EXACTLY into
+    base_L JOIN base_O (the stored view's state)
+    UNION delta_L JOIN base_O UNION base_L JOIN delta_O
+    UNION delta_L JOIN delta_O (the three delta terms a batch applies).
+    The engine materializes the four quadrant joins, reduces each to
+    per-priority partial aggregates, and merges the partials; the
+    oracle aggregates the flat join — the driver hash certifies the
+    decomposition. Arrival splits are seeded row hashes (lineitem by
+    (l_orderkey, l_linenumber), orders by o_orderkey) so the quadrants
+    cut ACROSS join keys — every joined pair lands in exactly one
+    quadrant, all four are non-trivial, and the fixture is
+    deterministic.
+
+    Scale: this is the Materialize/differential-dataflow contract on
+    Spark terms — per batch only the three delta terms run (delta x
+    base, base x delta, delta x delta), each a keyed equi-join whose
+    small side is batch-sized (broadcast or bloom-pruned at 100 TB),
+    and the view merge is a key-wise abelian add that reuses the view's
+    partitioning (`cdc_ivm_aggregate` is the aggregate half of the same
+    story). The base x base term here stands in for the stored view
+    and is computed once only because a registry query has no
+    cross-invocation state; production persists it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "pmod(xxhash64(l_orderkey, l_linenumber, 'ivm-l'), 2)"
+        ).alias("arr"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("pmod(xxhash64(o_orderkey, 'ivm-o'), 2)").alias("arr"),
+    )
+
+    def quadrant(l_side: DataFrame, o_side: DataFrame) -> DataFrame:
+        return (
+            l_side.join(
+                o_side, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    l1, dl = li.filter("arr = 0").drop("arr"), li.filter("arr = 1").drop("arr")
+    o1, do = o.filter("arr = 0").drop("arr"), o.filter("arr = 1").drop("arr")
+    partials = (
+        quadrant(l1, o1)        # stored view state
+        .unionByName(quadrant(dl, o1))   # delta_L x base_O
+        .unionByName(quadrant(l1, do))   # base_L x delta_O
+        .unionByName(quadrant(dl, do))   # delta_L x delta_O
+    )
+    return partials.groupBy("o_orderpriority").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+    )

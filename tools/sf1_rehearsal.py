@@ -187,6 +187,7 @@ HEAVY = [
     "join_interval_overlap",
     "sink_dynamic_partition_overwrite",
     "ext_sim_ivf_recall_eval",
+    "cdc_ivm_join",
 ]
 
 
