@@ -116,6 +116,17 @@ def main() -> int:
     first = None
     if "--first" in sys.argv:
         first = int(sys.argv[sys.argv.index("--first") + 1])
+    skip = 0
+    if "--skip" in sys.argv:
+        # chunked full sweeps: --skip N --first M runs keys N+1..N+M in a
+        # FRESH process. A single process cannot walk the whole registry:
+        # every toPandas() leaves short-lived JVM serve threads behind and
+        # ~125 keys in, thread creation hits the container's pid limit
+        # (observed round 5: linear growth 835 -> 1292 threads, then
+        # std::system_error "Resource temporarily unavailable"). Fresh
+        # 50-key processes also mirror the real driver, which only ever
+        # runs ~50 keys per session. Use tools/gate_full_sweep.sh.
+        skip = int(sys.argv[sys.argv.index("--skip") + 1])
     only = None
     if "--keys" in sys.argv:
         only = sys.argv[sys.argv.index("--keys") + 1].split(",")
@@ -144,12 +155,23 @@ def main() -> int:
         spark = get_spark(app_name="driver-gate-sim", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]", shuffle_partitions=16)
     con = duckdb_connect(sf_dir)
     keys = list(entry.queries())
+    if skip:
+        keys = keys[skip:]
     if first:
         keys = keys[:first]
     if only:
         keys = [k for k in keys if k in only]
     failures = 0
     for i, key in enumerate(keys, 1):
+        # Recycle the DuckDB connection every 50 keys: one connection
+        # serving a 260-key sweep accumulated enough allocator state to
+        # throw a spurious 2 KB OutOfMemoryException around key ~156
+        # (observed round 5, sf0.01, 122 GB free RAM) — an oracle-side
+        # environment flake, not an engine result. The real driver runs
+        # ~50 keys per round, which this recycle cadence mirrors.
+        if i > 1 and i % 50 == 1:
+            con.close()
+            con = duckdb_connect(sf_dir)
         r = check_key(spark, con, key, sf_dir)
         mark = "ok " if r["ok"] else "FAIL"
         print(f"{i:3d} {mark} {key:32s} {r['why']}", flush=True)
