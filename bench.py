@@ -146,6 +146,7 @@ HEADLINE = [
     ("sink_dynamic_partition_overwrite", None),
     ("ext_sim_ivf_recall_eval", None),
     ("cdc_ivm_join", None),
+    ("maintenance_vacuum", None),
 ]
 
 

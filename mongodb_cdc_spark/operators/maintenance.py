@@ -163,3 +163,99 @@ def maintenance_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("max_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# maintenance_vacuum
+# --------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_vacuum",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS orphans_uncommitted,
+           CAST(1 AS BIGINT) AS orphans_unreferenced,
+           CAST(1 AS BIGINT) AS orphans_staging,
+           TRUE AS content_unchanged,
+           TRUE AS snapshots_readable
+    """,
+)
+def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM end to end, self-validating: build a real versioned upsert
+    target (two merged batches -> two snapshots), inject the three
+    crash-debris classes a long-running CDC writer accumulates — an
+    uncommitted version dir (crash before the ``_COMMITTED`` marker), a
+    committed version dir absent from every retained manifest (crash
+    before the manifest append), and a stale ``.staging/`` dir — then
+    run :func:`vacuum_orphans` and state the invariants exactly:
+    exactly one orphan of each class removed, the live table's content
+    hash unchanged across the vacuum, and every retained snapshot still
+    fully readable (reachability comes from the manifest log, so
+    time travel survives the cleanup — the Delta/Iceberg VACUUM
+    contract)."""
+    import os as _os
+    import uuid as _uuid
+
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.maintenance import vacuum_orphans
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        upsert_projection,
+    )
+
+    tdir = _os.path.join(
+        scratch_root(), f"vacuum_target_{_uuid.uuid4().hex[:12]}"
+    )
+    target = ParquetUpsertTarget(tdir, n_buckets=4, keep_versions=2)
+    feed = upsert_projection(derive_change_log(spark, sf_dir))
+    half = F.pmod(F.xxhash64("_id"), F.lit(2))
+    target.merge_batch(feed.filter(half == 0), epoch_id=1)
+    target.merge_batch(feed.filter(half == 1), epoch_id=2)
+
+    def content_sum(df: DataFrame) -> int:
+        return (
+            df.select(
+                F.pmod(
+                    F.xxhash64(*sorted(df.columns)), F.lit(1_000_000_007)
+                ).alias("h")
+            )
+            .agg(F.sum("h"))
+            .first()[0]
+        )
+
+    before = content_sum(target.current(spark))
+    snaps_before = target.snapshots()
+
+    # inject the three debris classes
+    orphan_uncommitted = _os.path.join(tdir, "bucket=0", "v" + "9" * 20)
+    _os.makedirs(orphan_uncommitted)
+    open(_os.path.join(orphan_uncommitted, "part-junk.parquet"), "w").close()
+    orphan_unref = _os.path.join(tdir, "bucket=1", "v" + "0" * 20)
+    _os.makedirs(orphan_unref)
+    open(_os.path.join(orphan_unref, "part-junk.parquet"), "w").close()
+    open(_os.path.join(orphan_unref, "_COMMITTED"), "w").close()
+    _os.makedirs(_os.path.join(tdir, ".staging", "v" + "1" * 20))
+
+    removed = vacuum_orphans(target)
+
+    after = content_sum(target.current(spark))
+    readable = True
+    for v in snaps_before:
+        try:
+            target.read_snapshot(spark, v).count()
+        except Exception:
+            readable = False
+    return spark.createDataFrame(
+        [
+            (
+                removed["uncommitted"],
+                removed["unreferenced"],
+                removed["staging"],
+                bool(before == after),
+                readable,
+            )
+        ],
+        "orphans_uncommitted bigint, orphans_unreferenced bigint, "
+        "orphans_staging bigint, content_unchanged boolean, "
+        "snapshots_readable boolean",
+    )

@@ -50,3 +50,57 @@ def compact_parquet_dir(
     writer.parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
+
+
+def vacuum_orphans(target) -> dict[str, int]:
+    """Delete unreachable files from a :class:`ParquetUpsertTarget` —
+    the VACUUM every versioned table needs, because crashes leave three
+    kinds of debris the snapshot protocol makes invisible to readers
+    but never deletes:
+
+    * **uncommitted version dirs** (crash between stage-rename and the
+      ``_COMMITTED`` marker) — never readable, pure waste;
+    * **committed-but-unreferenced version dirs** (crash between the
+      marker and the manifest append, or versions aged out of every
+      retained manifest) — unreachable through any retained snapshot;
+    * **stale staging dirs** (crash mid-write under ``.staging/``).
+
+    Reachability is computed from the retained manifest log (the union
+    of every snapshot's bucket->version map), so every snapshot that
+    `read_snapshot` can serve keeps every file it needs — the same
+    log-is-truth rule Delta/Iceberg VACUUM follows. Returns counts per
+    debris class.
+
+    Scale: the scan is one directory listing per bucket (metadata-only,
+    no data read); at real table sizes the listing fans out through the
+    object store's prefix API exactly like the merge path's own
+    bucket listing, and the deletes are embarrassingly parallel."""
+    import shutil
+
+    referenced: set[str] = set()
+    for v in target.snapshots():
+        for b, bv in target._manifest(v).items():
+            referenced.add(
+                os.path.abspath(os.path.join(target.path, f"bucket={b}", bv))
+            )
+    removed = {"uncommitted": 0, "unreferenced": 0, "staging": 0}
+    staging = os.path.join(target.path, ".staging")
+    if os.path.isdir(staging):
+        for s in os.listdir(staging):
+            shutil.rmtree(os.path.join(staging, s), ignore_errors=True)
+            removed["staging"] += 1
+    for name in os.listdir(target.path):
+        bdir = os.path.join(target.path, name)
+        if not (name.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        for vdir in os.listdir(bdir):
+            if not vdir.startswith("v"):
+                continue
+            vfull = os.path.abspath(os.path.join(bdir, vdir))
+            if not os.path.exists(os.path.join(vfull, "_COMMITTED")):
+                shutil.rmtree(vfull, ignore_errors=True)
+                removed["uncommitted"] += 1
+            elif vfull not in referenced:
+                shutil.rmtree(vfull, ignore_errors=True)
+                removed["unreferenced"] += 1
+    return removed

@@ -33,16 +33,23 @@ run_chunk() { # $1=skip -> sets CHUNK_OUT, returns 0 if all pass
 }
 
 for ((skip=0; skip<TOTAL; skip+=CHUNK)); do
+    # settle: let the previous chunk's JVM fully tear down its thread
+    # pools before the next one forks — overlapping shutdown/startup is
+    # what exhausts the shared pid budget
+    sleep 10
     if run_chunk "$skip"; then
         echo "chunk skip=$skip: $(echo "$CHUNK_OUT" | tail -1)"
     else
-        echo "chunk skip=$skip FAILED, retrying once:"
+        echo "chunk skip=$skip FAILED (tail below), retrying once:"
         echo "$CHUNK_OUT" | grep -E "FAIL"
+        echo "$CHUNK_OUT" | tail -3
+        sleep 30
         if run_chunk "$skip"; then
             echo "chunk skip=$skip retry: $(echo "$CHUNK_OUT" | tail -1)"
         else
             echo "chunk skip=$skip retry FAILED:"
             echo "$CHUNK_OUT" | grep -E "FAIL"
+            echo "$CHUNK_OUT" | tail -3
             rc=1
         fi
     fi

@@ -188,6 +188,7 @@ HEAVY = [
     "sink_dynamic_partition_overwrite",
     "ext_sim_ivf_recall_eval",
     "cdc_ivm_join",
+    "maintenance_vacuum",
 ]
 
 
