@@ -147,6 +147,7 @@ HEADLINE = [
     ("ext_sim_ivf_recall_eval", None),
     ("cdc_ivm_join", None),
     ("maintenance_vacuum", None),
+    ("ext_bpe_coverage_eval", None),
 ]
 
 

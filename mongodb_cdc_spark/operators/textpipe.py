@@ -1608,3 +1608,136 @@ def ext_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ext_bpe_coverage_eval
+# --------------------------------------------------------------------------
+
+
+def _bpe_coverage_oracle() -> str:
+    """Learn merges on the train slice (the shared _bpe_stages CTEs),
+    then replay the SAME 4 merges over the held-out slice (frequency
+    ranks 201-400) and compare fertility."""
+    held = [f"""
+    all_toks AS (
+      SELECT LOWER(t.tok) AS tok, CAST(COUNT(*) AS BIGINT) AS w,
+             ROW_NUMBER() OVER (
+               ORDER BY COUNT(*) DESC, LOWER(t.tok) ASC
+             ) AS rnk
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+      WHERE LENGTH(t.tok) > 0
+      GROUP BY 1
+    ),
+    h0 AS (
+      SELECT TRIM(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym, w
+      FROM all_toks
+      WHERE rnk > {_BPE_TOP_TOKENS} AND rnk <= {2 * _BPE_TOP_TOKENS}
+    )"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        held.append(f"""
+    h{r} AS (
+      SELECT TRIM(REPLACE(
+               REPLACE(' ' || REPLACE(sym, ' ', '  ') || ' ',
+                       ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '  ')
+                           || ' ',
+                       ' ' || REPLACE((SELECT pair FROM b{r}), ' ', '')
+                           || ' '),
+               '  ', ' ')) AS sym, w
+      FROM h{r - 1}
+    )""")
+    stat = (
+        "SELECT '{name}' AS slice, CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "CAST(SUM(w) AS BIGINT) AS tokens_w, "
+        "CAST(SUM(w * len(string_split(sym, ' '))) AS BIGINT) AS symbols_w, "
+        "CAST(SUM(w * len(string_split(sym, ' '))) * 10000 // SUM(w) "
+        "AS BIGINT) AS fertility_bp FROM {src}"
+    )
+    return (
+        _bpe_stages() + "," + ",".join(held)
+        + stat.format(name="train", src=f"s{_BPE_ROUNDS}")
+        + " UNION ALL "
+        + stat.format(name="heldout", src=f"h{_BPE_ROUNDS}")
+        + " ORDER BY slice"
+    )
+
+
+@query("ext_bpe_coverage_eval", oracle=_bpe_coverage_oracle())
+def ext_bpe_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED tokenizer generalization — the certification pass for
+    the BPE tier, same philosophy as `ext_dedup_recall_eval` /
+    `ext_sim_ivf_recall_eval`: learn the 4 merges on the top-200 token
+    types, replay those exact merges over the NEXT 200 types (held-out
+    by frequency rank), and report fertility (weighted symbols per
+    token occurrence, basis points) for both slices. A healthy
+    tokenizer's held-out fertility sits above train fertility but far
+    below the character ceiling; a vocabulary that memorized its
+    training slice (merges that never fire off-slice) shows held-out
+    fertility pinned at character length — the overfit signal this row
+    would catch as a hash mismatch-proof measurement, not a vibe.
+
+    Determinism: the train pipeline is byte-identical to
+    `ext_bpe_vocab_merges` (shared CTE builder / shared `_bpe_run`);
+    the held-out slice is a total-order frequency rank; fertility is
+    exact integer arithmetic.
+
+    Scale: all work is over the token-TYPE table (vocabulary-sized,
+    aggregated first); the held-out apply is 4 map-side REPLACEs with
+    the 1-row merge rules broadcast — the same shape as production
+    tokenizer evaluation over a type-frequency table, never raw text."""
+    rules, train_syms = _bpe_run(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    w_rank = Window.orderBy(F.col("w").desc(), F.col("tok").asc())
+    held = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(
+            (F.col("rnk") > _BPE_TOP_TOKENS)
+            & (F.col("rnk") <= 2 * _BPE_TOP_TOKENS)
+        )
+        .select(
+            F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("sym"), "w"
+        )
+    )
+    for _, pair, merged, _cnt in rules:
+        doubled = pair.replace(" ", "  ")
+        held = held.select(
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(f" {doubled} "),
+                        F.lit(f" {merged} "),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            ).alias("sym"),
+            "w",
+        )
+
+    def stats(df: DataFrame, name: str) -> DataFrame:
+        n_sym = F.size(F.split("sym", " "))
+        return df.agg(
+            F.lit(name).alias("slice"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("w").cast("bigint").alias("tokens_w"),
+            F.sum(F.col("w") * n_sym).cast("bigint").alias("symbols_w"),
+            F.expr(
+                "CAST(SUM(w * size(split(sym, ' '))) * 10000"
+                " div SUM(w) AS BIGINT)"
+            ).alias("fertility_bp"),
+        )
+
+    return (
+        stats(train_syms, "train")
+        .unionByName(stats(held, "heldout"))
+        .orderBy("slice")
+    )

@@ -189,6 +189,7 @@ HEAVY = [
     "ext_sim_ivf_recall_eval",
     "cdc_ivm_join",
     "maintenance_vacuum",
+    "ext_bpe_coverage_eval",
 ]
 
 
