@@ -1113,20 +1113,23 @@ _BPE_ROUNDS = 4
 _BPE_TOP_TOKENS = 200
 
 
-def _bpe_stages() -> str:
+def _bpe_stages(doc_where: str = "") -> str:
     """Shared CTE prefix of the BPE oracles: 4 chained stages, each
     doing weighted pair-count -> argmax -> leftmost-non-overlapping
     merge. The merge DOUBLES inter-symbol spaces before the padded
     REPLACE so ADJACENT pair occurrences (which share a single
     delimiter space: 'p a p a') each own their boundary and both merge
     — single-space REPLACE would consume the shared space and skip the
-    second occurrence, diverging from classic BPE."""
+    second occurrence, diverging from classic BPE. ``doc_where``
+    optionally restricts the TRAINING corpus (the coverage eval trains
+    on a document split); "" preserves the original full-corpus text
+    for the two induction keys."""
     stages = [
         f"""
     toks AS (
       SELECT LOWER(t.tok) AS tok, CAST(COUNT(*) AS BIGINT) AS w
       FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
-      WHERE LENGTH(t.tok) > 0
+      WHERE LENGTH(t.tok) > 0{doc_where}
       GROUP BY 1 ORDER BY w DESC, tok ASC LIMIT {_BPE_TOP_TOKENS}
     ),
     s0 AS (
@@ -1614,25 +1617,48 @@ def ext_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ext_bpe_coverage_eval
 # --------------------------------------------------------------------------
 
+# Seeded document split for the tokenizer-transfer eval: ~90% of docs
+# train the merges, the held-out ~10% only evaluate them (the
+# `ext_dedup_incremental` split discipline with a bpe-specific seed).
+_BPE_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':bpe-seed-1'),"
+    " 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _bpe_bucket() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":bpe-seed-1")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
 
 def _bpe_coverage_oracle() -> str:
-    """Learn merges on the train slice (the shared _bpe_stages CTEs),
-    then replay the SAME 4 merges over the held-out slice (frequency
-    ranks 201-400) and compare fertility."""
+    """Learn merges on the train-doc slice (the shared _bpe_stages CTEs
+    with a doc filter), then replay the SAME 4 merges over the held-out
+    docs' token-type table and compare fertility."""
     held = [f"""
-    all_toks AS (
-      SELECT LOWER(t.tok) AS tok, CAST(COUNT(*) AS BIGINT) AS w,
-             ROW_NUMBER() OVER (
-               ORDER BY COUNT(*) DESC, LOWER(t.tok) ASC
-             ) AS rnk
+    h_toks AS (
+      SELECT LOWER(t.tok) AS tok, CAST(COUNT(*) AS BIGINT) AS w
       FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
-      WHERE LENGTH(t.tok) > 0
+      WHERE LENGTH(t.tok) > 0 AND {_BPE_BUCKET_SQL} >= 90
       GROUP BY 1
     ),
     h0 AS (
       SELECT TRIM(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym, w
-      FROM all_toks
-      WHERE rnk > {_BPE_TOP_TOKENS} AND rnk <= {2 * _BPE_TOP_TOKENS}
+      FROM h_toks
     )"""]
     for r in range(1, _BPE_ROUNDS + 1):
         held.append(f"""
@@ -1654,7 +1680,8 @@ def _bpe_coverage_oracle() -> str:
         "AS BIGINT) AS fertility_bp FROM {src}"
     )
     return (
-        _bpe_stages() + "," + ",".join(held)
+        _bpe_stages(doc_where=f" AND {_BPE_BUCKET_SQL} < 90")
+        + "," + ",".join(held)
         + stat.format(name="train", src=f"s{_BPE_ROUNDS}")
         + " UNION ALL "
         + stat.format(name="heldout", src=f"h{_BPE_ROUNDS}")
@@ -1664,72 +1691,84 @@ def _bpe_coverage_oracle() -> str:
 
 @query("ext_bpe_coverage_eval", oracle=_bpe_coverage_oracle())
 def ext_bpe_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MEASURED tokenizer generalization — the certification pass for
-    the BPE tier, same philosophy as `ext_dedup_recall_eval` /
-    `ext_sim_ivf_recall_eval`: learn the 4 merges on the top-200 token
-    types, replay those exact merges over the NEXT 200 types (held-out
-    by frequency rank), and report fertility (weighted symbols per
-    token occurrence, basis points) for both slices. A healthy
-    tokenizer's held-out fertility sits above train fertility but far
-    below the character ceiling; a vocabulary that memorized its
-    training slice (merges that never fire off-slice) shows held-out
-    fertility pinned at character length — the overfit signal this row
-    would catch as a hash mismatch-proof measurement, not a vibe.
+    """MEASURED tokenizer transfer — the certification pass for the BPE
+    tier, same philosophy as `ext_dedup_recall_eval` /
+    `ext_sim_ivf_recall_eval`: learn the 4 merges on ~90% of documents
+    (seeded-hash split), replay those exact merges over the HELD-OUT
+    documents' token-type table, and report weighted fertility (symbols
+    per token occurrence, basis points) for both slices. A vocabulary
+    that only memorizes its training corpus shows held-out fertility
+    pinned at the character ceiling; healthy merges transfer and pull
+    both slices toward 10000 bp. The split is by DOCUMENT, not token
+    rank — this corpus's full vocabulary is small enough that every
+    type appears in both slices, which is exactly the realistic
+    transfer setting (tokenizer trained on crawl A, applied to crawl
+    B); a rank-based holdout would be structurally empty here and was
+    rejected for measuring nothing.
 
-    Determinism: the train pipeline is byte-identical to
-    `ext_bpe_vocab_merges` (shared CTE builder / shared `_bpe_run`);
-    the held-out slice is a total-order frequency rank; fertility is
-    exact integer arithmetic.
+    Determinism: the train pipeline is the `ext_bpe_vocab_merges`
+    machinery (shared CTE builder) with one WHERE; the doc split is a
+    seeded md5 bucket; fertility is exact integer arithmetic.
 
-    Scale: all work is over the token-TYPE table (vocabulary-sized,
+    Scale: all work runs over token-TYPE tables (vocabulary-sized,
     aggregated first); the held-out apply is 4 map-side REPLACEs with
-    the 1-row merge rules broadcast — the same shape as production
-    tokenizer evaluation over a type-frequency table, never raw text."""
-    rules, train_syms = _bpe_run(spark, sf_dir)
+    the 1-row merge rules broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    w_rank = Window.orderBy(F.col("w").desc(), F.col("tok").asc())
-    held = (
-        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
-        .filter(F.length("tok") > 0)
-        .groupBy("tok")
-        .agg(F.count("*").cast("bigint").alias("w"))
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .filter(
-            (F.col("rnk") > _BPE_TOP_TOKENS)
-            & (F.col("rnk") <= 2 * _BPE_TOP_TOKENS)
+    train_docs = d.filter(_bpe_bucket() < 90)
+    held_docs = d.filter(_bpe_bucket() >= 90)
+
+    def type_table(docs: DataFrame, top: int | None) -> DataFrame:
+        t = (
+            docs.select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+            )
+            .filter(F.length("tok") > 0)
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("w"))
         )
-        .select(
+        if top is not None:
+            t = t.orderBy(F.col("w").desc(), F.col("tok").asc()).limit(top)
+        return t.select(
             F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("sym"), "w"
         )
-    )
-    for _, pair, merged, _cnt in rules:
-        doubled = pair.replace(" ", "  ")
-        held = held.select(
-            F.trim(
-                F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(f" {doubled} "),
-                        F.lit(f" {merged} "),
-                    ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("sym"),
-            "w",
+
+    # train: same loop as _bpe_run, over the train-doc slice
+    syms = type_table(train_docs, _BPE_TOP_TOKENS).localCheckpoint(eager=True)
+    rules = []
+    for _r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            syms.select(F.split("sym", " ").alias("arr"), "w")
+            .filter(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> concat_ws(' ', arr[i - 1], arr[i]))"
+                    )
+                ).alias("pair"),
+                "w",
+            )
+            .groupBy("pair")
+            .agg(F.sum("w").cast("bigint").alias("cnt"))
         )
+        best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).first()
+        if best is None:
+            break
+        rules.append((best["pair"], best["pair"].replace(" ", "")))
+        syms = _apply_merge(syms, best["pair"]).localCheckpoint(eager=True)
+
+    held = type_table(held_docs, None)
+    for pair, _merged in rules:
+        held = _apply_merge(held, pair)
 
     def stats(df: DataFrame, name: str) -> DataFrame:
-        n_sym = F.size(F.split("sym", " "))
         return df.agg(
             F.lit(name).alias("slice"),
             F.count(F.lit(1)).cast("bigint").alias("n_types"),
             F.sum("w").cast("bigint").alias("tokens_w"),
-            F.sum(F.col("w") * n_sym).cast("bigint").alias("symbols_w"),
+            F.sum(F.col("w") * F.size(F.split("sym", " ")))
+            .cast("bigint")
+            .alias("symbols_w"),
             F.expr(
                 "CAST(SUM(w * size(split(sym, ' '))) * 10000"
                 " div SUM(w) AS BIGINT)"
@@ -1737,7 +1776,33 @@ def ext_bpe_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        stats(train_syms, "train")
+        stats(syms, "train")
         .unionByName(stats(held, "heldout"))
         .orderBy("slice")
+    )
+
+
+def _apply_merge(syms: DataFrame, pair: str) -> DataFrame:
+    """One leftmost-non-overlapping BPE merge application — the
+    doubled-delimiter REPLACE shared with `_bpe_run` (see _bpe_stages
+    for why spaces are doubled)."""
+    merged = pair.replace(" ", "")
+    doubled = pair.replace(" ", "  ")
+    return syms.select(
+        F.trim(
+            F.replace(
+                F.replace(
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
+                    ),
+                    F.lit(f" {doubled} "),
+                    F.lit(f" {merged} "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        ).alias("sym"),
+        "w",
     )
