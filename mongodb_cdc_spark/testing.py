@@ -26,6 +26,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """In-memory DuckDB with the ten driver tables registered as views,
     matching the driver's pre-registration."""
     con = duckdb.connect()
+    # Cap the oracle's worker-thread fan-out: DuckDB defaults to one
+    # thread per core (32 here), and spawning them while a Spark JVM
+    # holds hundreds of threads can hit the container pid ceiling —
+    # surfacing as a spurious tiny-allocation OutOfMemoryException on
+    # the heaviest oracles (observed round 5 on the BPE/IVF evals). The
+    # oracle inputs are sf0.01-sized; 8 threads is plenty.
+    con.execute("SET threads = 8")
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
         # Spark-written replicas (tools/sf1_rehearsal.py) are DIRECTORIES

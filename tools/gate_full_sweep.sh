@@ -5,7 +5,9 @@
 # short-lived JVM serve threads behind, and ~125 keys in, thread creation
 # hits the container pid limit (std::system_error "Resource temporarily
 # unavailable" — see driver_gate_sim.py --skip). Fresh 50-key processes
-# are also driver-faithful: the real gate runs ~50 keys per round.
+# stay near the real gate's ~50-key window while keeping JVM peak
+# thread count clear of the pid ceiling (the streaming-tier chunk is the
+# heaviest; 50-key chunks sat right on the cliff).
 #
 # A failing chunk prints its FAIL lines and is retried ONCE in a fresh
 # process (streaming e2e keys can flake under load); a repeat failure is
@@ -22,7 +24,7 @@ import __spark_entry__ as e
 print(len(e.queries()))
 EOF
 )
-CHUNK=50
+CHUNK=40
 rc=0
 passed=0
 
@@ -36,14 +38,14 @@ for ((skip=0; skip<TOTAL; skip+=CHUNK)); do
     # settle: let the previous chunk's JVM fully tear down its thread
     # pools before the next one forks — overlapping shutdown/startup is
     # what exhausts the shared pid budget
-    sleep 10
+    sleep 15
     if run_chunk "$skip"; then
         echo "chunk skip=$skip: $(echo "$CHUNK_OUT" | tail -1)"
     else
         echo "chunk skip=$skip FAILED (tail below), retrying once:"
         echo "$CHUNK_OUT" | grep -E "FAIL"
         echo "$CHUNK_OUT" | tail -3
-        sleep 30
+        sleep 60
         if run_chunk "$skip"; then
             echo "chunk skip=$skip retry: $(echo "$CHUNK_OUT" | tail -1)"
         else
