@@ -561,26 +561,60 @@ def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q21(dialect: int) -> str:
+    if dialect == 1:  # oracle keeps the canonical EXISTS/NOT-EXISTS form
+        return """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_name = 'NATION_1'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+        """
+    # Engine form: ONE lineitem scan. The EXISTS ("another supplier on
+    # the order") and NOT-EXISTS ("no OTHER supplier shipped late")
+    # become per-order supplier-set windows: a row qualifies iff it is
+    # late, the order has >= 2 distinct suppliers, and the order's set
+    # of distinct LATE suppliers is exactly {this row's supplier} —
+    # which, given the row itself is late, is just size == 1. Subtlety
+    # the rewrite must respect: the subqueries range over ALL the
+    # order's lineitems (any nation), so the nation filter applies
+    # AFTER the windows, to the surviving row's own supplier only.
     return """
+    WITH flagged AS (
+        SELECT l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END AS is_late,
+               size(collect_set(l_suppkey) OVER w) AS n_supp,
+               size(collect_set(
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                      THEN l_suppkey END) OVER w) AS n_late_supp
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        WINDOW w AS (PARTITION BY l_orderkey)
+    )
     SELECT s_name, COUNT(*) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders ON o_orderkey = l1.l_orderkey
+    FROM flagged
+    JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE o_orderstatus = 'F'
+    WHERE is_late = 1 AND n_supp > 1 AND n_late_supp = 1
       AND n_name = 'NATION_1'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-      AND EXISTS (
-          SELECT 1 FROM lineitem l2
-          WHERE l2.l_orderkey = l1.l_orderkey
-            AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-          SELECT 1 FROM lineitem l3
-          WHERE l3.l_orderkey = l1.l_orderkey
-            AND l3.l_suppkey <> l1.l_suppkey
-            AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
-      )
     GROUP BY s_name
     ORDER BY numwait DESC, s_name ASC
     LIMIT 20

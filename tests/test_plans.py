@@ -626,11 +626,13 @@ def test_round5_additions_plan_shapes(spark, sf_dir):
         assert "EvalPython" not in plan, f"{key}:\n{plan}"
 
 
-def test_q11_q15_q17_single_lineitem_scan(spark, sf_dir):
-    """The round-5 window rewrites: scalar-subquery / self-aggregate
-    forms that made Spark consume the fact twice (CTE inlining) now
-    compute the second aggregate as a window over the first — plan
-    proof: exactly one lineitem scan each."""
-    for key in ("sql_tpch_q11", "sql_tpch_q15", "sql_tpch_q17"):
+def test_q11_q15_q17_q21_single_lineitem_scan(spark, sf_dir):
+    """The round-5 window rewrites: scalar-subquery / self-aggregate /
+    EXISTS-self-join forms that made Spark consume the fact two or
+    three times (CTE inlining; q21's semi+anti self-joins) now compute
+    the extra relations as windows over one pass — plan proof: exactly
+    one lineitem scan each."""
+    for key in ("sql_tpch_q11", "sql_tpch_q15", "sql_tpch_q17",
+                "sql_tpch_q21"):
         plan = formatted_plan(QUERIES[key](spark, sf_dir))
         assert _scan_count(plan, "lineitem") == 1, f"{key}:\n{plan}"
