@@ -148,6 +148,8 @@ HEADLINE = [
     ("cdc_ivm_join", None),
     ("maintenance_vacuum", None),
     ("ext_bpe_coverage_eval", None),
+    ("maintenance_projection_store", None),
+    ("ext_semantic_dedup_from_store", None),
 ]
 
 
@@ -211,6 +213,9 @@ def main() -> None:
     from mongodb_cdc_spark.operators.curation import signature_store_path
 
     signature_store_path(spark, SF_DIR)
+    from mongodb_cdc_spark.operators.curation import projection_store_path
+
+    projection_store_path(spark, SF_DIR)
     # The streaming tiers have their own cold paths (state-store init,
     # the applyInPandasWithState python worker protocol, the foreachBatch
     # merge plans) — warm them at sf0.001 (~600 events, seconds of setup

@@ -190,6 +190,8 @@ HEAVY = [
     "cdc_ivm_join",
     "maintenance_vacuum",
     "ext_bpe_coverage_eval",
+    "maintenance_projection_store",
+    "ext_semantic_dedup_from_store",
 ]
 
 
