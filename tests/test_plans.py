@@ -480,9 +480,16 @@ def test_tpch_completion_tier_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{key}:\n{plan}"
         assert "BroadcastNestedLoopJoin" not in plan, f"{key}:\n{plan}"
 
+    # Q21 was rewritten (commit 416e4de) from EXISTS/NOT-EXISTS
+    # semi/anti self-joins to per-order supplier-set windows over a
+    # single lineitem pass — the plan must show the window form, not
+    # the old self-join form (single-scan pin lives in
+    # test_q11_q15_q17_q21_single_lineitem_scan).
     q21 = formatted_plan(QUERIES["sql_tpch_q21"](spark, sf_dir))
-    assert "LeftSemi" in q21, q21
-    assert "LeftAnti" in q21, q21
+    assert "LeftSemi" not in q21, q21
+    assert "LeftAnti" not in q21, q21
+    assert "Window" in q21, q21
+    assert "TakeOrderedAndProject" in q21, q21
 
     q22 = formatted_plan(QUERIES["sql_tpch_q22"](spark, sf_dir))
     assert "LeftAnti" in q22, q22
@@ -575,11 +582,6 @@ def test_q13_q22_aggregate_fact_before_join(spark, sf_dir):
     eager-aggregation shape regressed."""
     q13 = formatted_plan(QUERIES["sql_tpch_q13"](spark, sf_dir))
     assert _scan_count(q13, "orders") == 1, q13
-    sched = [
-        ln for ln in q13.splitlines()
-        if "ReadSchema" in ln and "orders" not in ln.lower() or
-        ("ReadSchema" in ln)
-    ]
     ord_schema = next(
         ln for ln in q13.splitlines()
         if "ReadSchema" in ln and "o_custkey" in ln

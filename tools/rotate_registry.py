@@ -1,23 +1,33 @@
-"""Round-5 rotation generator for DRIVER_KEY_PRIORITY (registry.py).
+"""Round-6 rotation generator for DRIVER_KEY_PRIORITY (registry.py).
 
 The external CORRECTNESS gate walks ``queries()`` in insertion order and
 only reaches the first ~50 keys, so each round fronts the keys that need
-driver rows. This tool mechanically produces the ROUND-5 ordering from
-the live round-4 tuple, following the ROTATION RULE comment in
-registry.py:
+driver rows. This tool mechanically produces the ROUND-6 ordering from
+the live round-5 tuple, following the ROUND-6 WINDOW comment frozen in
+registry.py at round-5 close:
 
-  positions 1-33: the round-1-era remainder
-                  (agg_filtered_distinct .. api_pandas_on_spark)
-  positions 34-47: the round-4 additions THROUGH ext_dedup_recall_eval
-  positions 48-50: the three cross-round canaries
-  positions 51+:  the round-6 pool (keys past ext_dedup_recall_eval),
-                  then the already-green round-4 window keys
+  positions 1-13:  the frozen never-driver-checked tail
+                   (ext_dedup_verify_jaccard .. agg_skyline_pareto)
+  positions 14-29: the 16 round-5 additions, in addition order
+                   (ext_dedup_cluster_from_store ..
+                    ext_semantic_dedup_from_store)
+  positions 30-37: the 8 TPC-H queries whose plans were rewritten in
+                   round 5 (q2 q11 q13 q15 q17 q18 q21 q22) — their r4
+                   driver rows predate the rewrites and must be
+                   re-proved
+  positions 38-40: three untouched cross-round canaries from distinct
+                   tiers (windows / streaming / UDF), at the window's
+                   end. Round-6 additions, if any, are inserted BEFORE
+                   the canaries so the canaries stay at the end of the
+                   live gate window.
+  positions 41+:   every remaining key (already driver-green), in the
+                   prior order.
 
 Run:    python tools/rotate_registry.py          # print the new tuple body
         python tools/rotate_registry.py --check  # verify invariants only
 
-The output is meant to REPLACE the tuple body in registry.py at round-5
-start (rotate at round START: the round-4 driver gate reads the round-4
+The output REPLACES the tuple body in registry.py at round-6 start
+(rotate at round START: the round-5 driver gate read the round-5
 ordering at round end). After pasting, re-run the full gate sim — the
 rotation must never change results, only order.
 """
@@ -31,29 +41,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mongodb_cdc_spark.registry import DRIVER_KEY_PRIORITY  # noqa: E402
 
-CANARIES = ("agg_hash_groupby", "cdc_apply_upsert", "ext_dedup_exact")
-REMAINDER_FIRST = "agg_filtered_distinct"
-REMAINDER_LAST = "api_pandas_on_spark"
-R4_ADDITIONS_LAST = "ext_dedup_recall_eval"
+# Frozen 13-key never-driver-checked tail (round-5 positions 51-63).
+FROZEN_TAIL = (
+    "ext_dedup_verify_jaccard",
+    "scan_compressed_jsonl",
+    "ext_semantic_window_recall",
+    "ext_token_budget_fill",
+    "ext_source_cap",
+    "ext_embed_knn_eval",
+    "stat_ab_ttest",
+    "ts_changepoint_cusum",
+    "stat_benford_digits",
+    "stream_static_enrich",
+    "join_asof_nearest",
+    "stat_ks_drift",
+    "agg_skyline_pareto",
+)
+R5_ADDITIONS_FIRST = "ext_dedup_cluster_from_store"  # tuple-tail block start
+# Round-5 plan rewrites whose r4 driver rows are stale (numeric order).
+CHANGED_TPCH = (
+    "sql_tpch_q2",
+    "sql_tpch_q11",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+)
+# Fresh canaries: untouched since their r1/r2 green rows, three distinct
+# tiers (windows / streaming / UDF); never previously used as canaries.
+CANARIES = ("win_latest_per_key", "stream_dedup_keys", "udf_pandas_scalar")
 
 
 def rotated() -> list[str]:
     cur = list(DRIVER_KEY_PRIORITY)
-    i0 = cur.index(REMAINDER_FIRST)
-    i1 = cur.index(REMAINDER_LAST)
-    i2 = cur.index(R4_ADDITIONS_LAST)
-    remainder = cur[i0 : i1 + 1]  # 33-key round-1-era remainder
-    r4_adds = cur[i1 + 1 : i2 + 1]  # 14 round-4 additions
-    r6_pool = cur[i2 + 1 :]  # additions past recall_eval -> round 6
-    old_window = [k for k in cur[:i0] if k not in CANARIES]
-    new = remainder + r4_adds + list(CANARIES) + r6_pool + old_window
+    i_adds = cur.index(R5_ADDITIONS_FIRST)
+    r5_adds = cur[i_adds:]  # 16 round-5 additions, in addition order
+    window = list(FROZEN_TAIL) + r5_adds + list(CHANGED_TPCH) + list(CANARIES)
+    fronted = set(window)
+    rest = [k for k in cur if k not in fronted]
+    new = window + rest
     assert len(new) == len(set(new)) == len(set(cur) | set(CANARIES)), (
         "rotation lost or duplicated keys"
     )
-    window = new[:50]
-    assert window[0] == REMAINDER_FIRST and window[32] == REMAINDER_LAST
-    assert window[33] == r4_adds[0] and window[46] == R4_ADDITIONS_LAST
-    assert tuple(window[47:50]) == CANARIES, "canaries must sit at 48-50"
+    assert len(r5_adds) == 16, f"expected 16 round-5 additions, got {len(r5_adds)}"
+    assert len(window) == 40, f"window is {len(window)}, expected 40"
+    assert tuple(new[37:40]) == CANARIES, "canaries must close the window"
     return new
 
 
@@ -61,20 +95,23 @@ def main() -> int:
     new = rotated()
     if "--check" in sys.argv:
         print(
-            f"rotation ok: {len(new)} keys, window 1-33 remainder, "
-            f"34-47 round-4 additions, 48-50 canaries, "
-            f"51-{50 + len(new) - 50} tail ({len(new) - 50} keys)"
+            f"rotation ok: {len(new)} keys, window 1-13 frozen tail, "
+            f"14-29 round-5 additions, 30-37 rewritten TPC-H, "
+            f"38-40 canaries, 41+ already-green ({len(new) - 40} keys)"
         )
         return 0
     print("DRIVER_KEY_PRIORITY: tuple[str, ...] = (")
-    print("    # --- round-5 window: 33 round-1-era remainder keys ---")
+    print("    # --- round-6 window: 13-key frozen never-checked tail ---")
     for i, k in enumerate(new):
-        if i == 33:
-            print("    # --- round-4 additions through ext_dedup_recall_eval ---")
-        elif i == 47:
-            print("    # --- cross-round canaries at positions 48-50 ---")
-        elif i == 50:
-            print("    # --- round-6 pool (never driver-checked), then green r4 keys ---")
+        if i == 13:
+            print("    # --- 16 round-5 additions, in addition order ---")
+        elif i == 29:
+            print("    # --- 8 round-5-rewritten TPC-H queries (stale r4 rows) ---")
+        elif i == 37:
+            print("    # --- cross-round canaries at the window's end;")
+            print("    #     round-6 additions insert BEFORE these ---")
+        elif i == 40:
+            print("    # --- already driver-green (full coverage at r6) ---")
         print(f'    "{k}",')
     print(")")
     return 0
