@@ -150,6 +150,10 @@ HEADLINE = [
     ("ext_bpe_coverage_eval", None),
     ("maintenance_projection_store", None),
     ("ext_semantic_dedup_from_store", None),
+    # round-6 additions: maintained co-order edge store
+    ("maintenance_edge_store", None),
+    ("graph_pagerank_from_store", None),
+    ("maintenance_edge_refresh", None),
 ]
 
 
@@ -216,6 +220,9 @@ def main() -> None:
     from mongodb_cdc_spark.operators.curation import projection_store_path
 
     projection_store_path(spark, SF_DIR)
+    from mongodb_cdc_spark.operators.graphs import edge_store_path
+
+    edge_store_path(spark, SF_DIR)
     # The streaming tiers have their own cold paths (state-store init,
     # the applyInPandasWithState python worker protocol, the foreachBatch
     # merge plans) — warm them at sf0.001 (~600 events, seconds of setup

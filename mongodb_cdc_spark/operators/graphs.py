@@ -209,3 +209,226 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOPK)
         .select("node", F.col("rank").cast("bigint").alias("rank_e6"))
     )
+
+
+# --------------------------------------------------------------------------
+# maintained co-order edge store — the 100 TB answer to the edge build
+# --------------------------------------------------------------------------
+# The edge builds above self-join the (order, part) fact against itself
+# per query — the one operator SCALING.md flags as single-machine-bound
+# near ~600 M lineitem rows. Production never re-derives the graph per
+# query: it maintains the pair-support aggregate as a table (this store)
+# and refreshes it INCREMENTALLY per ingest wave (`maintenance_edge_refresh`)
+# — co-order pairs live entirely within one order, so a wave of new
+# orders contributes exactly its own pairs and supports ADD. The fact ×
+# fact self-join is thereby amortized to one wave-sized build per ingest,
+# and every graph query reads a (a, b, support) aggregate whose size is
+# the number of DISTINCT co-ordered pairs, not the fact.
+#
+# The store holds ALL pair supports (support >= 1, no minsup HAVING):
+# the relative minsup threshold is applied at READ time, because a pair
+# below today's threshold can cross it after any wave — pruning inside
+# the store would make the maintenance lossy. Orientation is a < b.
+
+_PAIR_SUPPORT_SQL = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+    FROM op a
+    JOIN op b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+"""
+
+
+def edge_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) and return the co-order pair
+    support store for ``sf_dir``: one row per oriented part pair
+    (a < b) with its exact co-ordering order count. Shared by the
+    maintenance operator and every store-consuming graph query."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    import json as _json
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    # _v2: adds the _corpus_meta.json sidecar (orders count at build
+    # time) so read-time threshold derivation needs no orders scan.
+    path = _os.path.join(scratch_root(), f"coorder_edges_{sf_name}_v2")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        register_views(spark, sf_dir)
+        pairs = spark.sql(_PAIR_SUPPORT_SQL)
+        n_orders = spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
+        stage = path + ".stage"
+        # repartition by the pagerank join key so store scans start
+        # co-partitioned on `a` (file-level clustering; the read side
+        # still shuffles once for the und/deg build, but off an
+        # aggregate, not the fact)
+        pairs.repartition(8, "a").write.mode("overwrite").parquet(stage)
+        # underscore-prefixed sidecar: Spark's file listing skips it.
+        # Holds the corpus stats the relative minsup needs at read time;
+        # a production refresh wave updates it alongside the merge.
+        with open(_os.path.join(stage, "_corpus_meta.json"), "w") as fh:
+            _json.dump({"n_orders": int(n_orders)}, fh)
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+def _edge_store_threshold(path: str) -> int:
+    """Relative minsup threshold from the store's corpus sidecar —
+    max(2, n_orders/50k), the same formula as `_edges_sql`, derived
+    without touching the orders table at read time."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_corpus_meta.json")) as fh:
+        meta = _json.load(fh)
+    return max(2, int(meta["n_orders"]) // 50000)
+
+
+@query(
+    "maintenance_edge_store",
+    oracle=f"""
+    WITH ps AS ({_PAIR_SUPPORT_SQL})
+    SELECT (SELECT COUNT(*) FROM ps) AS n_pairs,
+           CAST((SELECT COALESCE(SUM(support), 0) FROM ps) AS BIGINT)
+             AS support_total,
+           CAST(0 AS BIGINT) AS orientation_violations,
+           CAST(0 AS BIGINT) AS dup_pairs
+    """,
+)
+def maintenance_edge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the co-order pair-support aggregate (one row per oriented
+    part pair with exact support) and read it back — the maintenance
+    step that amortizes the fact x fact edge build across every graph
+    query. The oracle is EXACT on the full store: pair count and total
+    support match an independent DuckDB build, orientation (a < b
+    everywhere) and keyedness (no duplicate pairs) hold structurally.
+
+    Scale: built once per ingest wave (see `maintenance_edge_refresh`
+    for the incremental path), size = distinct co-ordered pairs — the
+    sf0.1 store is ~1.2 M rows of 3 BIGINTs vs a 6 M-row fact, and at
+    100 TB the read side of every graph query scans this aggregate
+    instead of shuffling lineitem."""
+    store = spark.read.parquet(edge_store_path(spark, sf_dir))
+    return store.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("support").cast("bigint").alias("support_total"),
+        F.sum(F.when(F.col("a") >= F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orientation_violations"),
+        (F.count(F.lit(1)) - F.countDistinct("a", "b"))
+        .cast("bigint")
+        .alias("dup_pairs"),
+    )
+
+
+@query("graph_pagerank_from_store", oracle=_pr_sql())
+def graph_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_pagerank`'s production shape: identical top-20 integer
+    PageRank (same oracle, hash-identical result), but the edge list
+    comes from the persisted pair-support store with the relative
+    minsup applied at read time — no lineitem self-join in the query
+    path. The iteration loop mirrors graph_pagerank above line for
+    line; only the edge source differs.
+
+    Scale: the query-path cost drops from O(fact self-join) to
+    O(store scan + 3 keyed joins on the pruned aggregate). The
+    threshold comes from the store's corpus sidecar (no orders scan),
+    and the pruned edge list is cached rather than checkpointed — the
+    source is a cheap pushed-filter store scan, so re-derivation is
+    affordable and the whole query is a single Spark job."""
+    path = edge_store_path(spark, sf_dir)
+    thr = _edge_store_threshold(path)
+    edges = (
+        spark.read.parquet(path)
+        .where(F.col("support") >= F.lit(thr))
+        .select("a", "b")
+        .cache()
+    )
+    und = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranked = und.join(deg, "src").groupBy(F.col("dst").alias("node")).agg(
+        F.expr("150000 + (850 * SUM(1000000 div d)) div 1000").alias("rank")
+    )
+    for _ in range(2):
+        ranked = (
+            und.join(deg, "src")
+            .join(ranked.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("150000 + (850 * SUM(rank div d)) div 1000").alias("rank"))
+        )
+    return (
+        ranked.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(_PR_TOPK)
+        .select("node", F.col("rank").cast("bigint").alias("rank_e6"))
+    )
+
+
+@query(
+    "maintenance_edge_refresh",
+    oracle=f"""
+    WITH ps AS ({_PAIR_SUPPORT_SQL})
+    SELECT (SELECT COUNT(*) FROM ps) AS n_pairs,
+           CAST((SELECT COALESCE(SUM(support), 0) FROM ps) AS BIGINT)
+             AS support_total,
+           CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_edge_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental edge-store refresh, verified against the full build:
+    split orders into a base corpus and an ingest wave (the
+    deterministic test stand-in is l_orderkey % 10 == 0 ~ 10% of
+    orders; production keys the wave on the ingest watermark), build
+    pair supports for each side INDEPENDENTLY, and merge by summed
+    support. Because a co-order pair lives entirely within one order,
+    wave supports ADD exactly — the merged store must equal the
+    from-scratch build row for row, and the returned
+    ``merge_mismatches`` (full-outer-join rows where supports differ or
+    a pair is missing on either side) proves it at 0.
+
+    Scale: this is the operator that retires the flagged fact x fact
+    self-join at 100 TB — the steady-state cost is one self-join over
+    the WAVE's lineitems (bounded by wave size x basket^2) plus one
+    keyed merge shuffle of store + delta on (a, b). The base build here
+    exists only to verify the algebra; production reads the persisted
+    store as the base."""
+    register_views(spark, sf_dir)
+    wave_pairs = """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_orderkey % 10 {cmp} 0)
+        SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+        FROM op a
+        JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    """
+    base = spark.sql(wave_pairs.format(cmp="<>"))
+    delta = spark.sql(wave_pairs.format(cmp="="))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("a", "b")
+        .agg(F.sum("support").alias("support"))
+    )
+    full = spark.read.parquet(edge_store_path(spark, sf_dir)).select(
+        "a", "b", F.col("support").alias("support_full")
+    )
+    joined = merged.join(full, ["a", "b"], "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("support_full").cast("bigint").alias("support_total"),
+        F.sum(
+            F.when(
+                ~F.col("support").eqNullSafe(F.col("support_full")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("merge_mismatches"),
+    )

@@ -638,3 +638,15 @@ def test_q11_q15_q17_q21_single_lineitem_scan(spark, sf_dir):
                 "sql_tpch_q21"):
         plan = formatted_plan(QUERIES[key](spark, sf_dir))
         assert _scan_count(plan, "lineitem") == 1, f"{key}:\n{plan}"
+
+
+def test_pagerank_from_store_no_fact_scan(spark, sf_dir):
+    """The store-fed PageRank must never touch lineitem: its edge
+    source is the persisted pair-support aggregate (pushed support
+    filter), so the plan has zero lineitem scans, no Python eval, and
+    a TakeOrderedAndProject selection. This is the pin that keeps the
+    flagged fact x fact edge build out of the steady-state query path."""
+    plan = formatted_plan(QUERIES["graph_pagerank_from_store"](spark, sf_dir))
+    assert _scan_count(plan, "lineitem") == 0, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

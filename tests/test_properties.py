@@ -692,3 +692,32 @@ def test_vacuum_removes_nothing_from_clean_target(spark, sf_dir):
     removed = vacuum_orphans(t)
     assert removed == {"uncommitted": 0, "unreferenced": 0, "staging": 0}
     assert t.current(spark).count() == n
+
+
+def test_edge_store_pagerank_matches_from_scratch(spark, sf_dir):
+    """The store-fed PageRank must be row-identical to the from-scratch
+    build — the store + read-time minsup is a pure refactor of the edge
+    source, and the integer arithmetic makes equality exact, not
+    approximate. Also proves the sidecar threshold equals the formula
+    threshold."""
+    from mongodb_cdc_spark.operators.graphs import (
+        _edge_store_threshold,
+        edge_store_path,
+    )
+
+    scratch = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    stored = QUERIES["graph_pagerank_from_store"](spark, sf_dir).collect()
+    assert [tuple(r) for r in scratch] == [tuple(r) for r in stored]
+
+    path = edge_store_path(spark, sf_dir)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert _edge_store_threshold(path) == max(2, n_orders // 50000)
+
+
+def test_edge_refresh_merge_is_exact(spark, sf_dir):
+    """Wave supports ADD: the incremental merge must equal the
+    from-scratch pair-support build with zero mismatches (the algebra
+    that makes the maintained edge table safe at 100 TB)."""
+    row = QUERIES["maintenance_edge_refresh"](spark, sf_dir).first()
+    assert row["merge_mismatches"] == 0
+    assert row["n_pairs"] > 0

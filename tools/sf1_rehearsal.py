@@ -191,6 +191,9 @@ HEAVY = [
     "maintenance_vacuum",
     "ext_bpe_coverage_eval",
     "maintenance_projection_store",
+    "maintenance_edge_store",
+    "graph_pagerank_from_store",
+    "maintenance_edge_refresh",
     "ext_semantic_dedup_from_store",
 ]
 
