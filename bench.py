@@ -150,7 +150,12 @@ HEADLINE = [
     ("ext_bpe_coverage_eval", None),
     ("maintenance_projection_store", None),
     ("ext_semantic_dedup_from_store", None),
-    # round-6 additions: maintained co-order edge store
+    # round-6 additions: maintained co-order edge store + the edge-tier
+    # amortization pair (from-store LSH candidates vs from-text — the
+    # row pair that carries the >=2x store claim; the cluster pair
+    # shares its CC fixpoint so its ratio ceilings near 1.7x, see
+    # SCALING.md)
+    ("ext_dedup_from_store", None),
     ("maintenance_edge_store", None),
     ("graph_pagerank_from_store", None),
     ("maintenance_edge_refresh", None),
@@ -220,6 +225,9 @@ def main() -> None:
     from mongodb_cdc_spark.operators.curation import projection_store_path
 
     projection_store_path(spark, SF_DIR)
+    from mongodb_cdc_spark.operators.curation import exact_dup_map_store_path
+
+    exact_dup_map_store_path(spark, SF_DIR)
     from mongodb_cdc_spark.operators.graphs import edge_store_path
 
     edge_store_path(spark, SF_DIR)

@@ -620,6 +620,31 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def exact_dup_map_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) and return the exact-dup star-edge
+    store for ``sf_dir``: one (doc_a=keeper, doc_b=member) row per
+    NON-representative doc in each identical-md5(text) group — the
+    second artifact an ingest pass persists beside the MinHash
+    signatures, so a from-store clustering run touches NO document text
+    at all (signatures for the near tier, this map for the exact tier).
+    Tiny by construction: one row per exact duplicate, zero rows on a
+    dup-free corpus."""
+    from mongodb_cdc_spark.operators.extensions import exact_dup_pairs
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"exactdup_map_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        stage = path + ".stage"
+        exact_dup_pairs(d).write.mode("overwrite").parquet(stage)
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
 @query(
     "maintenance_signature_store",
     oracle=f"""

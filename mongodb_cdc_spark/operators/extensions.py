@@ -1219,18 +1219,39 @@ def dedup_cluster_labels_from_store(spark: SparkSession, sf_dir: str) -> DataFra
     assignment (same edge set — the persisted signatures ARE the from-text
     signatures, parity-pinned in tests/test_curation.py), but the near-dup
     edges come from `candidate_pairs_from_signatures` over the persisted
-    MinHash store (curation.signature_store_path) instead of re-running
-    shingle -> xxhash64-minhash over the full text. At 100 TB that is the
-    production shape: clustering re-runs per corpus release, and this path
-    scans ~72 bytes/doc of signatures plus one md5-groupBy of the text
-    (for the exact tier) instead of re-shingling the dominant text bytes
-    every run."""
-    from mongodb_cdc_spark.operators.curation import signature_store_path
+    MinHash store (curation.signature_store_path) and the exact-tier
+    star edges from the persisted dup map
+    (curation.exact_dup_map_store_path) instead of re-running
+    shingle -> xxhash64-minhash and md5-groupBy over the full text. At
+    100 TB that is the production shape: clustering re-runs per corpus
+    release, and this path scans ~72 bytes/doc of signatures plus a
+    dup-count-sized edge table — no document text at all.
+
+    Measured floor (SCALING.md round 6): the CC fixpoint itself (~4 s
+    at sf0.1) is SHARED with the from-text twin, so this pair's bench
+    ratio ceilings near 1.7x regardless of how cheap the stores get —
+    the >=2x amortization lives in the edge-build tier, where BENCH's
+    `ext_dedup_from_store` vs `ext_dedup_near_minhash` rows show it
+    directly."""
+    from mongodb_cdc_spark.operators.curation import (
+        exact_dup_map_store_path,
+        signature_store_path,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     store = spark.read.parquet(signature_store_path(spark, sf_dir))
     near_pairs = candidate_pairs_from_signatures(store)
-    return cc_labels_over_docs(d, exact_dup_pairs(d).unionByName(near_pairs))
+    # exact tier from the persisted dup map (round 6): the from-store
+    # path now reads NO document text — signatures for the near tier,
+    # the star-edge map for the exact tier; only the final
+    # isolated-doc join touches the documents table, and that is a
+    # doc_id-pruned scan. Edge-set parity with exact_dup_pairs(d) is
+    # by construction (the store IS that frame persisted) and pinned
+    # in tests/test_curation.py.
+    exact_pairs = spark.read.parquet(
+        exact_dup_map_store_path(spark, sf_dir)
+    )
+    return cc_labels_over_docs(d, exact_pairs.unionByName(near_pairs))
 
 
 def cc_labels_over_docs(d: DataFrame, edges: DataFrame) -> DataFrame:

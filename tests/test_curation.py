@@ -475,3 +475,25 @@ def test_embed_knn_eval_plan_has_group_limit(spark, sf_dir):
     plan = formatted_plan(ext_embed_knn_eval(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dup_map_store_matches_from_text(spark, sf_dir):
+    """The persisted exact-dup star-edge map must equal
+    exact_dup_pairs(documents) row for row — the parity that lets the
+    from-store clustering read NO text for the exact tier."""
+    from mongodb_cdc_spark.operators.curation import exact_dup_map_store_path
+    from mongodb_cdc_spark.operators.extensions import exact_dup_pairs
+    from mongodb_cdc_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    from_text = {
+        (r["doc_a"], r["doc_b"]) for r in exact_dup_pairs(d).collect()
+    }
+    stored = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(
+            exact_dup_map_store_path(spark, sf_dir)
+        ).collect()
+    }
+    assert from_text == stored
+    assert all(a < b for a, b in stored)  # keeper is always the min id
