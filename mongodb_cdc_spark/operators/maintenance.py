@@ -236,7 +236,12 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     open(_os.path.join(orphan_unref, "_COMMITTED"), "w").close()
     _os.makedirs(_os.path.join(tdir, ".staging", "v" + "1" * 20))
 
-    removed = vacuum_orphans(target)
+    # retention_s=0: this operator IS the single writer of its private
+    # fixture target and the injected debris is seconds old; production
+    # sweeps use the default VACUUM_RETENTION_S age gate (see
+    # streaming/maintenance.py), exercised in tests/test_properties.py
+    # (fresh debris retained at the default).
+    removed = vacuum_orphans(target, retention_s=0)
 
     after = content_sum(target.current(spark))
     readable = True

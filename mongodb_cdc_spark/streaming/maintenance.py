@@ -52,7 +52,17 @@ def compact_parquet_dir(
     os.rename(staging, path)
 
 
-def vacuum_orphans(target) -> dict[str, int]:
+#: Default VACUUM retention: debris younger than this is left alone, so
+#: a vacuum racing an in-flight merge_batch (staged write not yet
+#: renamed; renamed dir not yet marked _COMMITTED; marked dir not yet in
+#: the manifest) can never delete the writer's work — the same reason
+#: Delta/Iceberg gate VACUUM on a retention age. One day is generous
+#: against any real write latency while still draining crash debris on
+#: the next scheduled sweep.
+VACUUM_RETENTION_S = 24 * 3600
+
+
+def vacuum_orphans(target, retention_s: float = VACUUM_RETENTION_S) -> dict[str, int]:
     """Delete unreachable files from a :class:`ParquetUpsertTarget` —
     the VACUUM every versioned table needs, because crashes leave three
     kinds of debris the snapshot protocol makes invisible to readers
@@ -71,11 +81,32 @@ def vacuum_orphans(target) -> dict[str, int]:
     log-is-truth rule Delta/Iceberg VACUUM follows. Returns counts per
     debris class.
 
+    Concurrency: deletion of staging dirs and marker-less version dirs
+    is gated on ``retention_s`` (mtime age, default
+    :data:`VACUUM_RETENTION_S`): merge_batch stages under
+    ``.staging/<version>``, renames, and only then writes
+    ``_COMMITTED`` / appends the manifest — so without the age gate a
+    vacuum racing a live writer could delete an in-flight staged write
+    or a renamed-but-not-yet-marked version dir. Debris younger than
+    the window is counted as ``retained_young`` and left for the next
+    sweep, the Delta/Iceberg VACUUM contract. Tests that fabricate
+    fresh debris pass ``retention_s=0`` explicitly (single-writer by
+    construction there).
+
     Scale: the scan is one directory listing per bucket (metadata-only,
     no data read); at real table sizes the listing fans out through the
     object store's prefix API exactly like the merge path's own
     bucket listing, and the deletes are embarrassingly parallel."""
     import shutil
+    import time
+
+    now = time.time()
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return (now - os.path.getmtime(path)) >= retention_s
+        except OSError:
+            return False  # vanished under us: someone else's problem
 
     referenced: set[str] = set()
     for v in target.snapshots():
@@ -83,11 +114,20 @@ def vacuum_orphans(target) -> dict[str, int]:
             referenced.add(
                 os.path.abspath(os.path.join(target.path, f"bucket={b}", bv))
             )
-    removed = {"uncommitted": 0, "unreferenced": 0, "staging": 0}
+    removed = {
+        "uncommitted": 0,
+        "unreferenced": 0,
+        "staging": 0,
+        "retained_young": 0,
+    }
     staging = os.path.join(target.path, ".staging")
     if os.path.isdir(staging):
         for s in os.listdir(staging):
-            shutil.rmtree(os.path.join(staging, s), ignore_errors=True)
+            sfull = os.path.join(staging, s)
+            if not _old_enough(sfull):
+                removed["retained_young"] += 1
+                continue
+            shutil.rmtree(sfull, ignore_errors=True)
             removed["staging"] += 1
     for name in os.listdir(target.path):
         bdir = os.path.join(target.path, name)
@@ -98,9 +138,18 @@ def vacuum_orphans(target) -> dict[str, int]:
                 continue
             vfull = os.path.abspath(os.path.join(bdir, vdir))
             if not os.path.exists(os.path.join(vfull, "_COMMITTED")):
+                if not _old_enough(vfull):
+                    removed["retained_young"] += 1
+                    continue
                 shutil.rmtree(vfull, ignore_errors=True)
                 removed["uncommitted"] += 1
             elif vfull not in referenced:
+                # a marked dir missing from every retained manifest is
+                # either crash debris or aged out of the log; the same
+                # pre-manifest race applies, so the gate applies too
+                if not _old_enough(vfull):
+                    removed["retained_young"] += 1
+                    continue
                 shutil.rmtree(vfull, ignore_errors=True)
                 removed["unreferenced"] += 1
     return removed

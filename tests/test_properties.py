@@ -690,8 +690,54 @@ def test_vacuum_removes_nothing_from_clean_target(spark, sf_dir):
     )
     n = t.current(spark).count()
     removed = vacuum_orphans(t)
-    assert removed == {"uncommitted": 0, "unreferenced": 0, "staging": 0}
+    assert removed == {
+        "uncommitted": 0,
+        "unreferenced": 0,
+        "staging": 0,
+        "retained_young": 0,
+    }
     assert t.current(spark).count() == n
+
+
+def test_vacuum_retention_gate_spares_fresh_debris(spark, sf_dir):
+    """A vacuum at the default retention must NOT delete fresh debris
+    (the guard that makes it safe against a concurrent writer mid
+    stage-rename-mark-manifest, r5 ADVICE); the same debris IS removed
+    at retention_s=0."""
+    import os
+    import uuid
+
+    from mongodb_cdc_spark.sources.changefeed import (
+        derive_change_log,
+        scratch_root,
+    )
+    from mongodb_cdc_spark.streaming.maintenance import vacuum_orphans
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        upsert_projection,
+    )
+
+    t = ParquetUpsertTarget(
+        os.path.join(scratch_root(), f"vac_gate_{uuid.uuid4().hex[:8]}"),
+        n_buckets=2,
+    )
+    t.merge_batch(
+        upsert_projection(derive_change_log(spark, sf_dir)), epoch_id=1
+    )
+    # fresh marker-less version dir + fresh staging dir = an in-flight
+    # writer's footprint
+    orphan = os.path.join(t.path, "bucket=0", "v" + "8" * 20)
+    os.makedirs(orphan)
+    os.makedirs(os.path.join(t.path, ".staging", "v" + "7" * 20))
+
+    at_default = vacuum_orphans(t)
+    assert at_default["uncommitted"] == 0 and at_default["staging"] == 0
+    assert at_default["retained_young"] == 2
+    assert os.path.isdir(orphan)  # still there
+
+    at_zero = vacuum_orphans(t, retention_s=0)
+    assert at_zero["uncommitted"] == 1 and at_zero["staging"] == 1
+    assert not os.path.isdir(orphan)
 
 
 def test_edge_store_pagerank_matches_from_scratch(spark, sf_dir):

@@ -163,13 +163,16 @@ def main() -> int:
         keys = [k for k in keys if k in only]
     failures = 0
     for i, key in enumerate(keys, 1):
-        # Recycle the DuckDB connection every 50 keys: one connection
+        # Recycle the DuckDB connection every 40 keys: one connection
         # serving a 260-key sweep accumulated enough allocator state to
         # throw a spurious 2 KB OutOfMemoryException around key ~156
         # (observed round 5, sf0.01, 122 GB free RAM) — an oracle-side
-        # environment flake, not an engine result. The real driver runs
-        # ~50 keys per round, which this recycle cadence mirrors.
-        if i > 1 and i % 50 == 1:
+        # environment flake, not an engine result. 40 matches
+        # gate_full_sweep.sh's CHUNK so a chunked sweep recycles exactly
+        # once per process start; in an unchunked long run the cadence
+        # fires in-process. (Was 50; aligned with CHUNK=40 per r5
+        # ADVICE — within a 40-key chunk a 50-cadence never fired.)
+        if i > 1 and i % 40 == 1:
             con.close()
             con = duckdb_connect(sf_dir)
         r = check_key(spark, con, key, sf_dir)

@@ -1,13 +1,13 @@
 #!/bin/bash
-# Full-registry hostile gate sweep, chunked into fresh 50-key processes.
+# Full-registry hostile gate sweep, chunked into fresh 40-key processes.
 #
 # One process cannot walk all 260+ keys: every toPandas() leaves
 # short-lived JVM serve threads behind, and ~125 keys in, thread creation
 # hits the container pid limit (std::system_error "Resource temporarily
-# unavailable" — see driver_gate_sim.py --skip). Fresh 50-key processes
-# stay near the real gate's ~50-key window while keeping JVM peak
-# thread count clear of the pid ceiling (the streaming-tier chunk is the
-# heaviest; 50-key chunks sat right on the cliff).
+# unavailable" — see driver_gate_sim.py --skip). CHUNK=40 stays near the
+# real gate's ~50-key window while keeping JVM peak thread count clear
+# of the pid ceiling (the streaming-tier chunk is the heaviest; 50-key
+# chunks sat right ON the cliff, hence 40).
 #
 # A failing chunk prints its FAIL lines and is retried ONCE in a fresh
 # process (streaming e2e keys can flake under load); a repeat failure is
