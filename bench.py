@@ -159,6 +159,8 @@ HEADLINE = [
     ("maintenance_edge_store", None),
     ("graph_pagerank_from_store", None),
     ("maintenance_edge_refresh", None),
+    ("graph_triangle_from_store", None),
+    ("maintenance_signature_refresh", None),
 ]
 
 

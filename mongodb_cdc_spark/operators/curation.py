@@ -1413,3 +1413,118 @@ def ext_semantic_dedup_from_store(
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# maintenance_signature_refresh — incremental MinHash store maintenance
+# --------------------------------------------------------------------------
+# The wave algebra for the SIGNATURE store, completing the maintained-
+# artifact tier (edges: graphs.maintenance_edge_refresh; projections:
+# rebuild-only, see the docstring). Ingest is append-only, so wave
+# doc_ids are strictly greater than every base doc_id — which makes the
+# exact-dup representative of every group STABLE under refresh: a group
+# seen in the base keeps its base rep (the min id), and only groups
+# whose first member arrives in the wave need new signatures. The
+# refresh therefore re-shingles ONLY wave-new texts.
+
+
+def _sign_reps(reps: DataFrame) -> DataFrame:
+    """MinHash-sign a (doc_id, text) representative frame — the same
+    shingle/seed geometry as the signature store build (docs under the
+    2-token bigram minimum naturally drop out)."""
+    from mongodb_cdc_spark.operators.extensions import (
+        minhash_signatures_from_shingles,
+    )
+
+    tok = reps.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+    )
+    return minhash_signatures_from_shingles(tok)
+
+
+@query(
+    "maintenance_signature_refresh",
+    oracle=f"""
+    WITH cut AS (SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents),
+    full_reps AS (
+      SELECT MIN(doc_id) AS rep FROM documents
+      WHERE len({tokens_sql('text')}) >= 2
+      GROUP BY md5(text)
+    )
+    SELECT (SELECT COUNT(*) FROM full_reps) AS n_signatures,
+           (SELECT COUNT(*) FROM full_reps
+            WHERE rep > (SELECT c FROM cut)) AS n_wave_new,
+           CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_signature_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental signature-store refresh, verified against the full
+    build: split the corpus at the 90th-percentile doc_id (the
+    deterministic stand-in for an append-only ingest wave), sign the
+    base normally, sign ONLY the wave's md5-groups whose hash is absent
+    from the base (left anti on the hash — a wave doc joining an
+    existing group changes nothing, because append-only ids keep the
+    base rep minimal), and union. The merged store must equal the
+    from-scratch signature build row for row and column for column —
+    ``merge_mismatches`` (full-outer-join rows where any of the 8
+    minhash columns differs or a doc is missing on either side) proves
+    it at 0, hash-checked.
+
+    Scale: steady-state cost is md5-grouping the WAVE (wave-sized
+    shuffle of 16-byte hashes), one anti-join against the base hash
+    set, and re-shingling only wave-NEW text — the dominant full-corpus
+    shingle pass happens once at bootstrap, never per release. The
+    projection store (rank-based) deliberately has no such algebra:
+    per-cluster ranks are global, so its refresh is a rebuild — that
+    asymmetry (additive stores refresh, rank stores rebuild) is the
+    honest maintenance contract."""
+    d = load_table(spark, sf_dir, "documents")
+    cutoff = int(
+        d.agg(F.expr("(MAX(doc_id) * 9) div 10").alias("c")).first()["c"]
+    )  # bounded 1-row scalar
+    base = d.filter(F.col("doc_id") <= cutoff)
+    wave = d.filter(F.col("doc_id") > cutoff)
+    base_groups = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    wave_groups = wave.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    wave_new = wave_groups.join(
+        base_groups.select("h"), "h", "left_anti"
+    )
+    base_sigs = _sign_reps(base_groups.select("doc_id", "text"))
+    new_sigs = _sign_reps(wave_new.select("doc_id", "text"))
+    merged = base_sigs.unionByName(new_sigs)
+    full = spark.read.parquet(signature_store_path(spark, sf_dir))
+    from mongodb_cdc_spark.operators.extensions import _MINHASH_SEEDS
+
+    m = merged.alias("m")
+    f = full.select(
+        "doc_id",
+        *[
+            F.col(f"mh{s}").alias(f"fmh{s}")
+            for s in range(_MINHASH_SEEDS)
+        ],
+    ).alias("f")
+    joined = m.join(f, "doc_id", "full_outer")
+    col_mismatch = sum(
+        (
+            (~F.col(f"mh{s}").eqNullSafe(F.col(f"fmh{s}"))).cast("int")
+            for s in range(_MINHASH_SEEDS)
+        ),
+        F.lit(0),
+    )
+    checks = joined.agg(
+        F.sum(F.when(col_mismatch > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("merge_mismatches")
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).alias("n_signatures"))
+        .crossJoin(new_sigs.agg(F.count(F.lit(1)).alias("n_wave_new")))
+        .crossJoin(checks)
+        .select("n_signatures", "n_wave_new", "merge_mismatches")
+    )

@@ -767,3 +767,21 @@ def test_edge_refresh_merge_is_exact(spark, sf_dir):
     row = QUERIES["maintenance_edge_refresh"](spark, sf_dir).first()
     assert row["merge_mismatches"] == 0
     assert row["n_pairs"] > 0
+
+
+def test_triangle_from_store_matches_from_scratch(spark, sf_dir):
+    """Store-fed triangle count equals the from-scratch build exactly
+    (same oracle; the store + read-time minsup is a pure refactor of
+    the edge source)."""
+    scratch = QUERIES["graph_triangle_count"](spark, sf_dir).first()
+    stored = QUERIES["graph_triangle_from_store"](spark, sf_dir).first()
+    assert tuple(scratch) == tuple(stored)
+
+
+def test_signature_refresh_merge_is_exact(spark, sf_dir):
+    """The wave-refresh algebra: merged signatures equal the
+    from-scratch store with zero mismatches, and the wave-new count is
+    bounded by the wave size."""
+    row = QUERIES["maintenance_signature_refresh"](spark, sf_dir).first()
+    assert row["merge_mismatches"] == 0
+    assert 0 <= row["n_wave_new"] <= row["n_signatures"]

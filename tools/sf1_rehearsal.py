@@ -194,6 +194,8 @@ HEAVY = [
     "maintenance_edge_store",
     "graph_pagerank_from_store",
     "maintenance_edge_refresh",
+    "graph_triangle_from_store",
+    "maintenance_signature_refresh",
     "ext_semantic_dedup_from_store",
 ]
 
