@@ -161,6 +161,7 @@ HEADLINE = [
     ("maintenance_edge_refresh", None),
     ("graph_triangle_from_store", None),
     ("maintenance_signature_refresh", None),
+    ("ext_sim_ivf_multiprobe_recall", None),
 ]
 
 

@@ -96,6 +96,32 @@ def test_ivf_rank1_recall_against_bruteforce(spark, sf_dir):
     assert ivf & brute, "IVF found zero of the true top-10"
 
 
+def test_ivf_multiprobe_recall_parity_and_monotone(spark, sf_dir):
+    """The multi-probe eval's p1 column must be bit-identical to the
+    single-probe eval (the probe's rank-1 centroid IS its assignment
+    bucket under the same unrolled dot ordering), and widening the
+    candidate pool can never lose a true hit: a candidate that displaces
+    a brute-top-10 member from the searched top-10 outranks it by exact
+    cosine, hence is itself a brute-top-10 member — so recall at
+    nprobe=3 is per-probe >= recall at nprobe=1, structurally."""
+    single = {
+        r.probe_id: r.recall_bp
+        for r in QUERIES["ext_sim_ivf_recall_eval"](spark, sf_dir).collect()
+    }
+    multi = QUERIES["ext_sim_ivf_multiprobe_recall"](spark, sf_dir).collect()
+    assert len(multi) == len(single) == 32
+    for r in multi:
+        assert r.recall_bp_p1 == single[r.probe_id], (
+            f"p1 parity broke for probe {r.probe_id}"
+        )
+        assert r.recall_bp_p3 >= r.recall_bp_p1, (
+            f"recall shrank when widening probes for {r.probe_id}"
+        )
+    # strict uplift in aggregate: if multi-probing buys nothing the
+    # nprobe dial (and this operator) would be pointless.
+    assert sum(r.recall_bp_p3 for r in multi) > sum(r.recall_bp_p1 for r in multi)
+
+
 def test_simhash_exact_dup_hamming_zero(spark, sf_dir):
     """Simhash pairs are rep-level (exact dups collapse before signing):
     hamming in [0, 3] and doc_a < doc_b ordering hold for every pair."""

@@ -197,6 +197,7 @@ HEAVY = [
     "graph_triangle_from_store",
     "maintenance_signature_refresh",
     "ext_semantic_dedup_from_store",
+    "ext_sim_ivf_multiprobe_recall",
 ]
 
 
