@@ -162,6 +162,8 @@ HEADLINE = [
     ("graph_triangle_from_store", None),
     ("maintenance_signature_refresh", None),
     ("ext_sim_ivf_multiprobe_recall", None),
+    ("maintenance_ivf_store", None),
+    ("ext_sim_ann_from_store", None),
 ]
 
 

@@ -44,6 +44,7 @@ from mongodb_cdc_spark.functions.vectors import (
     cosine,
     cosine_unrolled_sql,
     dot,
+    dot_unrolled_sql,
     lsh_bit_sum_sql,
 )
 from mongodb_cdc_spark.io import load_table, register_views
@@ -779,6 +780,37 @@ def ext_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 
 
+def ivf_assignments(e: DataFrame) -> DataFrame:
+    """``vec_id -> (bucket, embedding)``: nearest-of-K-centroid
+    assignment, shared verbatim by :func:`ann_ivf_topk` (per-query) and
+    :func:`ivf_store_path` (persisted). Broadcast map-side pass over the
+    K=8 centroid rows + ONE map-side-combinable
+    ``max(struct(sim, -cent_id, embedding))`` hash aggregate — argmin
+    over K without a per-vector row_number window (which would shuffle
+    N*K rows into WindowExec). Ties break to the lowest cent_id, the
+    same ``(dot DESC, cent_id ASC)`` order every oracle states."""
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        dot("embedding", "cent").alias("sim"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("sim"),
+            (-F.col("cent_id")).alias("neg_cent"),
+            F.col("embedding"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        (-best.getField("neg_cent")).cast("int").alias("bucket"),
+        best.getField("embedding").alias("embedding"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic seed centroids (vec_id < 8), assign
     every vector to its nearest centroid, then search ONLY the probe's
@@ -798,29 +830,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-hashable invariants. Recall vs brute force is also measured in
     tests against `ext_sim_cosine_topk`."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        dot("embedding", "cent").alias("sim"),
-    )
     # argmax by (sim, -cent_id): lexicographic struct max picks the highest
     # similarity, lowest centroid id on ties — deterministic, and the
     # embedding rides along in the struct so no second join is needed.
-    best = F.max(
-        F.struct(
-            F.col("sim"),
-            (-F.col("cent_id")).alias("neg_cent"),
-            F.col("embedding"),
-        )
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        (-best.getField("neg_cent")).cast("int").alias("bucket"),
-        best.getField("embedding").alias("embedding"),
-    )
+    assigned = ivf_assignments(e)
     probe = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("bucket").alias("probe_bucket")
     )
@@ -880,6 +893,183 @@ def ext_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "got_results boolean, one_bucket boolean, "
         "ranks_consecutive boolean, recall_positive boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# maintenance_ivf_store / ext_sim_ann_from_store — persisted IVF index
+# --------------------------------------------------------------------------
+
+_IVF_STORE_NPROBE = 3  # the measured operating point (ext_sim_ivf_multiprobe_recall)
+
+
+def ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) and return the persisted IVF
+    index for ``sf_dir``: every vector's centroid assignment, written
+    ``partitionBy("bucket")`` so a probe search reads ONLY its probed
+    buckets — partition pruning makes the nprobe/K candidate fraction
+    an I/O fraction, which is how an IVF index shards at 100 TB (each
+    bucket is a directory a 1000-executor scan prunes by name, no
+    manifest needed). Same once-per-corpus stage-then-rename discipline
+    as `signature_store_path`; K is part of the cache key so a geometry
+    bump can never serve a stale-width index."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"ivf_store_{sf_name}_k{_IVF_K}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        stage = path + ".stage"
+        ivf_assignments(e).write.mode("overwrite").partitionBy("bucket").parquet(
+            stage
+        )
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+_IVF_STORE_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS bucket FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dot_unrolled_sql('e.embedding', 'c.cent', dialect='duck')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM assigned GROUP BY bucket ORDER BY bucket ASC
+"""
+
+
+@query("maintenance_ivf_store", oracle=_IVF_STORE_ORACLE)
+def maintenance_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the IVF centroid assignments (bucket-partitioned parquet,
+    `ivf_store_path`) and read back the per-bucket histogram — the
+    maintenance step that turns `ext_sim_ann_ivf`'s per-query full-corpus
+    assignment pass into a one-time ingest cost, completing the
+    maintained-store tier (MinHash signatures / semantic projections /
+    co-order edges) for the similarity tier.
+
+    The oracle recomputes every assignment from scratch in DuckDB
+    (same unrolled left-associative dot, same lowest-cent_id tiebreak)
+    and compares the full per-bucket histogram — any assignment drift
+    between the persisted index and the declared semantics moves a
+    vector between buckets and breaks the hash. The histogram is also
+    the operational skew check: a degenerate centroid seeding shows up
+    here as one fat bucket (the signal to re-seed, exactly like the
+    capped-LSH-bucket signal)."""
+    store = spark.read.parquet(ivf_store_path(spark, sf_dir))
+    return (
+        store.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+_ANN_FROM_STORE_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    probe AS (
+      SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+    ),
+    pbuckets AS (
+      SELECT cent_id FROM (
+        SELECT c.cent_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {dot_unrolled_sql('pr.p', 'c.cent', dialect='duck')} DESC,
+                          c.cent_id ASC) AS cr
+        FROM cents c CROSS JOIN probe pr
+      ) t WHERE cr <= {_IVF_STORE_NPROBE}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dot_unrolled_sql('e.embedding', 'c.cent', dialect='duck')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id, a.bucket,
+             {cosine_unrolled_sql('a.embedding', 'pr.p', dialect='duck')} AS c
+      FROM assigned a
+      JOIN pbuckets pb ON a.bucket = pb.cent_id
+      CROSS JOIN probe pr
+      WHERE a.vec_id <> 0
+    )
+    SELECT rk, vec_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
+    FROM (SELECT vec_id, bucket, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, vec_id ASC) AS rk
+          FROM cand)
+    WHERE rk <= 10 ORDER BY rk ASC
+"""
+
+
+@query("ext_sim_ann_from_store", oracle=_ANN_FROM_STORE_ORACLE)
+def ext_sim_ann_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ANN probe: top-10 neighbours of probe vec_id=0 served
+    from the persisted IVF index at the MEASURED nprobe=3 operating
+    point (`ext_sim_ivf_multiprobe_recall`: 23% -> 57% mean recall) —
+    the from-store twin of `ext_sim_ann_ivf`, and the query shape a
+    100 TB deployment actually runs: no assignment pass, no corpus
+    scan, just
+
+    * rank the K=8 broadcast centroids against the probe (bounded:
+      nprobe rows collected, the documented <=3-row scalar pattern);
+    * read ONLY those bucket directories from the bucket-partitioned
+      store — the literal IN-list lands in the scan's PartitionFilters
+      (plan-pinned), so I/O is nprobe/K of the index at any scale;
+    * exact cosine + TakeOrderedAndProject over the pruned candidates.
+
+    The oracle replays the whole path (probe buckets, assignments,
+    bucket-restricted top-10) from the raw embeddings table, so a stale
+    or drifted store breaks the hash. Scores ship as FLOOR(c*1e6)
+    BIGINTs (ranking floats never leave the ORDER BY; ties break by
+    vec_id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    ranked = (
+        probe.crossJoin(F.broadcast(cents))
+        .select("cent_id", dot("p", "cent").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+        .limit(_IVF_STORE_NPROBE)
+    )
+    # bounded driver-side scalars: exactly nprobe (=3) bucket ids, so the
+    # partition filter below is a literal IN-list the scan can prune on.
+    buckets = [int(r.cent_id) for r in ranked.collect()]
+    store = spark.read.parquet(ivf_store_path(spark, sf_dir))
+    cand = (
+        store.filter(F.col("bucket").isin(buckets) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "bucket", cosine("embedding", "p").alias("c"))
+    )
+    top = cand.orderBy(F.col("c").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.col("c").desc(), F.col("vec_id").asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        "vec_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.floor(F.col("c") * 1000000).cast("bigint").alias("cos_e6"),
+    ).orderBy("rk")
 
 
 _LSH_PROBES = 32

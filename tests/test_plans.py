@@ -650,3 +650,20 @@ def test_pagerank_from_store_no_fact_scan(spark, sf_dir):
     assert _scan_count(plan, "lineitem") == 0, plan
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ann_from_store_partition_pruned(spark, sf_dir):
+    """The from-store ANN probe must read ONLY its nprobe bucket
+    directories: the literal bucket IN-list lands in the store scan's
+    PartitionFilters (I/O = nprobe/K of the index at any scale), the
+    only embeddings-table scans are the broadcast centroid/probe dims,
+    and the top-10 is TakeOrderedAndProject, never a global sort."""
+    plan = formatted_plan(QUERIES["ext_sim_ann_from_store"](spark, sf_dir))
+    store_scans = [
+        ln for ln in plan.splitlines() if "Location" in ln and "ivf_store_" in ln
+    ]
+    assert store_scans, f"no ivf store scan in plan:\n{plan}"
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "bucket" in ln]
+    assert any("IN" in ln for ln in pf), f"bucket IN-list not pruned:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan, plan

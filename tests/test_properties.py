@@ -811,3 +811,31 @@ def test_signature_refresh_merge_is_exact(spark, sf_dir):
     row = QUERIES["maintenance_signature_refresh"](spark, sf_dir).first()
     assert row["merge_mismatches"] == 0
     assert 0 <= row["n_wave_new"] <= row["n_signatures"]
+
+
+def test_ivf_store_assignment_parity(spark, sf_dir):
+    """The persisted IVF index must agree with a from-scratch assignment
+    on EVERY vector (the oracle checks the per-bucket histogram; this is
+    the stronger row-level join), and the from-store probe search must
+    return results only from the probe's nprobe buckets."""
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.extensions import (
+        _IVF_STORE_NPROBE,
+        ivf_assignments,
+        ivf_store_path,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    store = spark.read.parquet(ivf_store_path(spark, sf_dir))
+    fresh = ivf_assignments(e).select("vec_id", F.col("bucket").alias("b2"))
+    joined = store.select("vec_id", "bucket").join(fresh, "vec_id", "full_outer")
+    assert joined.filter(
+        F.col("bucket").isNull()
+        | F.col("b2").isNull()
+        | (F.col("bucket") != F.col("b2"))
+    ).count() == 0, "persisted IVF assignments drifted from from-scratch"
+
+    res = QUERIES["ext_sim_ann_from_store"](spark, sf_dir).collect()
+    assert 1 <= len(res) <= 10
+    assert len({r.bucket for r in res}) <= _IVF_STORE_NPROBE
+    assert [r.rk for r in res] == list(range(1, len(res) + 1))

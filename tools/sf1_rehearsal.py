@@ -198,6 +198,8 @@ HEAVY = [
     "maintenance_signature_refresh",
     "ext_semantic_dedup_from_store",
     "ext_sim_ivf_multiprobe_recall",
+    "maintenance_ivf_store",
+    "ext_sim_ann_from_store",
 ]
 
 
