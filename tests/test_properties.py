@@ -839,3 +839,19 @@ def test_ivf_store_assignment_parity(spark, sf_dir):
     assert 1 <= len(res) <= 10
     assert len({r.bucket for r in res}) <= _IVF_STORE_NPROBE
     assert [r.rk for r in res] == list(range(1, len(res) + 1))
+
+
+def test_registry_wrapper_restores_defensive_confs(spark, sf_dir):
+    """Every registered operator must self-defend via
+    ensure_session_confs even when its data path short-circuits
+    load_table (the cached-changelog timezone leak: a warm-cache
+    stream_stateful_upsert as the FIRST key of an America/New_York
+    driver session shifted every ts_epoch by 5 h). The registry
+    decorator is the chokepoint — breaking the session timezone and
+    calling ANY registered key must restore UTC before the body runs."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        QUERIES["topk_orders"](spark, sf_dir).collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
