@@ -164,6 +164,7 @@ HEADLINE = [
     ("ext_sim_ivf_multiprobe_recall", None),
     ("maintenance_ivf_store", None),
     ("ext_sim_ann_from_store", None),
+    ("maintenance_ivf_refresh", None),
 ]
 
 

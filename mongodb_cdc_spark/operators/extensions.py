@@ -780,7 +780,7 @@ def ext_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 
 
-def ivf_assignments(e: DataFrame) -> DataFrame:
+def ivf_assignments(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """``vec_id -> (bucket, embedding)``: nearest-of-K-centroid
     assignment, shared verbatim by :func:`ann_ivf_topk` (per-query) and
     :func:`ivf_store_path` (persisted). Broadcast map-side pass over the
@@ -788,10 +788,16 @@ def ivf_assignments(e: DataFrame) -> DataFrame:
     ``max(struct(sim, -cent_id, embedding))`` hash aggregate — argmin
     over K without a per-vector row_number window (which would shuffle
     N*K rows into WindowExec). Ties break to the lowest cent_id, the
-    same ``(dot DESC, cent_id ASC)`` order every oracle states."""
-    cents = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
-    )
+    same ``(dot DESC, cent_id ASC)`` order every oracle states.
+
+    ``cents`` (``cent_id``, ``cent``) overrides the default
+    derive-from-``e`` centroids — the refresh path assigns an ingest
+    wave against the store's FIXED centroid version, and the wave frame
+    does not contain the centroid rows."""
+    if cents is None:
+        cents = e.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -1070,6 +1076,70 @@ def ext_sim_ann_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("bucket"),
         F.floor(F.col("c") * 1000000).cast("bigint").alias("cos_e6"),
     ).orderBy("rk")
+
+
+@query(
+    "maintenance_ivf_refresh",
+    oracle=f"""
+    WITH cut AS (SELECT (MAX(vec_id) * 9) // 10 AS c FROM embeddings)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+             AS n_assignments,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id > (SELECT c FROM cut)) AS n_wave,
+           CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-store refresh, verified against the full build:
+    split the corpus at the 90th-percentile vec_id (the same
+    append-only-ingest-wave stand-in as `maintenance_signature_refresh`),
+    assign the base normally, assign ONLY the wave vectors against the
+    store's FIXED centroids, and union. ``merge_mismatches``
+    (full-outer-join rows vs the persisted store where the bucket
+    differs or a vector is missing on either side) proves merged ==
+    from-scratch at 0, hash-checked.
+
+    This store's wave algebra is the STRONGEST of the maintained tier,
+    and the docstring contract says why: assignment is per-vector
+    independent given a centroid version (no group representatives as
+    in the signature store, no global ranks as in the rebuild-only
+    projection store), so refresh is exactly additive — assign the
+    wave (wave x K broadcast rows), append its rows to the bucket
+    directories, done. Centroids themselves are part of the store's
+    version key (`ivf_store_path` ..._k{{K}}_v1): re-training them is a
+    new index version + rebuild, never an in-place mutation — the
+    Faiss/SCANN operational contract.
+
+    Scale: steady-state cost is the wave-sized broadcast-assign + a
+    per-bucket append; the full-corpus assignment happens once at
+    bootstrap. Nothing here shuffles the base."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cutoff = int(
+        e.agg(F.expr("(MAX(vec_id) * 9) div 10").alias("c")).first()["c"]
+    )  # bounded 1-row scalar
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    base = ivf_assignments(e.filter(F.col("vec_id") <= cutoff), cents=cents)
+    wave = ivf_assignments(e.filter(F.col("vec_id") > cutoff), cents=cents)
+    merged = base.unionByName(wave)
+    store = spark.read.parquet(ivf_store_path(spark, sf_dir)).select(
+        "vec_id", F.col("bucket").alias("sbucket")
+    )
+    joined = merged.select("vec_id", "bucket").join(store, "vec_id", "full_outer")
+    checks = joined.agg(
+        F.sum(
+            F.when(~F.col("bucket").eqNullSafe(F.col("sbucket")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("merge_mismatches")
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).cast("bigint").alias("n_assignments"))
+        .crossJoin(wave.agg(F.count(F.lit(1)).cast("bigint").alias("n_wave")))
+        .crossJoin(checks)
+        .select("n_assignments", "n_wave", "merge_mismatches")
+    )
 
 
 _LSH_PROBES = 32

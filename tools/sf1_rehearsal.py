@@ -200,6 +200,7 @@ HEAVY = [
     "ext_sim_ivf_multiprobe_recall",
     "maintenance_ivf_store",
     "ext_sim_ann_from_store",
+    "maintenance_ivf_refresh",
 ]
 
 
