@@ -165,6 +165,7 @@ HEADLINE = [
     ("maintenance_ivf_store", None),
     ("ext_sim_ann_from_store", None),
     ("maintenance_ivf_refresh", None),
+    ("stream_ivf_ingest", None),
 ]
 
 

@@ -1142,6 +1142,80 @@ def maintenance_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_vector_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the embeddings corpus as an n-file parquet feed for
+    the streaming ingest path (cached by (sf, n_files) — pure function
+    of the input table, same discipline as ``write_change_log``)."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"vecfeed_{sf_name}_{n_files}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        e.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+@query("stream_ivf_ingest", oracle=_IVF_STORE_ORACLE)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance — the ingest story the maintained
+    IVF store runs at 100 TB: vectors arrive as an unbounded feed
+    (``maxFilesPerTrigger=1`` forces several micro-batches), each
+    micro-batch is assigned against the FIXED broadcast centroids
+    inside ``foreachBatch`` (stream-static: the wave algebra of
+    `maintenance_ivf_refresh` applied per batch), and appended to a
+    bucket-partitioned target. The final per-bucket histogram must
+    equal the batch-built store's — SAME oracle as
+    `maintenance_ivf_store` — proving continuous ingest converges to
+    the batch build exactly.
+
+    Exactly-once by idempotence, the engine-wide sink contract: each
+    batch writes ``mode("overwrite")`` into its own ``batch=<id>``
+    directory, so a foreachBatch retry replaces its own output instead
+    of duplicating rows (at-least-once delivery + idempotent apply =
+    stable fixpoint). Scale: per-batch cost is batch x K broadcast
+    rows, nothing reshuffles previously ingested data; the target
+    layout (batch=N/bucket=B) is readable by the same
+    partition-pruning probe as the store."""
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_to_completion,
+    )
+
+    feed = write_vector_feed(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    target = new_scratch_dir("ivf_ingest_target")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        ivf_assignments(bdf, cents=cents).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{target}/batch={batch_id}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", new_scratch_dir("ivf_ingest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    built = spark.read.parquet(target)
+    return (
+        built.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
 _LSH_PROBES = 32
 _LSH_MAX_BUCKET = 256  # degenerate-bucket guard, mirrored in the oracle
 

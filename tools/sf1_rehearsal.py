@@ -201,6 +201,7 @@ HEAVY = [
     "maintenance_ivf_store",
     "ext_sim_ann_from_store",
     "maintenance_ivf_refresh",
+    "stream_ivf_ingest",
 ]
 
 
