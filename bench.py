@@ -166,6 +166,15 @@ HEADLINE = [
     ("ext_sim_ann_from_store", None),
     ("maintenance_ivf_refresh", None),
     ("stream_ivf_ingest", None),
+    # round-6 overflow tier (round-7 window): composed IVF+PQ ANN,
+    # span-removal dedup, nonparametric stats, linear interpolation
+    ("maintenance_pq_store", None),
+    ("ext_sim_ivfpq_rerank", None),
+    ("ext_sim_ivfpq_recall_eval", None),
+    ("ext_dedup_span_remove", None),
+    ("stat_chi_square", None),
+    ("stat_mann_whitney", None),
+    ("ts_interpolate_linear", None),
 ]
 
 

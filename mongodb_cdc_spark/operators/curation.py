@@ -155,6 +155,189 @@ def ext_ngram_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ext_dedup_span_remove — duplicated-span REMOVAL (not just measurement)
+# --------------------------------------------------------------------------
+# `ext_ngram_dup_coverage` scores boilerplate risk; this operator acts on
+# it — the exact-substring-dedup transform (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): spans whose trigram is
+# corpus-duplicated are CUT from the document, and the cleaned text is
+# what a training pipeline would feed downstream. Word-trigram spans
+# stand in for the paper's 50-byte substrings (the suffix-array scale
+# trick is the shingle+hash decomposition below, which distributes;
+# a literal distributed suffix array does not).
+#
+# "Duplicated" is self-calibrating, not a magic constant: a trigram TYPE
+# is duplicated iff its doc-frequency STRICTLY exceeds the corpus's own
+# 90th-percentile type docfreq (exact discrete quantile, integer rank
+# (9n+9) div 10 over (df, h) order — no float in the rank). A fixed
+# absolute df cut measured non-transferable on this corpus (df>=4 removes
+# 25% at sf0.01 but 99.9% at sf0.1, where the median type df is 9);
+# the quantile point removes the top type-decile at every SF
+# (measured: 25.8% / 25.2% / 31.7% of tokens at sf0.001/0.01/0.1,
+# with 470+/500 docs touched and both slices non-empty).
+
+_SPAN_Q_NUM = 9  # quantile rank numerator: rank = (9*n + 9) div 10 = ceil(0.9n)
+
+
+@query(
+    "ext_dedup_span_remove",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, pos,
+             substring(md5(toks[pos] || ' ' || toks[pos+1] || ' ' ||
+                           toks[pos+2]), 1, 16) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS pos
+            FROM toked WHERE len(toks) >= 3) t
+    ),
+    dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM tri GROUP BY h),
+    q AS (
+      SELECT df AS q90 FROM (
+        SELECT df, ROW_NUMBER() OVER (ORDER BY df ASC, h ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dfreq) t
+      WHERE rn = (9 * n + 9) // 10
+    ),
+    dup AS (SELECT h FROM dfreq, q WHERE df > q90),
+    starts AS (
+      SELECT t.doc_id, t.pos FROM tri t JOIN dup d USING (h)
+    ),
+    p AS (
+      SELECT doc_id, pos, toks[pos] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+            FROM toked) t
+    ),
+    fl AS (
+      SELECT p.doc_id, p.pos, p.tok,
+             CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+      FROM p LEFT JOIN (SELECT DISTINCT doc_id, pos FROM starts) s
+        ON p.doc_id = s.doc_id AND p.pos = s.pos
+    ),
+    cov AS (
+      SELECT doc_id, pos, tok,
+             MAX(ds) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+      FROM fl
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_removed,
+           substring(md5(COALESCE(
+             string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY pos),
+             '')), 1, 16) AS clean_hash
+    FROM cov GROUP BY doc_id
+    """,
+)
+def ext_dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut corpus-duplicated trigram spans out of every document and
+    report, per doc, the token counts and a 16-hex fingerprint of the
+    CLEANED text (the hash keeps row width bounded; the rebuild itself
+    is exact — a drifted token order or a wrongly kept/cut token breaks
+    the hash against DuckDB's string_agg reconstruction).
+
+    A token at position p is cut iff ANY duplicated trigram starts in
+    [p-2, p] — exactly the span-coverage rule of exact-substring dedup.
+
+    Plan (two shuffles, nothing corpus-quadratic):
+    1. trigram-at-position table -> 16-byte md5 keys; type docfreq =
+       one h-keyed aggregate (COUNT DISTINCT doc). The strict-quantile
+       threshold is computed on the trigram TYPE table (vocabulary-
+       bound; the two global windows in that rank are the documented
+       report-scale exception — at 100 TB this table is the tokenizer
+       vocabulary's trigram closure, millions of rows, not the corpus).
+    2. duplicated start-positions flow BACK per doc as a collect_set
+       array (bounded by tokens/doc), one doc-keyed shuffle; coverage,
+       token filtering, and the text rebuild are then ONE codegen map
+       pass over higher-order array functions — no posexplode row blowup,
+       no per-position window. The in-lambda `exists` scan is
+       O(tokens x starts) per doc, bounded by chunk length squared
+       (documents are pre-chunked upstream by `ext_doc_chunks`).
+
+    Cited parity: reference has no text tier (SURVEY.md §2A); this is
+    north-star LLM-pipeline surface (SNIPPETS.md substring-dedup
+    pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    tk = F.col("toks")
+    # trigrams built array-side, then posexploded: the exploded frame
+    # carries (doc_id, pos, 16-byte hash) only — never the token array
+    tri = (
+        toked.filter(F.size(tk) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(tk, i),
+                        F.element_at(tk, i + 1),
+                        F.element_at(tk, i + 2),
+                    ),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.substring(F.md5("g"), 1, 16).alias("h"),
+        )
+    )
+    dfreq = tri.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    # exact discrete 90th-percentile docfreq over the TYPE table
+    # (vocabulary-bound global windows — report-scale by contract)
+    wq = Window.orderBy(F.col("df").asc(), F.col("h").asc())
+    ranked = dfreq.select(
+        "df",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    # integer ceil: rank (9n+9) div 10 == ceil(0.9n) — integral on both
+    # engines, no float quantile boundary to disagree on
+    q90 = ranked.filter(
+        F.col("rn") == F.expr("(9 * n + 9) div 10")
+    ).select(F.col("df").alias("q90"))
+    dup = (
+        dfreq.crossJoin(F.broadcast(q90))
+        .filter(F.col("df") > F.col("q90"))
+        .select("h")
+    )
+    starts = (
+        tri.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dup_starts"))
+    )
+    joined = toked.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("dup_starts", F.array().cast("array<int>")).alias("ds"),
+    )
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    keep = F.filter(
+        idx,
+        lambda p: ~F.exists(
+            F.col("ds"), lambda s: (s >= p - 2) & (s <= p)
+        ),
+    )
+    clean = F.array_join(
+        F.transform(keep, lambda p: F.element_at(F.col("toks"), p)), " "
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(keep)).cast("bigint").alias("n_removed"),
+        F.substring(F.md5(clean), 1, 16).alias("clean_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
 # ext_semantic_dedup — SemDeDup with multi-projection sorted neighborhoods
 # --------------------------------------------------------------------------
 # Cluster embeddings around deterministic seed centroids, then WITHIN each

@@ -1252,3 +1252,248 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift_bp"), F.asc("p1"), F.asc("p2")
     ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# stat_chi_square — two-way independence test over the order mix
+# --------------------------------------------------------------------------
+# The categorical companion to stat_ab_ttest (means) and stat_ks_drift
+# (distributions): is o_orderstatus independent of o_orderpriority?
+# Pearson chi-square on the full contingency table, in the Benford
+# operator's exact-integer dialect: per-cell contribution
+# 1e6*(N*obs - rt*ct)^2 / (N*rt*ct) with the cross-multiplied difference
+# squared in DECIMAL(38,0)/HUGEINT — exact while N^2*1e3 fits 38 digits
+# (~1e8 fact rows; past that, production runs the same query with the
+# difference pre-divided, trading the last e6 digit).
+
+_CHI2_CELL = """
+    SELECT o_orderstatus AS st, o_orderpriority AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM orders GROUP BY 1, 2
+"""
+
+
+def _chi2_contrib(cast: str, div: str) -> str:
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    diff = f"({c('nt')} * {c('n_obs')} - {c('rt')} * {c('ct')})"
+    return (
+        f"CAST(({diff} * {diff} * 1000000)"
+        f" {div} ({c('nt')} * {c('rt')} * {c('ct')}) AS BIGINT)"
+    )
+
+
+@query(
+    "stat_chi_square",
+    oracle=f"""
+    WITH cells AS ({_CHI2_CELL}),
+    t AS (
+      SELECT st, pr, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY st) AS BIGINT) AS rt,
+             CAST(SUM(n_obs) OVER (PARTITION BY pr) AS BIGINT) AS ct,
+             CAST(SUM(n_obs) OVER () AS BIGINT) AS nt
+      FROM cells
+    ),
+    dims AS (
+      SELECT (COUNT(DISTINCT st) - 1) * (COUNT(DISTINCT pr) - 1) AS dof
+      FROM cells
+    )
+    SELECT st, pr, n_obs,
+           CAST((rt * ct * 100) // nt AS BIGINT) AS expected_e2,
+           {_chi2_contrib('HUGEINT', '//')} AS chi2_contrib_e6,
+           CAST(SUM({_chi2_contrib('HUGEINT', '//')}) OVER () AS BIGINT)
+             AS chi2_total_e6,
+           CAST(dof AS BIGINT) AS dof
+    FROM t, dims
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of order status x priority:
+    per cell the observed count, expected count (e2), exact-integer
+    chi-square contribution (e6), plus the table-wide statistic and
+    degrees of freedom on every row (a window over the 15-cell frame).
+
+    Scale: ONE map-side-combinable aggregate collapses the fact to the
+    (status x priority) contingency table — bounded by category
+    cardinality, never rows — and every margin/window/division after
+    runs on that tiny frame. The same shape serves any pair of
+    categorical columns; at 100 TB the only fact-sized work is the
+    first hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    t = cells.select(
+        "st",
+        "pr",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("st")).cast("bigint").alias("rt"),
+        F.sum("n_obs").over(Window.partitionBy("pr")).cast("bigint").alias("ct"),
+        F.sum("n_obs")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    dims = cells.agg(
+        (
+            (F.countDistinct("st") - 1) * (F.countDistinct("pr") - 1)
+        )
+        .cast("bigint")
+        .alias("dof")
+    )
+    contrib = _chi2_contrib("DECIMAL(38,0)", "div")
+    t = t.withColumn("chi2_contrib_e6", F.expr(contrib))
+    return t.crossJoin(F.broadcast(dims)).select(
+        "st",
+        "pr",
+        "n_obs",
+        F.expr("CAST((rt * ct * 100) div nt AS BIGINT)").alias("expected_e2"),
+        "chi2_contrib_e6",
+        F.sum("chi2_contrib_e6")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("chi2_total_e6"),
+        "dof",
+    )
+
+
+# --------------------------------------------------------------------------
+# stat_mann_whitney — rank-sum test, tie-corrected, exact-integer ranks
+# --------------------------------------------------------------------------
+# The nonparametric twin of stat_ab_ttest: does the 'click' arm's value
+# distribution stochastically dominate 'view'? Ranks (the part that is
+# usually float-fragile) stay EXACT: average ranks are carried doubled
+# (2*avgrank = 2*minrank + ties - 1, always integral), the rank-sum and
+# U statistic are exact integers in doubled units, and floats appear
+# only in the final z normalization — one division + one exactly-rounded
+# SQRT on already-exact integers, identical expression both engines.
+
+_MW_A, _MW_B = "click", "view"
+_MW_XI = "CAST(FLOOR(value * 100) AS BIGINT)"
+
+
+def _mw_z(cast: str) -> str:
+    """z = (U - n1*n2/2) / sigma, tie-corrected:
+    sigma^2 = (n1*n2/12) * ((n+1) - T/(n*(n-1))), computed as doubles
+    from exact wide-integer moments (T = sum(c^3 - c) over tie groups)."""
+
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    num = f"(CAST({c('u_x2')} - {c('n1')} * {c('n2')} AS DOUBLE) / 2.0)"
+    sig2 = (
+        f"((CAST({c('n1')} * {c('n2')} AS DOUBLE) / 12.0)"
+        f" * (CAST(n1 + n2 + 1 AS DOUBLE)"
+        f" - CAST({c('tie_t')} AS DOUBLE)"
+        f" / CAST({c('n1')} * ({c('n1')} + {c('n2')})"
+        f" + {c('n2')} * ({c('n1')} + {c('n2')}) - {c('n1')} - {c('n2')}"
+        f" AS DOUBLE)))"
+    )
+    return f"({num} / SQRT({sig2}))"
+
+
+@query(
+    "stat_mann_whitney",
+    oracle=f"""
+    WITH pool AS (
+      SELECT {_MW_XI} AS xi,
+             CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS ina
+      FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+    ),
+    vals AS (
+      SELECT xi, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(ina) AS BIGINT) AS ca
+      FROM pool GROUP BY xi
+    ),
+    rk AS (
+      SELECT xi, c, ca,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY xi ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS BIGINT) AS minrank
+      FROM vals
+    ),
+    m AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+             CAST(SUM(c - ca) AS BIGINT) AS n2,
+             CAST(SUM(ca * (2 * minrank + c - 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie_t
+      FROM rk
+    ),
+    u AS (
+      SELECT n1, n2, r1_x2, tie_t,
+             CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2
+      FROM m
+    )
+    SELECT n1, n2, u_x2,
+           CAST(n1 * n2 AS BIGINT) AS mu_x2,
+           {_round4(_mw_z('HUGEINT'))} AS z_score,
+           (ABS({_round4(_mw_z('HUGEINT'))}) > 1.96) AS significant_95
+    FROM u
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U ('click' vs 'view' event values, docstring block
+    above): group sizes, the U statistic in exact doubled units, its
+    null mean, and the tie-corrected z with the |z| > 1.96 flag.
+
+    Scale: the pooled fact collapses FIRST to the distinct-VALUE table
+    (one map-combinable aggregate; ~1.8k rows here, bounded by the value
+    domain, not row count) — minranks are a running window over that
+    type table (the documented vocabulary-bound global-window
+    exception), and the final statistics are a 1-row aggregate. The
+    classic formulation ranks raw rows with a global N-row window; this
+    one never windows the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        F.expr(_MW_XI).alias("xi"),
+        F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("ina"),
+    )
+    vals = pool.groupBy("xi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("ina").cast("bigint").alias("ca"),
+    )
+    wr = (
+        Window.orderBy(F.col("xi").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = vals.select(
+        "xi",
+        "c",
+        "ca",
+        (F.coalesce(F.sum("c").over(wr), F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("minrank"),
+    )
+    m = rk.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n2"),
+        F.sum(F.col("ca") * (2 * F.col("minrank") + F.col("c") - 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_t"),
+    )
+    u = m.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        "tie_t",
+        F.expr("CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT)").alias("u_x2"),
+    )
+    z = _mw_z("DECIMAL(38,0)")
+    return u.select(
+        "n1",
+        "n2",
+        "u_x2",
+        F.expr("CAST(n1 * n2 AS BIGINT)").alias("mu_x2"),
+        F.expr(_round4(z)).alias("z_score"),
+        F.expr(f"(ABS({_round4(z)}) > 1.96)").alias("significant_95"),
+    )

@@ -909,3 +909,160 @@ def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_interpolate_linear — interior-gap linear interpolation (vs LOCF)
+# --------------------------------------------------------------------------
+# `ts_gapfill_daily` carries the LAST observation across gaps (step
+# function); this is the other resample every metrics warehouse ships —
+# straight-line interpolation between the surrounding observations.
+# Exactness: observations land as e2 fixed-point cents, the interpolated
+# value is prev + round_half_up((next-prev)*(d-prev_d)/(next_d-prev_d))
+# in pure sign-mirrored integer arithmetic — no float ever enters, so
+# the fill is bit-identical across engines (LOCF could pass doubles
+# through untouched; interpolation cannot, hence the fixed point).
+
+_ILIN_DIV = (
+    "CASE WHEN {num} >= 0 THEN (2 * ({num}) + {den}) {div} (2 * ({den})) "
+    "ELSE -((2 * (-({num})) + {den}) {div} (2 * ({den}))) END"
+)
+
+
+def _ilin_interp(div: str, datediff: str) -> str:
+    num = f"(next_v - prev_v) * ({datediff.format(a='d', b='prev_d')})"
+    den = datediff.format(a="next_d", b="prev_d")
+    half = _ILIN_DIV.format(num=num, den=den, div=div)
+    return (
+        f"CASE WHEN is_observed = 1 THEN obs_v "
+        f"ELSE prev_v + ({half}) END"
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    last_obs AS (
+        SELECT user_id, d, v FROM daily WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id, MIN(d) AS mn, MAX(d) AS mx
+        FROM last_obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+        FROM span
+    ),
+    fr AS (
+      SELECT g.user_id, g.d,
+             o.v AS obs_v,
+             CAST(CASE WHEN o.d IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_observed,
+             last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(o.d IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(o.d IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM grid g
+      LEFT JOIN last_obs o ON o.user_id = g.user_id AND o.d = g.d
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS day, is_observed,
+           CAST({_ilin_interp('//', "date_diff('day', {b}, {a})")}
+                AS BIGINT) AS value_cents
+    FROM fr
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with straight-line interpolation across interior
+    gaps (docstring block above): per user, the dense day grid carries
+    the observed e2 value on observed days and the exact-integer linear
+    interpolation between the two surrounding observations otherwise.
+    Grid edges are always observed (span runs min..max observation), so
+    prev/next never dangle.
+
+    Scale: identical shape to `ts_gapfill_daily` — one keyed daily
+    reduce, per-key span explosion (bounded by calendar days), and
+    running windows over the user partition (two frames: backward carry
+    of (prev_v, prev_d), forward carry of (next_v, next_d) — linear
+    scans, no self-join). The interpolation itself is a codegen
+    projection."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        "ts",
+        "event_id",
+    )
+    w_day = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_obs = (
+        daily.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", "v")
+    )
+    grid = (
+        last_obs.groupBy("user_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx")).alias("d"),
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    fr = grid.join(
+        last_obs.withColumnRenamed("v", "obs_v").withColumn(
+            "is_obs", F.lit(1)
+        ),
+        ["user_id", "d"],
+        "left",
+    )
+    fr = fr.select(
+        "user_id",
+        "d",
+        "obs_v",
+        F.coalesce("is_obs", F.lit(0)).cast("bigint").alias("is_observed"),
+        F.last("obs_v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(
+            F.when(F.col("is_obs") == 1, F.col("d")), ignorenulls=True
+        )
+        .over(wb)
+        .alias("prev_d"),
+        F.first("obs_v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(
+            F.when(F.col("is_obs") == 1, F.col("d")), ignorenulls=True
+        )
+        .over(wf)
+        .alias("next_d"),
+    )
+    interp = _ilin_interp("div", "datediff({a}, {b})")
+    return fr.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        "is_observed",
+        F.expr(f"CAST({interp} AS BIGINT)").alias("value_cents"),
+    )

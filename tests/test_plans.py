@@ -667,3 +667,26 @@ def test_ann_from_store_partition_pruned(spark, sf_dir):
     assert any("IN" in ln for ln in pf), f"bucket IN-list not pruned:\n{plan}"
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ivfpq_rerank_partition_pruned(spark, sf_dir):
+    """The composed IVFPQ path must stay compressed and pruned: BOTH
+    store scans (packed codes for ADC, IVF vectors for re-rank) carry
+    the literal bucket IN-list in PartitionFilters, the code scan's
+    ReadSchema is the 12-byte (vec_id, packed) projection — never a
+    vector column — and selection is TakeOrderedAndProject with no
+    Python eval anywhere."""
+    plan = formatted_plan(QUERIES["ext_sim_ivfpq_rerank"](spark, sf_dir))
+    lines = plan.splitlines()
+    pq_scan = [ln for ln in lines if "Location" in ln and "pq_store_" in ln]
+    ivf_scan = [ln for ln in lines if "Location" in ln and "ivf_store_" in ln]
+    assert pq_scan, f"no pq store scan:\n{plan}"
+    assert ivf_scan, f"no ivf store scan:\n{plan}"
+    pf = [ln for ln in lines if "PartitionFilters" in ln and "bucket" in ln]
+    assert sum("IN" in ln for ln in pf) >= 2, f"bucket IN-lists not pruned:\n{plan}"
+    # the ADC scan reads codes, not vectors: its ReadSchema must not
+    # mention the embedding column
+    sched = [ln for ln in lines if "ReadSchema" in ln and "packed" in ln]
+    assert sched and all("embedding" not in ln for ln in sched), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -855,3 +855,31 @@ def test_registry_wrapper_restores_defensive_confs(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_span_remove_slices_nonvacuous(spark, sf_dir):
+    """The q90-relative span threshold must produce a NON-vacuous
+    transform at every SF (the bpe-coverage lesson: an eval slice that
+    is structurally empty hash-greens while measuring nothing): some
+    tokens removed somewhere, some kept everywhere it touched, counts
+    within bounds, and untouched docs keep their original token count."""
+    rows = QUERIES["ext_dedup_span_remove"](spark, sf_dir).collect()
+    assert rows, "span remove returned nothing"
+    assert all(0 <= r.n_removed <= r.n_tokens for r in rows)
+    assert any(r.n_removed > 0 for r in rows), "threshold removed nothing"
+    assert any(r.n_removed < r.n_tokens for r in rows), "everything removed"
+
+
+def test_ivfpq_recall_eval_invariants(spark, sf_dir):
+    """The IVFPQ certification must measure something real: the exact
+    top-k is full (k results exist in the probed buckets), hits are
+    bounded by both sides, and the candidate pool is the pruned
+    fraction, not the corpus."""
+    from mongodb_cdc_spark.io import load_table
+
+    r = QUERIES["ext_sim_ivfpq_recall_eval"](spark, sf_dir).collect()[0]
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert r.n_exact_topk == 10
+    assert 0 <= r.n_hit <= min(r.adc_depth_r, r.n_exact_topk)
+    assert r.n_candidates < n_corpus, "bucket prune did not prune"
+    assert r.recall_bp == r.n_hit * 10000 // r.n_exact_topk

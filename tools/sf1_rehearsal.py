@@ -202,6 +202,14 @@ HEAVY = [
     "ext_sim_ann_from_store",
     "maintenance_ivf_refresh",
     "stream_ivf_ingest",
+    # round-6 overflow tier (round-7 window)
+    "maintenance_pq_store",
+    "ext_sim_ivfpq_rerank",
+    "ext_sim_ivfpq_recall_eval",
+    "ext_dedup_span_remove",
+    "stat_chi_square",
+    "stat_mann_whitney",
+    "ts_interpolate_linear",
 ]
 
 
