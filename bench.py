@@ -175,6 +175,9 @@ HEADLINE = [
     ("stat_chi_square", None),
     ("stat_mann_whitney", None),
     ("ts_interpolate_linear", None),
+    ("stream_upsert_dlq", None),
+    ("ext_embed_outlier_filter", None),
+    ("ext_embed_hard_negatives", None),
 ]
 
 

@@ -1599,3 +1599,301 @@ def ext_sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir)
     return spark.sql(_ivf_multiprobe_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# ext_embed_outlier_filter — distance-to-centroid z-score curation
+# --------------------------------------------------------------------------
+# Embedding-side quality filtering (the SemDeDup paper's sibling move:
+# prune examples FAR from their class manifold before training): each
+# vector's exact integer L2^2 to its OWN label centroid, z-scored against
+# the label's distance distribution. Centroids are `ext_embed_centroids`'
+# exact micro-unit integers; distance and the (n, S, SS) moments are
+# exact wide integers (the stat_ab_ttest discipline), floats enter only
+# in the final (d - mean)/std — bit-identical both engines.
+
+_OUT_Z_THRESH_X100 = 200  # |z| > 2.0 flags an outlier
+
+
+def _outlier_z(cast: str) -> str:
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    mean = f"(CAST({c('S')} AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = (
+        f"(CAST({c('n')} * {c('SS')} - {c('S')} * {c('S')} AS DOUBLE)"
+        f" / CAST({c('n')} * ({c('n')} - 1) AS DOUBLE))"
+    )
+    return f"((CAST(dist2 AS DOUBLE) - {mean}) / SQRT({var}))"
+
+
+def _outlier_round4(expr: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) >= 0 "
+        f"THEN CAST(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT) AS DOUBLE)"
+        f" / 10000.0 "
+        f"ELSE -(CAST(CAST(FLOOR(-(({expr})) * 10000 + 0.5) AS BIGINT)"
+        f" AS DOUBLE) / 10000.0) END"
+    )
+
+
+@query(
+    "ext_embed_outlier_filter",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(pos - 1 AS BIGINT) AS dim, embedding[pos] AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    s AS (
+      SELECT label, dim, SUM({_VI}) AS S, COUNT(*) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label, dim,
+             CAST({_AVG_MICRO.format(div="//")} AS BIGINT) AS c
+      FROM s
+    ),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(({_VI} - c.c) * ({_VI} - c.c)) AS BIGINT) AS dist2
+      FROM ex e JOIN cents c ON e.label = c.label AND e.dim = c.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    m AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(CAST(dist2 AS HUGEINT)) AS S,
+             SUM(CAST(dist2 AS HUGEINT) * CAST(dist2 AS HUGEINT)) AS SS
+      FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist2,
+           {_outlier_round4(_outlier_z('HUGEINT'))} AS z_score,
+           (ABS({_outlier_round4(_outlier_z('HUGEINT'))})
+             > {_OUT_Z_THRESH_X100} / 100.0) AS is_outlier
+    FROM d JOIN m ON d.label = m.label
+    """,
+)
+def ext_embed_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance-to-own-centroid z-score with an |z| > 2
+    outlier flag (docstring block above) — the curation pass that cuts
+    mislabeled / off-manifold examples before contrastive or classifier
+    training, and the quantitative companion to `ext_embed_centroids`'
+    drift monitoring.
+
+    Scale: posexplode is the zero-shuffle scan-stage expansion; the
+    centroid table (labels x 64 dims) broadcasts back onto the exploded
+    frame, so the distance is ONE map-combinable (vec_id)-keyed
+    aggregate; the per-label moment frame is label-bounded. Two fact
+    passes total (centroid build + distance), no window over the fact,
+    no self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id", "label", F.col("dim").cast("bigint").alias("dim"), "v"
+    )
+    s = ex.groupBy("label", "dim").agg(
+        F.expr(f"SUM({_VI})").alias("S"), F.count(F.lit(1)).alias("n")
+    )
+    cents = s.select(
+        "label", "dim", F.expr(_AVG_MICRO.format(div="div")).alias("c")
+    )
+    d = (
+        ex.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(f"CAST(SUM(({_VI} - c) * ({_VI} - c)) AS BIGINT)").alias(
+                "dist2"
+            )
+        )
+    )
+    m = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("S"),
+        F.sum(
+            F.col("dist2").cast("decimal(38,0)")
+            * F.col("dist2").cast("decimal(38,0)")
+        ).alias("SS"),
+    )
+    z = _outlier_round4(_outlier_z("DECIMAL(38,0)"))
+    return (
+        d.join(F.broadcast(m), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            F.expr(z).alias("z_score"),
+            F.expr(
+                f"(ABS({z}) > {_OUT_Z_THRESH_X100} / 100.0)"
+            ).alias("is_outlier"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ext_embed_hard_negatives — contrastive-pair mining off the IVF buckets
+# --------------------------------------------------------------------------
+# Training-data mining for contrastive/metric learning: the valuable
+# negatives are CLOSE vectors with DIFFERENT labels. All-pairs is
+# quadratic; this reuses the IVF coarse structure (same K=8 centroids as
+# the ANN tier) + the SemDeDup sorted-neighborhood trick: within each
+# bucket, rank by projection onto the bucket's own centroid and compare
+# only pairs within window W of each other — pair budget N x W, linear.
+# Pairs that survive (cross-label, within-window) rank by exact cosine;
+# the global top pairs are the mined hard negatives.
+
+_HARDNEG_W = 8
+_HARDNEG_TOP = 50
+
+
+def _hardneg_oracle() -> str:
+    from mongodb_cdc_spark.operators.extensions import _IVF_K
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent
+      FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cent_id AS bucket FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dot_unrolled_sql('e.embedding', 'c.cent', dialect='duck')} DESC,
+                          c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT a.vec_id, a.label, a.embedding, a.bucket,
+             ROW_NUMBER() OVER (PARTITION BY a.bucket
+               ORDER BY {dot_unrolled_sql('a.embedding', 'c.cent', dialect='duck')} DESC,
+                        a.vec_id ASC) AS rnk
+      FROM assigned a JOIN cents c ON a.bucket = c.cent_id
+    ),
+    pairs AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+             x.label AS label_a, y.label AS label_b,
+             CAST(x.bucket AS BIGINT) AS bucket,
+             {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')} AS c
+      FROM ranked x JOIN ranked y
+        ON x.bucket = y.bucket
+       AND y.rnk BETWEEN x.rnk + 1 AND x.rnk + {_HARDNEG_W}
+      WHERE x.label <> y.label
+    )
+    SELECT rk, a_id, b_id, label_a, label_b, bucket,
+           CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY c DESC, a_id ASC, b_id ASC) AS rk FROM pairs)
+    WHERE rk <= {_HARDNEG_TOP} ORDER BY rk ASC
+    """
+
+
+@query("ext_embed_hard_negatives", oracle=_hardneg_oracle())
+def ext_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine the top-50 hard negative pairs (docstring block above):
+    high-cosine, cross-label, found inside IVF buckets via
+    centroid-projection sorted neighborhoods — never an all-pairs join.
+
+    Scale: assignment is the shared broadcast-K map pass
+    (`ivf_assignments` shape); the per-bucket rank is a bucket-keyed
+    window (bucket-bounded partitions); the pair stage is a rank-banded
+    self-join whose output is N x W rows by construction (the
+    `ext_semantic_dedup` pair-budget argument); selection is
+    TakeOrderedAndProject. Window width W and the projection count are
+    the recall knobs — production reruns the mining per index version,
+    exactly like the dedup tier's per-corpus W recalibration."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.functions.vectors import cosine, dot
+    from mongodb_cdc_spark.operators.extensions import _IVF_K
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        dot("embedding", "cent").alias("s"),
+    )
+    # argmax-by-(s DESC, cent_id ASC) via ONE map-combinable struct-max —
+    # the ivf_assignments shape, not a row_number window over N x K rows
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("s"),
+                    (-F.col("cent_id")).alias("nc"),
+                    F.col("label"),
+                    F.col("embedding"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.label").alias("label"),
+            F.col("m.embedding").alias("embedding"),
+            (-F.col("m.nc")).alias("bucket"),
+            F.col("m.s").alias("proj"),
+        )
+    )
+    w_rank = Window.partitionBy("bucket").orderBy(
+        F.col("proj").desc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("rnk", F.row_number().over(w_rank))
+    # rank-banded pairs via the _sem_window_pairs BLOCK join (each left
+    # row carries its block id and its successor's; the join is fully
+    # equi-keyed on (bucket, blk)) — the naive bucket-only join measured
+    # 12x time for 10x data at the 100x rehearsal (each bucket degraded
+    # to a filtered cartesian); this form is N x W by construction
+    x = ranked.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+        F.col("rnk").alias("ra"),
+    )
+    xexp = x.withColumn(
+        "blk", F.expr(f"ra div {_HARDNEG_W}")
+    ).unionByName(
+        x.withColumn("blk", F.expr(f"ra div {_HARDNEG_W} + 1"))
+    )
+    y = ranked.select(
+        F.col("bucket").alias("bucket_y"),
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+        F.col("rnk").alias("rb"),
+        F.expr(f"(rnk - 1) div {_HARDNEG_W}").alias("yblk"),
+    )
+    pairs = (
+        xexp.join(
+            y,
+            (xexp.bucket == y.bucket_y)
+            & (F.col("blk") == F.col("yblk"))
+            & (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + _HARDNEG_W),
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            "a_id", "b_id", "label_a", "label_b",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            cosine("ea", "eb").alias("c"),
+        )
+    )
+    top = pairs.orderBy(
+        F.col("c").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    ).limit(_HARDNEG_TOP)
+    w_out = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("c").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    )
+    return top.select(
+        F.row_number().over(w_out).alias("rk"),
+        "a_id", "b_id", "label_a", "label_b", "bucket",
+        F.floor(F.col("c") * 1000000).cast("bigint").alias("cos_e6"),
+    ).orderBy("rk")

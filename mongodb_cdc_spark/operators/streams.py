@@ -809,3 +809,111 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_completion(q)
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# stream_upsert_dlq — dead-letter routing under a poisoned feed
+# --------------------------------------------------------------------------
+# The reference CRASHES its batch loop on a malformed event (js:161-174
+# reads documentKey/fullDocument unguarded; js:286-299 is the restart
+# loop a poison event then spins). The engine's contract is quarantine:
+# `foreach_batch_upsert_with_dlq` (streaming/upsert.py) routes events
+# failing `invalid_event_predicate` to a dead-letter parquet and MERGEs
+# the rest. This key drives that path end-to-end under a DETERMINISTIC
+# poison pattern so the driver hash-checks both sides of the fork:
+# users ≡0 (mod 31) get an out-of-contract op type ('replace'), users
+# ≡0 (mod 37) lose their payload (fullDocument NULL) — injected into
+# the in-flight stream, not the log, so the corruption crosses the real
+# micro-batch machinery.
+
+_DLQ_ORACLE = """
+WITH good AS (
+  SELECT user_id, event_type, value, props, ts, event_id FROM events
+  WHERE user_id % 31 <> 0 AND user_id % 37 <> 0
+),
+final AS (
+  SELECT user_id, value, ts FROM (
+    SELECT user_id, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM good WHERE event_type <> 'error'
+  ) WHERE rn = 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_target_users,
+  (SELECT CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+   FROM final) AS sum_value_cents,
+  (SELECT CAST(SUM(epoch_ns(ts) // 1000000000) AS BIGINT) FROM final)
+    AS sum_ts_epoch,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+   WHERE user_id % 31 = 0 OR user_id % 37 = 0) AS n_dlq_events,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+   WHERE user_id % 31 = 0 OR user_id % 37 = 0) AS n_dlq_users
+"""
+
+
+@query("stream_upsert_dlq", oracle=_DLQ_ORACLE)
+def stream_upsert_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication with dead-letter routing under a poisoned feed
+    (docstring block above): the summary row carries the healthy-side
+    final state (user count + value/ts checksums over the MERGE target)
+    AND the quarantine side (event/user counts from the DLQ parquet), so
+    a poison event leaking into the target, a healthy event leaking into
+    the DLQ, or a crash-and-skip all break the hash.
+
+    Scale: the DLQ fork is a per-batch filter (no extra shuffle, no
+    state); quarantine writes are append-only parquet keyed by batch for
+    replay provenance. One poison event costs one row of quarantine I/O
+    — never a restart loop. The summary aggregates are bounded (target
+    is user-keyed, DLQ counts are map-combinable)."""
+    from mongodb_cdc_spark.streaming.upsert import (
+        foreach_batch_upsert_with_dlq,
+    )
+
+    log_path = write_change_log(spark, sf_dir)
+    target = ParquetUpsertTarget(new_scratch_dir("dlq_target"))
+    dlq_path = new_scratch_dir("dlq_quarantine")
+    uid = F.col("documentKey._id")
+    poisoned = (
+        read_changefeed_stream(spark, log_path)
+        .withColumn(
+            "operationType",
+            F.when(F.pmod(uid, 31) == 0, F.lit("replace")).otherwise(
+                F.col("operationType")
+            ),
+        )
+        .withColumn(
+            "fullDocument",
+            F.when(F.pmod(uid, 37) == 0, F.lit(None)).otherwise(
+                F.col("fullDocument")
+            ),
+        )
+    )
+    q = (
+        poisoned.writeStream.foreachBatch(
+            foreach_batch_upsert_with_dlq(target, dlq_path)
+        )
+        .option("checkpointLocation", new_scratch_dir("dlq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    state = target.current(spark)
+    assert state is not None, "healthy side applied nothing"
+    s = state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_target_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_cents"),
+        F.sum(F.to_unix_timestamp("cluster_ts").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_ts_epoch"),
+    )
+    dlq = spark.read.parquet(dlq_path)
+    d = dlq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dlq_events"),
+        F.countDistinct(F.col("documentKey._id"))
+        .cast("bigint")
+        .alias("n_dlq_users"),
+    )
+    return s.crossJoin(F.broadcast(d))

@@ -883,3 +883,26 @@ def test_ivfpq_recall_eval_invariants(spark, sf_dir):
     assert 0 <= r.n_hit <= min(r.adc_depth_r, r.n_exact_topk)
     assert r.n_candidates < n_corpus, "bucket prune did not prune"
     assert r.recall_bp == r.n_hit * 10000 // r.n_exact_topk
+
+
+def test_hard_negatives_are_cross_label_and_sorted(spark, sf_dir):
+    """Every mined pair must be cross-label (that is the definition of a
+    hard negative), ranked by non-increasing cosine, with a_id < b_id
+    never violated by the rank-band join (rb > ra and ids follow rank
+    order within a bucket only by projection, so only the label and
+    ordering contracts are invariant)."""
+    rows = QUERIES["ext_embed_hard_negatives"](spark, sf_dir).collect()
+    assert rows, "no hard negatives mined"
+    assert all(r.label_a != r.label_b for r in rows)
+    cs = [r.cos_e6 for r in rows]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_embed_outlier_flags_nonvacuous(spark, sf_dir):
+    """|z|>2 must flag SOMETHING and not everything (the vacuous-slice
+    lesson), and flagged rows must actually carry |z| > 2."""
+    rows = QUERIES["ext_embed_outlier_filter"](spark, sf_dir).collect()
+    flagged = [r for r in rows if r.is_outlier]
+    assert flagged and len(flagged) < len(rows)
+    assert all(abs(r.z_score) > 2.0 for r in flagged)
+    assert all(abs(r.z_score) <= 2.0 for r in rows if not r.is_outlier)

@@ -210,6 +210,9 @@ HEAVY = [
     "stat_chi_square",
     "stat_mann_whitney",
     "ts_interpolate_linear",
+    "stream_upsert_dlq",
+    "ext_embed_outlier_filter",
+    "ext_embed_hard_negatives",
 ]
 
 
