@@ -178,6 +178,7 @@ HEADLINE = [
     ("stream_upsert_dlq", None),
     ("ext_embed_outlier_filter", None),
     ("ext_embed_hard_negatives", None),
+    ("maintenance_pq_refresh", None),
 ]
 
 

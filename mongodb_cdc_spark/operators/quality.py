@@ -1897,3 +1897,94 @@ def ext_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id", "label_a", "label_b", "bucket",
         F.floor(F.col("c") * 1000000).cast("bigint").alias("cos_e6"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# maintenance_pq_refresh — wave algebra for the packed-code store
+# --------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_pq_refresh",
+    oracle="""
+    WITH cut AS (SELECT (MAX(vec_id) * 9) // 10 AS c FROM embeddings)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_codes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id > (SELECT c FROM cut)) AS n_wave,
+           CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh for the PQ code store, verified against the
+    persisted build: encode ONLY the ingest wave (top-decile vec_ids,
+    the shared wave stand-in) against the store's literal codebook and
+    FIXED centroid version, union with the base encoding, and prove
+    merged == persisted row-for-row (``merge_mismatches`` counts
+    full-outer-join rows where the packed word or bucket differs — 0 is
+    hash-checked).
+
+    The wave algebra here is even stronger than the IVF store's
+    (`maintenance_ivf_refresh`): codes are per-vector independent given
+    the codebook, and the codebook is LITERAL constants pinned in the
+    store's version key (..._m{M}k4_v2) — so refresh is exactly
+    additive, and codebook re-training is by construction a new store
+    version, never an in-place mutation.
+
+    Scale: steady-state cost is wave-sized encode (one codegen map
+    pass) + per-bucket append; nothing shuffles the base."""
+    from mongodb_cdc_spark.operators.extensions import (
+        _IVF_K,
+        ivf_assignments,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cutoff = int(
+        e.agg(F.expr("(MAX(vec_id) * 9) div 10").alias("c")).first()["c"]
+    )  # bounded 1-row scalar
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+
+    def encode(part: DataFrame) -> DataFrame:
+        assigned = ivf_assignments(part, cents=cents)
+        dists = assigned.selectExpr(
+            "vec_id",
+            "bucket",
+            *[
+                f"{_pq2_dist(m, k, 'spark')} AS d{m}_{k}"
+                for m in range(_PQ2_M)
+                for k in range(4)
+            ],
+        )
+        return dists.selectExpr(
+            "vec_id", "bucket", f"CAST({_pq2_packed()} AS BIGINT) AS packed"
+        )
+
+    base = encode(e.filter(F.col("vec_id") <= cutoff))
+    wave = encode(e.filter(F.col("vec_id") > cutoff))
+    merged = base.unionByName(wave)
+    store = spark.read.parquet(pq_store_path(spark, sf_dir)).select(
+        "vec_id",
+        F.col("bucket").alias("sbucket"),
+        F.col("packed").alias("spacked"),
+    )
+    joined = merged.join(store, "vec_id", "full_outer")
+    checks = joined.agg(
+        F.sum(
+            F.when(
+                ~F.col("bucket").eqNullSafe(F.col("sbucket"))
+                | ~F.col("packed").eqNullSafe(F.col("spacked")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("merge_mismatches")
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).cast("bigint").alias("n_codes"))
+        .crossJoin(
+            wave.agg(F.count(F.lit(1)).cast("bigint").alias("n_wave"))
+        )
+        .crossJoin(checks)
+        .select("n_codes", "n_wave", "merge_mismatches")
+    )

@@ -213,6 +213,7 @@ HEAVY = [
     "stream_upsert_dlq",
     "ext_embed_outlier_filter",
     "ext_embed_hard_negatives",
+    "maintenance_pq_refresh",
 ]
 
 
