@@ -179,6 +179,8 @@ HEADLINE = [
     ("ext_embed_outlier_filter", None),
     ("ext_embed_hard_negatives", None),
     ("maintenance_pq_refresh", None),
+    ("stat_mad_robust", None),
+    ("ml_linear_regression_normal", None),
 ]
 
 

