@@ -158,3 +158,34 @@ def centroid_cosines_udf(centroids):
         return pd.Series(list(np.stack(cols, axis=1)))
 
     return project
+
+
+def pair_cosine_udf():
+    """Arrow pandas UDF: cosine of two embedding COLUMNS (pair frames —
+    both sides vary per row, unlike :func:`centroid_cosines_udf`'s
+    closure-captured centroids). Same bit-exactness contract as above:
+    one vectorized multiply-add per dimension, accumulated left-to-right,
+    so every row reproduces :func:`cosine_unrolled_sql`'s IEEE op
+    sequence exactly."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _seq_pair_dot_np(A, B):
+        acc = A[:, 0] * B[:, 0]
+        for d in range(1, A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return acc
+
+    @pandas_udf(DoubleType())
+    def pcos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        num = _seq_pair_dot_np(A, B)
+        # sqrt(na) * sqrt(nb), NOT sqrt(na*nb): must reproduce
+        # cosine_unrolled_sql's op sequence exactly
+        return pd.Series(
+            num
+            / (np.sqrt(_seq_norm_sq_np(A)) * np.sqrt(_seq_norm_sq_np(B)))
+        )
+
+    return pcos
