@@ -181,6 +181,7 @@ HEADLINE = [
     ("maintenance_pq_refresh", None),
     ("stat_mad_robust", None),
     ("ml_linear_regression_normal", None),
+    ("cdc_referential_audit", None),
 ]
 
 

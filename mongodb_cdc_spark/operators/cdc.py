@@ -1076,3 +1076,101 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_referential_audit — cross-collection consistency after partial sync
+# --------------------------------------------------------------------------
+# The reference's compare tool diffs ONE collection against its replica
+# (js:399-538). A replication pipeline that carries RELATED collections
+# (orders + their lineitems) needs the cross-collection check too:
+# children whose parent never landed are silent corruption no per-table
+# diff can see. Simulated partial replication (orders ≡0 mod 50 dropped,
+# the cdc_diff_missing trick) makes every count a non-vacuous,
+# data-dependent assertion: the audit must find EXACTLY the orphans the
+# injected gap implies.
+
+
+@query(
+    "cdc_referential_audit",
+    oracle="""
+    WITH repl AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 0
+    ),
+    orph AS (
+      SELECT l.l_orderkey FROM lineitem l
+      LEFT JOIN repl r ON l.l_orderkey = r.o_orderkey
+      WHERE r.o_orderkey IS NULL
+    ),
+    childless AS (
+      SELECT r.o_orderkey FROM repl r
+      LEFT JOIN lineitem l ON l.l_orderkey = r.o_orderkey
+      WHERE l.l_orderkey IS NULL
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_source_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM repl) AS n_replicated_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orph) AS n_orphan_rows,
+      (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM orph)
+        AS n_orphan_parents,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM childless)
+        AS n_childless_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM repl) * 10000
+        // (SELECT COUNT(*) FROM orders) AS coverage_bp
+    """,
+)
+def cdc_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of a partially-replicated target
+    (docstring block above): orphaned child rows / distinct missing
+    parents via LEFT ANTI join, childless parents via the reverse anti,
+    and the parent-coverage ratio in basis points.
+
+    Scale: both directions are single keyed anti-joins (the missing-side
+    relation collapses to its key column first, so the shuffle carries
+    8-byte keys); all counts are map-combinable. This is the shape you
+    schedule after every bootstrap/backfill at 100 TB — it reads the two
+    fact tables once each, no window, no driver-side rows beyond the
+    1-row summary."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    repl = o.filter(F.pmod(F.col("o_orderkey"), F.lit(50)) != 0).select(
+        "o_orderkey"
+    )
+    orph = li.select("l_orderkey").join(
+        repl, li.l_orderkey == repl.o_orderkey, "left_anti"
+    )
+    childless = repl.join(
+        li.select("l_orderkey").distinct(),
+        repl.o_orderkey == F.col("l_orderkey"),
+        "left_anti",
+    )
+    n_src = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_source_orders"))
+    n_repl = repl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicated_orders")
+    )
+    n_li = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    n_orph = orph.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orphan_parents"),
+    )
+    n_child = childless.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_childless_orders")
+    )
+    return (
+        n_src.crossJoin(F.broadcast(n_repl))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(n_orph))
+        .crossJoin(F.broadcast(n_child))
+        .select(
+            "n_source_orders",
+            "n_replicated_orders",
+            "n_lineitem",
+            "n_orphan_rows",
+            "n_orphan_parents",
+            "n_childless_orders",
+            F.expr(
+                "n_replicated_orders * 10000 div n_source_orders"
+            ).alias("coverage_bp"),
+        )
+    )

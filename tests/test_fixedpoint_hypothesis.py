@@ -112,3 +112,87 @@ def test_round4_sign_symmetric_and_close(x: float):
     the portable contract.)"""
     assert round4(-x) == -round4(x)
     assert abs(round4(x) - x) <= 0.00005 + abs(x) * 1e-12
+
+
+# --------------------------------------------------------------------
+# round-6 overflow-tier primitives
+# --------------------------------------------------------------------
+
+
+def pack_codes(codes: list[int]) -> int:
+    """Mirror of quality._pq2_packed: sum(code_m * 4^m), little-endian."""
+    return sum(c * (4**m) for m, c in enumerate(codes))
+
+
+def unpack_code(packed: int, m: int) -> int:
+    """Mirror of quality._pq_unpack: (packed div 4^m) % 4 (non-negative
+    packed, so Spark `div` / DuckDB `//` / Python `//` all agree)."""
+    return (packed // (4**m)) % 4
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=16, max_size=16))
+@settings(max_examples=2000)
+def test_pq2_pack_unpack_roundtrip(codes: list[int]):
+    """Every 16-code word must round-trip through the packed BIGINT, and
+    the word must stay within 32 bits (the 4-byte/vector storage claim)."""
+    packed = pack_codes(codes)
+    assert 0 <= packed < 4**16
+    assert [unpack_code(packed, m) for m in range(16)] == codes
+
+
+def interp_half_up(prev_v: int, next_v: int, num_days: int, den_days: int) -> int:
+    """Mirror of timeseries._ILIN_DIV + prev: sign-mirrored half-up of
+    (next-prev)*num/den added to prev."""
+    num = (next_v - prev_v) * num_days
+    den = den_days
+    if num >= 0:
+        half = (2 * num + den) // (2 * den)
+    else:
+        half = -((2 * -num + den) // (2 * den))
+    return prev_v + half
+
+
+@given(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.integers(min_value=1, max_value=3650),
+)
+@settings(max_examples=2000)
+def test_interp_is_decimal_half_up_and_bounded(prev_v: int, next_v: int, den: int):
+    """For every interior day the integer interpolation must equal
+    ROUND_HALF_UP of the exact rational, and lie within [min, max] of the
+    endpoints (no overshoot — the property a ragged rounding would break)."""
+    for num in {1, den // 2, max(1, den - 1)}:
+        got = interp_half_up(prev_v, next_v, num, den)
+        exact = decimal.Decimal(prev_v) + (
+            decimal.Decimal(next_v - prev_v) * num / den
+        ).quantize(decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP)
+        assert got == exact, (prev_v, next_v, num, den, got, exact)
+        lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+        assert lo <= got <= hi
+
+
+def median_rank_pick(values: list[int]) -> int:
+    """Mirror of the value-table lower-median pick (stat_mad_robust):
+    cumulative counts over sorted distinct values, pick the first value
+    whose cumsum reaches (n+1) div 2."""
+    from collections import Counter
+
+    n = len(values)
+    k = (n + 1) // 2
+    cum = 0
+    for v, c in sorted(Counter(values).items()):
+        cum += c
+        if cum >= k:
+            return v
+    raise AssertionError("unreachable")
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200))
+@settings(max_examples=1000)
+def test_value_table_median_equals_row_rank_median(values: list[int]):
+    """The value-table pick must equal the row-rank lower median
+    (sorted[(n+1)//2 - 1]) — the equivalence the stat_mad_robust rewrite
+    rests on (oracle keeps the row-rank form, Spark runs the value form)."""
+    want = sorted(values)[(len(values) + 1) // 2 - 1]
+    assert median_rank_pick(values) == want

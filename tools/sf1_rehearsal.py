@@ -216,6 +216,7 @@ HEAVY = [
     "maintenance_pq_refresh",
     "stat_mad_robust",
     "ml_linear_regression_normal",
+    "cdc_referential_audit",
 ]
 
 
