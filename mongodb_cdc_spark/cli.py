@@ -223,6 +223,35 @@ def cmd_snapshot_diff(cfg: CDCConfig, args) -> int:
     return 0
 
 
+def cmd_audit_refs(cfg: CDCConfig, args) -> int:
+    """Cross-collection referential-integrity audit: orphaned child rows
+    (fk with no parent key) and childless parents, via keyed anti-joins
+    over key projections. The cross-table generalization of the
+    reference's single-collection compare (js:399-538) — scheduled after
+    every bootstrap/backfill; `cdc_referential_audit` is the
+    driver-certified operator twin."""
+    spark = get_spark("cdc-audit-refs")
+    parent = spark.read.parquet(args.parent).select(
+        F.col(args.parent_key).alias("k")
+    )
+    child = spark.read.parquet(args.child).select(
+        F.col(args.child_fk).alias("fk")
+    )
+    orphans = child.join(parent, child.fk == parent.k, "left_anti")
+    childless = parent.join(
+        child.select("fk").distinct(), parent.k == F.col("fk"), "left_anti"
+    )
+    out = {
+        "status": "ok",
+        "n_parents": parent.count(),
+        "n_children": child.count(),
+        "n_orphan_rows": orphans.count(),
+        "n_childless_parents": childless.count(),
+    }
+    print(json.dumps(out))
+    return 0 if out["n_orphan_rows"] == 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc", description=__doc__)
     p.add_argument("--source", help="change feed path (or mongodb:// URI)")
@@ -270,6 +299,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-files", type=int, default=8)
     sp.add_argument("--max-records-per-file", type=int, default=0)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "audit-refs",
+        help="cross-collection referential-integrity audit "
+             "(orphans / childless parents)",
+    )
+    sp.add_argument("parent", help="parent table parquet dir")
+    sp.add_argument("child", help="child table parquet dir")
+    sp.add_argument("--parent-key", default="_id")
+    sp.add_argument("--child-fk", required=True)
+    sp.set_defaults(fn=cmd_audit_refs)
 
     args = p.parse_args(argv)
     overrides = {

@@ -170,3 +170,53 @@ def test_snapshots_and_diff_cli(replicated, capsys):
         json.loads(capsys.readouterr().out.strip().splitlines()[-1])["status"]
         == "unknown-snapshot"
     )
+
+
+def test_audit_refs_cli_counts_injected_orphans(spark, sf_dir, capsys, tmp_path):
+    """audit-refs must report exactly the orphans a synthetic parent gap
+    implies (exit 1 when orphans exist, 0 on a clean pair)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark import cli
+    from mongodb_cdc_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parent = str(tmp_path / "parent")
+    child = str(tmp_path / "child")
+    o.filter("o_orderkey % 50 <> 0").select("o_orderkey").write.parquet(parent)
+    li.select("l_orderkey").write.parquet(child)
+
+    rc = cli.main(
+        [
+            "--source", "unused", "--target", "unused",
+            "audit-refs", parent, child,
+            "--parent-key", "o_orderkey", "--child-fk", "l_orderkey",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_orphans = li.filter("l_orderkey % 50 = 0").count()
+    # this synthetic corpus legitimately contains childless orders —
+    # compute the expectation instead of assuming TPC-H's 1..7 guarantee
+    want_childless = (
+        o.filter("o_orderkey % 50 <> 0")
+        .join(li.select("l_orderkey").distinct(),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .count()
+    )
+    assert out["n_orphan_rows"] == want_orphans
+    assert out["n_childless_parents"] == want_childless
+    assert rc == (1 if want_orphans else 0)
+
+    # clean pair: full parent set -> zero orphans, exit 0
+    parent_full = str(tmp_path / "parent_full")
+    o.select("o_orderkey").write.parquet(parent_full)
+    rc = cli.main(
+        [
+            "--source", "unused", "--target", "unused",
+            "audit-refs", parent_full, child,
+            "--parent-key", "o_orderkey", "--child-fk", "l_orderkey",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_orphan_rows"] == 0
