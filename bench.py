@@ -182,6 +182,7 @@ HEADLINE = [
     ("stat_mad_robust", None),
     ("ml_linear_regression_normal", None),
     ("cdc_referential_audit", None),
+    ("ts_autocorrelation", None),
 ]
 
 

@@ -1066,3 +1066,121 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_observed",
         F.expr(f"CAST({interp} AS BIGINT)").alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_autocorrelation — lag-k ACF over the daily revenue series
+# --------------------------------------------------------------------------
+# The seasonality diagnostic `ts_seasonal_index` assumes and `ts_ewma`
+# smooths over: Pearson correlation between the daily series and its
+# lag-k shift, at k = 1 (momentum) and k = 7 (weekly cycle). The daily
+# reduce collapses the fact first (days-bounded table), pairs come from
+# a LAG window over that small frame, and the correlation runs in the
+# agg_corr_regression dialect: exact e2 fixed-point sums in wide
+# integers, floats only in the final normalization — bit-identical on
+# both engines.
+
+_ACF_LAGS = (1, 7)
+
+
+def _acf_corr(cast: str) -> str:
+    def c(x: str) -> str:
+        return f"CAST({x} AS {cast})"
+
+    num = f"CAST({c('n')} * {c('sxy')} - {c('sx')} * {c('sy')} AS DOUBLE)"
+    dx = f"CAST({c('n')} * {c('sxx')} - {c('sx')} * {c('sx')} AS DOUBLE)"
+    dy = f"CAST({c('n')} * {c('syy')} - {c('sy')} * {c('sy')} AS DOUBLE)"
+    return f"({num} / SQRT({dx} * {dy}))"
+
+
+def _acf_round4(expr: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) >= 0 "
+        f"THEN CAST(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT) AS DOUBLE)"
+        f" / 10000.0 "
+        f"ELSE -(CAST(CAST(FLOOR(-(({expr})) * 10000 + 0.5) AS BIGINT)"
+        f" AS BIGINT) / 10000.0) END"
+    )
+
+
+def _acf_oracle() -> str:
+    arms = []
+    for k in _ACF_LAGS:
+        arms.append(f"""
+    SELECT CAST({k} AS BIGINT) AS lag, CAST(cnt AS BIGINT) AS n_pairs,
+           {_acf_round4(_acf_corr('HUGEINT'))} AS acf
+    FROM (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             COUNT(*) AS cnt
+      FROM (
+        SELECT y, LAG(y, {k}) OVER (ORDER BY d ASC) AS x FROM daily
+      ) WHERE x IS NOT NULL
+    ) t""")
+    union = "\n    UNION ALL\n".join(arms)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    )
+    {union}
+    ORDER BY lag ASC
+    """
+
+
+@query("ts_autocorrelation", oracle=_acf_oracle())
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series
+    (docstring block above): per lag the pair count and the 4-decimal
+    Pearson ACF.
+
+    Scale: ONE map-combinable daily aggregate collapses the fact to a
+    days-bounded frame; the lag windows, moment sums, and normalization
+    all run on that frame (the documented calendar-scale exception —
+    the window partition is the whole daily series by definition). The
+    moment vector per lag merges associatively, so the ACF refreshes
+    incrementally per ingest day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy(F.col("d").asc())
+    arms = []
+    for k in _ACF_LAGS:
+        pairs = daily.select(
+            "y", F.lag("y", k).over(w).alias("x")
+        ).filter(F.col("x").isNotNull())
+        m = pairs.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("COUNT(*)").cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("sxx"),
+            F.sum(
+                F.col("y").cast("decimal(38,0)") * F.col("y")
+            ).alias("syy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("y")
+            ).alias("sxy"),
+        )
+        arms.append(
+            m.select(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.col("cnt").cast("bigint").alias("n_pairs"),
+                F.expr(
+                    _acf_round4(_acf_corr("DECIMAL(38,0)"))
+                ).alias("acf"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("lag")

@@ -217,6 +217,7 @@ HEAVY = [
     "stat_mad_robust",
     "ml_linear_regression_normal",
     "cdc_referential_audit",
+    "ts_autocorrelation",
 ]
 
 
