@@ -183,6 +183,8 @@ HEADLINE = [
     ("ml_linear_regression_normal", None),
     ("cdc_referential_audit", None),
     ("ts_autocorrelation", None),
+    ("win_hampel_outliers", None),
+    ("sql_group_by_all", None),
 ]
 
 

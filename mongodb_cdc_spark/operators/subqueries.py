@@ -223,3 +223,39 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         |> SELECT o_orderpriority, n, price_cents
     """)
+
+
+# --------------------------------------------------------------------------
+# sql_group_by_all — GROUP BY ALL syntax parity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB): every non-aggregate select
+    item becomes a grouping key implicitly — the analyst-SQL ergonomics
+    both engines converged on, run AS that syntax on BOTH sides so the
+    parity claim is the literal clause, not a rewrite.
+
+    Scale: identical plan to the explicit two-key hash aggregate
+    (map-side combine, group-bounded shuffle); ALL is sugar resolved at
+    analysis time."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

@@ -218,6 +218,8 @@ HEAVY = [
     "ml_linear_regression_normal",
     "cdc_referential_audit",
     "ts_autocorrelation",
+    "win_hampel_outliers",
+    "sql_group_by_all",
 ]
 
 
