@@ -185,6 +185,8 @@ HEADLINE = [
     ("ts_autocorrelation", None),
     ("win_hampel_outliers", None),
     ("sql_group_by_all", None),
+    ("fn_edit_distance", None),
+    ("agg_simpson_diversity", None),
 ]
 
 

@@ -623,3 +623,44 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY seg_mixed
     )
     """)
+
+
+# --------------------------------------------------------------------------
+# fn_edit_distance — Levenshtein scalar parity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fn_edit_distance",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'small steel widget') AS BIGINT)
+             AS dist,
+           CAST(levenshtein(p_name, p_brand) AS BIGINT) AS dist_brand,
+           (levenshtein(p_name, 'small steel widget') <= 10) AS near_probe
+    FROM part
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance as a first-class scalar (both engines
+    ship the identical classic DP — pure integer, no collation or float
+    divergence to defend against): distance of every part name to a
+    probe string, to a second column, and a <=10 nearness band — the
+    primitive under fuzzy entity matching (`ext_fuzzy_block_match`
+    blocks FIRST precisely because this scalar is O(len^2) per pair;
+    this key is the scalar-correctness contract that blocking scheme
+    rests on).
+
+    Scale: a scan-stage projection; the only caution is quadratic cost
+    in string length — production clamps operand length (names here are
+    bounded) and never runs it cross-product (the blocked matcher is
+    the join-side discipline)."""
+    p = load_table(spark, sf_dir, "part")
+    probe = F.lit("small steel widget")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein("p_name", probe).cast("bigint").alias("dist"),
+        F.levenshtein("p_name", "p_brand").cast("bigint").alias("dist_brand"),
+        (F.levenshtein("p_name", probe) <= 10).alias("near_probe"),
+    )

@@ -1724,3 +1724,55 @@ def ml_linear_regression_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(v).alias(k) for k, v in _OLS_SUMS.items()]
     )
     return m.selectExpr(*_ols_select("DECIMAL(38,0)"))
+
+
+# --------------------------------------------------------------------------
+# agg_simpson_diversity — exact-integer concentration/diversity index
+# --------------------------------------------------------------------------
+# The diversity twin of agg_gini_concentration: Simpson's index
+# sum(p_i^2) — the probability two random docs share a source — per
+# language, in pure integer arithmetic (sum of squared counts
+# cross-multiplied against n^2, e6-scaled by integer division). The
+# corpus-mix health metric every data card quotes (effective source
+# count = 1e6 / simpson_e6 in the same units).
+
+
+@query(
+    "agg_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(CAST(n AS HUGEINT) * n) * 1000000
+                // (CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT)
+                    * SUM(CAST(n AS HUGEINT))) AS BIGINT) AS simpson_e6
+    FROM c GROUP BY lang
+    """,
+)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Simpson concentration of documents over sources
+    (docstring block above): doc count, source count, and the e6-scaled
+    index — 1e6/simpson_e6 is the effective-source-count a dataset card
+    reports next to `ext_temperature_mix`'s rebalancing.
+
+    Scale: one map-combinable (lang, source) aggregate (category-
+    bounded), then a lang-keyed reduce over that tiny frame; the
+    squared-count arithmetic runs in wide integers so the division is
+    exact at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.expr(
+            "CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) * 1000000"
+            " div (CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            "      * SUM(CAST(n AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("simpson_e6"),
+    )

@@ -220,6 +220,8 @@ HEAVY = [
     "ts_autocorrelation",
     "win_hampel_outliers",
     "sql_group_by_all",
+    "fn_edit_distance",
+    "agg_simpson_diversity",
 ]
 
 
