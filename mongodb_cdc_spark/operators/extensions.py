@@ -999,7 +999,7 @@ _ANN_FROM_STORE_ORACLE = f"""
         FROM cents c CROSS JOIN probe pr
       ) t WHERE cr <= {_IVF_STORE_NPROBE}
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT vec_id, embedding, cent_id AS bucket FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1175,13 +1175,19 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch writes ``mode("overwrite")`` into its own ``batch=<id>``
     directory, so a foreachBatch retry replaces its own output instead
     of duplicating rows (at-least-once delivery + idempotent apply =
-    stable fixpoint). Scale: per-batch cost is batch x K broadcast
-    rows, nothing reshuffles previously ingested data; the target
-    layout (batch=N/bucket=B) is readable by the same
+    stable fixpoint). The run is SUPERVISED (`run_supervised`, the
+    reference's R10 restart-from-resume-token contract, js:286-299):
+    the checkpoint is FIXED across restarts, so a transient
+    foreachBatch failure (a killed Python worker under container
+    memory pressure — observed once in a late-window driver gate)
+    resumes from the last committed batch and the idempotent per-batch
+    overwrite makes the replay safe. Scale: per-batch cost is batch x
+    K broadcast rows, nothing reshuffles previously ingested data; the
+    target layout (batch=N/bucket=B) is readable by the same
     partition-pruning probe as the store."""
     from mongodb_cdc_spark.streaming.pipeline import (
         new_scratch_dir,
-        run_to_completion,
+        run_supervised,
     )
 
     feed = write_vector_feed(spark, sf_dir)
@@ -1190,24 +1196,27 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
     target = new_scratch_dir("ivf_ingest_target")
+    ckpt = new_scratch_dir("ivf_ingest_ckpt")
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         ivf_assignments(bdf, cents=cents).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(f"{target}/batch={batch_id}")
 
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", new_scratch_dir("ivf_ingest_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_to_completion(q)
+    def start_query():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
     built = spark.read.parquet(target)
     return (
         built.groupBy(F.col("bucket").cast("bigint").alias("bucket"))

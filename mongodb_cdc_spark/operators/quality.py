@@ -1483,8 +1483,18 @@ def _ivf_multiprobe_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
     bucket search runs twice over the same candidate join — restricted
     to the rank-1 centroid (the `ext_sim_ann_ivf` single-probe path)
     and to the top-``nprobe`` centroids — so the output row carries the
-    1-probe and multi-probe recall side by side for the same probe."""
+    1-probe and multi-probe recall side by side for the same probe.
+
+    The duck dialect marks the multi-consumer CTEs (``assigned``,
+    ``pb_ranked``, ``brute``) ``AS MATERIALIZED``: DuckDB otherwise
+    inlines a CTE into every consumer, and with 64-term unrolled dot
+    products inside, the twice-inlined plan tree is what blew the
+    driver's memory ceiling in a late-window round-6 gate (fake
+    tiny-allocation OOM under JVM co-residence). Materializing caps
+    the plan at one copy of each heavy expression; Spark keeps the
+    plain CTE (its optimizer handles reuse and has no such keyword)."""
     div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     dot_ec = dot_unrolled_sql("e.embedding", "c.cent", dialect=dialect)
     dot_pc = dot_unrolled_sql("pr.p", "c.cent", dialect=dialect)
     cos_ep = cosine_unrolled_sql("e.embedding", "pr.p", dialect=dialect)
@@ -1498,7 +1508,7 @@ def _ivf_multiprobe_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
       SELECT vec_id AS probe_id, embedding AS p
       FROM embeddings WHERE vec_id >= 100 AND vec_id < 132
     ),
-    assigned AS (
+    assigned AS {mat}(
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1506,7 +1516,7 @@ def _ivf_multiprobe_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    pb_ranked AS (
+    pb_ranked AS {mat}(
       SELECT probe_id, p, cent_id, cr FROM (
         SELECT pr.probe_id, pr.p, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY pr.probe_id
@@ -1514,7 +1524,7 @@ def _ivf_multiprobe_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
         FROM probes pr CROSS JOIN cents c
       ) t WHERE cr <= {nprobe}
     ),
-    brute AS (
+    brute AS {mat}(
       SELECT probe_id, vec_id FROM (
         SELECT pr.probe_id, e.vec_id,
                ROW_NUMBER() OVER (PARTITION BY pr.probe_id
