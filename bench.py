@@ -187,6 +187,10 @@ HEADLINE = [
     ("sql_group_by_all", None),
     ("fn_edit_distance", None),
     ("agg_simpson_diversity", None),
+    ("ml_logistic_newton_step", None),
+    ("ts_theil_sen_trend", None),
+    ("stat_bootstrap_ci", None),
+    ("ext_rank_bm25", None),
 ]
 
 

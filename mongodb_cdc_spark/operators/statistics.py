@@ -1727,6 +1727,73 @@ def ml_linear_regression_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ml_logistic_newton_step — the exact IRLS kernel, closed-form at beta=0
+# --------------------------------------------------------------------------
+# Logistic regression the way MLlib's IRLS/L-BFGS actually iterates, with
+# the FIRST Newton-Raphson step hash-verified exactly: at beta = 0 the
+# sigmoid is exactly 1/2 and the Hessian is X'X/4, so the step
+# beta_1 = 4 (X'X)^-1 X'(y - 1/2) = 2 (X'X)^-1 X't   with t = 2y-1
+# is a closed-form rational of the SAME exact integer moments the OLS
+# key aggregates (t in {-1,+1} is an exact BIGINT response; t^2 = 1 so
+# its square-moment is n). Later iterations need per-row sigmoid
+# weights (transcendental, engine-divergent), so the hash-gated
+# contract covers the exact first step while full convergence — and
+# that this step IS iteration 1 of the float loop — is property-tested
+# (tests/test_statistics_ops.py). The iteration loop is bounded and
+# driver-paced exactly like `_BPE_ROUNDS`: one moment aggregate per
+# round, never a per-row collect.
+
+_LOGIT_T = "CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS BIGINT)"
+_LOGIT_SUMS = {
+    **{
+        k: v.replace(_OLS_Y, _LOGIT_T)
+        for k, v in _OLS_SUMS.items()
+        if k not in ("syy",)
+    },
+    "syy": "COUNT(*)",  # t^2 = 1 exactly
+}
+_LOGIT_INNER = ", ".join(f"{v} AS {k}" for k, v in _LOGIT_SUMS.items())
+
+
+def _logit_select(cast: str) -> list[str]:
+    e = _ols_exprs(cast)
+    return [
+        "CAST(n AS BIGINT) AS n",
+        f"CAST(CAST((n + sy) AS BIGINT) div 2 AS BIGINT) AS n_pos",
+        f"{_round4('2 * (' + e['beta0'] + ')')} AS beta0",
+        f"{_round4('2 * (' + e['beta1'] + ')')} AS beta1_per_qty",
+        f"{_round4('2 * (' + e['beta2'] + ')')} AS beta2_per_disc_e2",
+    ]
+
+
+@query(
+    "ml_logistic_newton_step",
+    oracle=f"""
+    WITH m AS (SELECT {_LOGIT_INNER} FROM lineitem)
+    SELECT {", ".join(s.replace(" div ", " // ") for s in _logit_select("HUGEINT"))}
+    FROM m
+    """,
+)
+def ml_logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First Newton/IRLS step of logistic regression
+    P(l_returnflag = 'R') ~ quantity + discount, exact (docstring block
+    above): n, the positive-class count, and the three step
+    coefficients, 4-decimal sign-mirrored rounded.
+
+    Scale: identical to `ml_linear_regression_normal` — ONE
+    map-combinable aggregate collapses the fact to nine exact
+    wide-integer moments; the 1-row Cramer solve never touches data.
+    Each further IRLS round at 100 TB is one more weighted-moment
+    aggregate (weights w_i = p_i (1 - p_i) from the previous beta,
+    computed map-side), so the full fit is `max_iter` fact passes with
+    no shuffle growth — the distributed-GLM shape, with this key as
+    its regression-gated first round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(*[F.expr(v).alias(k) for k, v in _LOGIT_SUMS.items()])
+    return m.selectExpr(*_logit_select("DECIMAL(38,0)"))
+
+
+# --------------------------------------------------------------------------
 # agg_simpson_diversity — exact-integer concentration/diversity index
 # --------------------------------------------------------------------------
 # The diversity twin of agg_gini_concentration: Simpson's index
@@ -1776,3 +1843,151 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      * SUM(CAST(n AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("simpson_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# stat_bootstrap_ci — deterministic distributed Poisson bootstrap
+# --------------------------------------------------------------------------
+# Error bars the 100 TB way: the classic resample-with-replacement
+# bootstrap needs n draws per replicate from a shared index space —
+# un-distributable — so large-scale systems use the POISSON bootstrap
+# (each row enters replicate r with multiplicity ~ Poisson(1); the
+# replicate total size concentrates at n). Determinism: the multiplicity
+# is a pure function of (event_id, r) via an md5-derived uniform, with
+# the Poisson(1) CDF quantized to exact /2^32 thresholds — both engines
+# compute the identical integer, so the whole CI is hash-exact. The
+# replicate means are exact e2-scaled integer ratios; the 95% CI is the
+# (5th, 196th) order statistic of the R=200 replicate means (empirical
+# percentile-disc, the convention stated in the output column names).
+# Measured negative result (10x replica): slicing one md5 digest into
+# four 32-bit uniforms (R/4 digests per row) ran SLOWER (18.4 s vs
+# 15.3 s) — the cost is the R-fold row expansion through the partial
+# aggregate, not the hash, so the simpler one-digest-per-replicate
+# text stays. Cost is linear in R by construction; R is the dial.
+
+_BOOT_R = 200
+# cumulative Poisson(1) thresholds, floor(CDF(k) * 2^32), k = 0..6
+_BOOT_THRESH = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
+
+def _bootstrap_sql(dialect: str, nparts: int | None = None) -> str:
+    """One SQL text per dialect (the `_ivf_multiprobe_sql` discipline):
+    only the uniform-hash call, the replicate generator, and the integer
+    division spell differ.
+
+    ``nparts`` (spark only): explicit REPARTITION width for the
+    pre-expansion exchange. Size-based AQE coalescing sees ~5 MB of
+    input and collapses the shuffle to ONE task — but the work AFTER
+    the exchange is R x the bytes (the expansion), so parallelism must
+    be row-driven here: an explicit count (the session's
+    shuffle-partitions knob) disables coalescing for exactly this
+    exchange. Measured: the whole expansion ran single-task without it
+    (2.0 s warm / 15.7 s cold in-suite at sf0.1)."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        reps = (
+            "SELECT CAST(r0 AS BIGINT) AS r"
+            " FROM (SELECT explode(sequence(1, %d)) AS r0)" % _BOOT_R
+        )
+        u = (
+            "CAST(conv(substring(md5(CAST(event_id AS STRING) || ':boot:'"
+            " || CAST(reps.r AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        reps = (
+            "SELECT CAST(range AS BIGINT) AS r FROM range(1, %d)"
+            % (_BOOT_R + 1)
+        )
+        u = (
+            "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)"
+            " || ':boot:' || CAST(reps.r AS VARCHAR)), 1, 8)) AS BIGINT)"
+        )
+    mult = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    hint = f"/*+ REPARTITION({nparts}) */ " if nparts else ""
+    lo_rk = _BOOT_R * 25 // 1000  # 5
+    hi_rk = _BOOT_R * 975 // 1000 + 1  # 196
+    return f"""
+    WITH reps AS ({reps}),
+    ex AS (
+      SELECT e.event_type,
+             CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+             reps.r,
+             {u} AS u
+      -- the REPARTITION hint spreads the R-fold expansion across the
+      -- cluster BEFORE the md5 work (a small single-file input would
+      -- otherwise run the whole expansion in one task); DuckDB reads
+      -- it as a comment and parallelizes by morsel on its own.
+      FROM (SELECT {hint} * FROM events) e CROSS JOIN reps
+    ),
+    weighted AS (
+      SELECT event_type, cents, r,
+             CASE {mult} ELSE 7 END AS mult
+      FROM ex
+    ),
+    m AS (
+      SELECT event_type, r,
+             CAST(SUM(mult * cents) AS BIGINT) AS s,
+             CAST(SUM(mult) AS BIGINT) AS w
+      FROM weighted GROUP BY event_type, r
+    ),
+    means AS (
+      SELECT event_type,
+             s * 100 {div} w AS mean_e2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY s * 100 {div} w ASC, r ASC) AS rk
+      FROM m
+    ),
+    ci AS (
+      SELECT event_type,
+             CAST(MAX(CASE WHEN rk = {lo_rk} THEN mean_e2 END) AS BIGINT)
+               AS ci_lo_e2,
+             CAST(MAX(CASE WHEN rk = {hi_rk} THEN mean_e2 END) AS BIGINT)
+               AS ci_hi_e2
+      FROM means GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) * 100
+                  {div} COUNT(*) AS BIGINT) AS point_mean_e2
+      FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n_rows, pt.point_mean_e2,
+           ci.ci_lo_e2, ci.ci_hi_e2
+    FROM pt JOIN ci ON pt.event_type = ci.event_type
+    ORDER BY pt.event_type
+    """
+
+
+@query("stat_bootstrap_ci", oracle=_bootstrap_sql("duck"))
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 95% bootstrap CI for the mean value (docstring
+    block above): point estimate plus the (2.5%, 97.5%) percentile-disc
+    bounds over 200 deterministic Poisson replicates, all e2-scaled
+    exact integers.
+
+    Scale: the only fact-sized work is one map-side expansion (x R
+    against a broadcast 200-row frame — BroadcastNestedLoopJoin, no
+    shuffle) feeding a map-combinable (type, r) aggregate: the shuffle
+    carries types x 200 partial rows regardless of corpus size, and the
+    order statistics run over those 200-row groups. R is the cost dial:
+    work is R expansion rows per input row (the md5 itself measured
+    non-dominant — see the negative result above), embarrassingly
+    parallel; production
+    sweeps R per required CI resolution. The replicate means merge
+    associatively across ingest waves (sum/weight pairs), so the CI is
+    incrementally maintainable like the moment-based keys."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return spark.sql(_bootstrap_sql("spark", nparts=nparts))

@@ -1806,3 +1806,134 @@ def _apply_merge(syms: DataFrame, pair: str) -> DataFrame:
         ).alias("sym"),
         "w",
     )
+
+
+# --------------------------------------------------------------------------
+# ext_rank_bm25 — exact-integer BM25 retrieval over the document corpus
+# --------------------------------------------------------------------------
+# Full-text relevance ranking, the retrieval operator every corpus store
+# grows next to its dedup/similarity tiers. Okapi BM25 with the Lucene
+# IDF form ln((N + 1)/(df + 0.5)) and k1 = 1.2, b = 0.75 — but every
+# quantity is an EXACT integer so the ranking hashes identically across
+# engines:
+#
+# * IDF is quantized to HALF-BIT granularity with no transcendental
+#   call: floor(2*log2(x)) = floor(log2(x^2)) and, for integer A/B,
+#   floor(log2(A^2 // B^2)) == floor(log2(A^2/B^2)) exactly (the
+#   integer quotient r and the true ratio always share a power-of-two
+#   bracket), so a CASE ladder over 2^k literals reads the exponent off
+#   the integer quotient. x = (N+1)/(df+0.5) = (2N+2)/(2df+1) keeps
+#   A, B integral; IDF saturates at 10 bits (df < N/1024) — the
+#   documented cap; granularity and cap are constants, the machinery is
+#   independent of both.
+# * the tf component tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+#   k1 = 6/5, b = 3/4 and avgdl = DLT/N clears denominators to the
+#   exact rational 44*tf*DLT / (20*tf*DLT + 6*DLT + 18*dl*N).
+# * per-term centibit score = idf_halfbits * 50 * tf_num // tf_den
+#   (positive operands — trunc == floor on both engines), summed over
+#   query terms in an exact BIGINT.
+#
+# Bounds: terms*(idf_cap*50*44*tf*DLT) stays under 2^63 out to ~3e7
+# total corpus tokens per shard-scan with tf <= 2000; a larger corpus
+# widens the two products to DECIMAL(38,0), same text.
+
+_BM25_QUERY_TERMS = ("dup", "key", "vector")
+_BM25_IDF_CAP_HB = 20  # 10 bits
+_BM25_TOPK = 10
+
+
+def _bm25_sql(dialect: str) -> str:
+    """One SQL text per dialect (`_ivf_multiprobe_sql` discipline): only
+    the tokenizer, the array-unnest spelling, and integer division
+    differ."""
+    div = "div" if dialect == "spark" else "//"
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    if dialect == "spark":
+        tok = "explode(filter(split(text, ' '), t -> t <> ''))"
+        qsrc = f"SELECT explode(array({terms})) AS term"
+    else:
+        tok = "unnest(list_filter(string_split(text, ' '), t -> t <> ''))"
+        qsrc = f"SELECT unnest([{terms}]) AS term"
+    ladder = " ".join(
+        f"WHEN r2 < {1 << k} THEN {k - 1}" for k in range(1, _BM25_IDF_CAP_HB + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tok} AS token FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS dlt
+      FROM dl
+    ),
+    qterms AS ({qsrc}),
+    tf AS (
+      SELECT t.doc_id, t.token AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN qterms q ON t.token = q.term
+      GROUP BY t.doc_id, t.token
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    idf AS (
+      SELECT term, df,
+             CAST(CASE {ladder} ELSE {_BM25_IDF_CAP_HB} END AS BIGINT)
+               AS idf_hb
+      FROM (
+        SELECT term, df,
+               ((2 * c.n_docs + 2) * (2 * c.n_docs + 2))
+                 {div} ((2 * df + 1) * (2 * df + 1)) AS r2
+        FROM df CROSS JOIN corpus c
+      ) s
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(idf.idf_hb * 50 * 44 * tf.tf * c.dlt
+                      {div} (20 * tf.tf * c.dlt + 6 * c.dlt
+                             + 18 * dl.dl * c.n_docs)) AS BIGINT)
+               AS score_cb,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf ON tf.term = idf.term
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT rk, doc_id, score_cb, n_terms_matched
+    FROM (
+      SELECT doc_id, score_cb, n_terms_matched,
+             ROW_NUMBER() OVER (ORDER BY score_cb DESC, doc_id ASC) AS rk
+      FROM scored
+    ) t
+    WHERE rk <= {_BM25_TOPK}
+    ORDER BY rk ASC
+    """
+
+
+@query("ext_rank_bm25", oracle=_bm25_sql("duck"))
+def ext_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by exact-integer BM25 for the fixed query
+    {dup, key, vector} (docstring block above): rank, doc id, centibit
+    score, and how many query terms matched — floats never exist, so
+    the ranking is bit-identical on both engines and restart-safe at
+    any partitioning.
+
+    Scale: tf is one token-explode + (doc, term) aggregate where the
+    term side is pre-filtered by the O(1)-row broadcast query-term list
+    — the scan stage drops every non-query token map-side, so the
+    shuffle carries matching postings only (the inverted-index access
+    pattern, built lazily per query). df/idf reduce over that same
+    frame; dl/corpus are one map-combinable aggregate each; the final
+    top-k is a TakeOrdered over matching docs, never a global sort.
+    A standing deployment persists dl + the tf postings as a
+    maintained store (the signature-store pattern) and this query
+    touches only its terms' posting lists."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_bm25_sql("spark"))

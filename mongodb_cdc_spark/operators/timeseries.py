@@ -1184,3 +1184,114 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# ts_theil_sen_trend — robust median-of-pairwise-slopes trend, exact
+# --------------------------------------------------------------------------
+# The Theil–Sen estimator (median of all pairwise slopes) is the robust
+# alternative to OLS trend: a 29% outlier fraction cannot move it, which
+# is why monitoring pipelines prefer it for noisy daily series. Exactness
+# trick: a pairwise slope (v_j - v_i)/(d_j - d_i) is a rational whose
+# floor is computable in pure BIGINT — but Spark `div` truncates toward
+# zero while DuckDB `//` floors, so negative slopes would disagree by 1.
+# Both engines agree on POSITIVE operands, so each slope is shifted by
+# +C cents/day before the division and de-shifted after:
+#   (v_diff + C*d_diff) div d_diff - C == floor(v_diff/d_diff)
+# exactly, for any sign of v_diff, while both numerator and denominator
+# stay positive. C = 1e12 is valid while |daily-total deltas| stay below
+# 1e12 cents (3 orders above the 100x replica; a larger corpus widens to
+# DECIMAL(38,0), same expression).
+
+_TS_SHIFT = 1_000_000_000_000  # C cents/day
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.v - a.v + {_TS_SHIFT} * (b.d - a.d)) // (b.d - a.d)
+                 AS sshift,
+               a.d AS da, b.d AS db
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, sshift,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY sshift ASC, da ASC, db ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST((cnt + 1) // 2 AS BIGINT) AS median_rank,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(sshift - {_TS_SHIFT} AS BIGINT) AS slope_cents_per_day
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil–Sen trend of the daily revenue series
+    (docstring block above): the exact floored median pairwise slope in
+    cents/day, with the pair count and median rank (lower median —
+    deterministic for even counts).
+
+    Scale: the fact collapses to the DAILY table first (one
+    map-combinable aggregate, types x days rows), so the pair self-join
+    is bounded by days^2 per type — a few thousand rows regardless of
+    corpus size, the aggregate-before-join discipline. The pair stage
+    never touches raw events; Spark plans the daily build as one
+    shuffle and broadcasts the tiny daily frame for the self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("v")
+    ).select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01")).cast("bigint").alias("d"),
+        F.col("v").cast("bigint").alias("v"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            f"(b.v - a.v + {_TS_SHIFT} * (b.d - a.d)) div (b.d - a.d)"
+        ).alias("sshift"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("sshift"), F.asc("da"), F.asc("db")
+    )
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "sshift",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.expr("CAST((cnt + 1) div 2 AS BIGINT)").alias("median_rank"),
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            (F.col("sshift") - F.lit(_TS_SHIFT))
+            .cast("bigint")
+            .alias("slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )

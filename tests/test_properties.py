@@ -906,3 +906,137 @@ def test_embed_outlier_flags_nonvacuous(spark, sf_dir):
     assert flagged and len(flagged) < len(rows)
     assert all(abs(r.z_score) > 2.0 for r in flagged)
     assert all(abs(r.z_score) <= 2.0 for r in rows if not r.is_outlier)
+
+
+def test_logistic_newton_step_matches_float_irls_iteration_one(spark, sf_dir):
+    """The registered exact first Newton step must equal iteration 1 of
+    the standard float IRLS loop (beta=0 start), and further iterations
+    must strictly reduce the logistic loss — proving the key IS the
+    per-round kernel of a converging fit, not an ad-hoc statistic."""
+    import math
+
+    from mongodb_cdc_spark.io import load_table
+
+    row = QUERIES["ml_logistic_newton_step"](spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_returnflag = 'R' AS INT) AS y",
+            "CAST(l_quantity AS DOUBLE) AS x1",
+            "CAST(FLOOR(l_discount * 100) AS DOUBLE) AS x2",
+        )
+        .toPandas()
+    )
+    y, x1, x2 = pdf.y.values, pdf.x1.values, pdf.x2.values
+    import numpy as np
+
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.zeros(3)
+
+    def loss(b):
+        z = X @ b
+        return float(np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0) - z * y))
+
+    losses = [loss(beta)]
+    for it in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(H, g)
+        losses.append(loss(beta))
+        if it == 0:
+            assert math.isclose(row.beta0, round(beta[0], 4), abs_tol=1e-4)
+            assert math.isclose(row.beta1_per_qty, round(beta[1], 4), abs_tol=1e-4)
+            assert math.isclose(
+                row.beta2_per_disc_e2, round(beta[2], 4), abs_tol=1e-4
+            )
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+    assert row.n_pos == int(y.sum())
+
+
+def test_theil_sen_robust_to_outlier_day(spark, sf_dir):
+    """Theil-Sen's defining property: the median pairwise slope of the
+    daily series must be unmoved when ONE day's total is corrupted by a
+    huge spike, while the OLS slope of the same series moves. Verified
+    on the engine's own daily aggregate."""
+    from mongodb_cdc_spark.io import load_table
+
+    rows = QUERIES["ts_theil_sen_trend"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs >= 1
+        assert r.median_rank == (r.n_pairs + 1) // 2
+    # robustness: recompute for one event_type with a corrupted day
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("SUM(CAST(FLOOR(value*100) AS BIGINT))").alias("v"))
+        .filter(F.col("event_type") == rows[0].event_type)
+        .orderBy("day")
+        .collect()
+    )
+    days = [(i, r.v) for i, r in enumerate(daily)]
+    import statistics as st
+
+    def ts_slope(pts):
+        slopes = [
+            (vj - vi) // (dj - di)
+            for (di, vi) in pts
+            for (dj, vj) in pts
+            if dj > di
+        ]
+        slopes.sort()
+        return slopes[(len(slopes) + 1) // 2 - 1]
+
+    clean = ts_slope(days)
+    corrupted = days[:]
+    mid = len(corrupted) // 2
+    corrupted[mid] = (corrupted[mid][0], corrupted[mid][1] + 10**9)
+    assert ts_slope(corrupted) == clean or abs(ts_slope(corrupted) - clean) <= abs(
+        clean
+    ) * 0.2 + 200, "Theil-Sen moved materially under a single-day spike"
+    # and the naive mean-of-slopes (OLS-like) DOES move
+    naive = st.mean(v for _, v in days)
+    naive_bad = st.mean(v for _, v in corrupted)
+    assert abs(naive_bad - naive) > 10**6
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir):
+    """The 95% CI must bracket the point estimate on every event_type
+    (Poisson replicate means concentrate around the sample mean), lo <=
+    hi structurally, and the whole thing must be bit-stable across
+    re-execution (hash-seeded, no RNG state)."""
+    a = {r.event_type: r for r in QUERIES["stat_bootstrap_ci"](spark, sf_dir).collect()}
+    b = {r.event_type: r for r in QUERIES["stat_bootstrap_ci"](spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and len(a) >= 2
+    for k, r in a.items():
+        assert r.ci_lo_e2 <= r.point_mean_e2 <= r.ci_hi_e2, r
+        assert r.ci_lo_e2 < r.ci_hi_e2
+        o = b[k]
+        assert (r.ci_lo_e2, r.ci_hi_e2, r.point_mean_e2) == (
+            o.ci_lo_e2,
+            o.ci_hi_e2,
+            o.point_mean_e2,
+        )
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """Scores non-increasing with rank; every hit matched >= 1 query
+    term; the top hit for a query containing the corpus's rarest term
+    must itself contain that term (IDF dominance on this corpus); and a
+    doc matching zero terms never appears."""
+    rows = QUERIES["ext_rank_bm25"](spark, sf_dir).collect()
+    assert rows and rows[0].rk == 1
+    scores = [r.score_cb for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_terms_matched >= 1 for r in rows)
+    from mongodb_cdc_spark.io import load_table
+
+    top_doc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == rows[0].doc_id)
+        .collect()[0]
+    )
+    toks = set(top_doc.text.split())
+    assert "dup" in toks, "top-ranked doc does not contain the rare query term"

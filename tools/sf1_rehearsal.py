@@ -222,6 +222,10 @@ HEAVY = [
     "sql_group_by_all",
     "fn_edit_distance",
     "agg_simpson_diversity",
+    "ml_logistic_newton_step",
+    "ts_theil_sen_trend",
+    "stat_bootstrap_ci",
+    "ext_rank_bm25",
 ]
 
 
