@@ -407,19 +407,24 @@ def _sem_ranked_cte(dialect: str = "duck") -> str:
         f"ORDER BY s{k}, vec_id) AS rn{k}"
         for k in range(_SEM_K)
     )
+    # AS MATERIALIZED (duck only): `ranked` has up to 7 consumers in
+    # _SEM_ORACLE; without the hint DuckDB inlines the 4 unrolled
+    # cosines per consumer — the oracle-environment OOM class fixed the
+    # same way in quality.py:_ivf_multiprobe_sql.
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     return f"""
-    c AS (
+    c AS {mat}(
       SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
              (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
              (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
              (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
     ),
-    sims AS (
+    sims AS {mat}(
       SELECT e.vec_id, e.embedding,
              {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
       FROM embeddings e, c
     ),
-    ranked AS (
+    ranked AS {mat}(
       SELECT vec_id, embedding, {_sem_assign_case()} AS cluster,
              {rns}
       FROM sims
@@ -508,19 +513,22 @@ def _sem_window_pairs(ranked: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Duck-only fragment (consumed by _SEM_ORACLE below): MATERIALIZED on
+# the multi-consumer CTEs (`long` ×3, `aexp`/`pairsd` chained off it)
+# per the same OOM-class audit as _sem_ranked_cte.
 _SEM_PAIRS_CTE = f"""
-    long AS (
+    long AS MATERIALIZED (
       SELECT vec_id, cluster, 0 AS k, rn0 AS rn FROM ranked
       UNION ALL SELECT vec_id, cluster, 1, rn1 FROM ranked
       UNION ALL SELECT vec_id, cluster, 2, rn2 FROM ranked
       UNION ALL SELECT vec_id, cluster, 3, rn3 FROM ranked
     ),
-    aexp AS (
+    aexp AS MATERIALIZED (
       SELECT vec_id, cluster, k, rn, rn // {_SEM_WINDOW} AS blk FROM long
       UNION ALL
       SELECT vec_id, cluster, k, rn, rn // {_SEM_WINDOW} + 1 FROM long
     ),
-    pairsd AS (
+    pairsd AS MATERIALIZED (
       SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS da,
                       GREATEST(a.vec_id, b.vec_id) AS db
       FROM aexp a JOIN long b
@@ -533,7 +541,7 @@ _SEM_PAIRS_CTE = f"""
 _SEM_ORACLE = f"""
     WITH {_sem_ranked_cte()},
     {_SEM_PAIRS_CTE},
-    dropped AS (
+    dropped AS MATERIALIZED (
       SELECT DISTINCT p.db AS vec_id
       FROM pairsd p
       JOIN ranked x ON x.vec_id = p.da
@@ -604,10 +612,10 @@ _SEM_AUDIT_CLUSTER = 0
     "ext_semantic_window_recall",
     oracle=f"""
     WITH {_sem_ranked_cte()},
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT * FROM ranked WHERE cluster = {_SEM_AUDIT_CLUSTER}
     ),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT x.vec_id AS da, y.vec_id AS db,
              LEAST(abs(x.rn0 - y.rn0), abs(x.rn1 - y.rn1),
                    abs(x.rn2 - y.rn2), abs(x.rn3 - y.rn3)) AS dr

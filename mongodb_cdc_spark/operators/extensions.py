@@ -982,15 +982,18 @@ def maintenance_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every CTE AS MATERIALIZED — duck-only string; multi-consumer CTEs
+# (`cents` x2, `probe` x2) otherwise re-inline the unrolled dot per
+# consumer (the r6/r7 oracle-OOM class; audit: tools/audit_oracle_ctes.py).
 _ANN_FROM_STORE_ORACLE = f"""
-    WITH cents AS (
+    WITH cents AS MATERIALIZED (
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < {_IVF_K}
     ),
-    probe AS (
+    probe AS MATERIALIZED (
       SELECT embedding AS p FROM embeddings WHERE vec_id = 0
     ),
-    pbuckets AS (
+    pbuckets AS MATERIALIZED (
       SELECT cent_id FROM (
         SELECT c.cent_id,
                ROW_NUMBER() OVER (
@@ -1008,7 +1011,7 @@ _ANN_FROM_STORE_ORACLE = f"""
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT a.vec_id, a.bucket,
              {cosine_unrolled_sql('a.embedding', 'pr.p', dialect='duck')} AS c
       FROM assigned a
@@ -1251,25 +1254,27 @@ def _lsh_band_exprs() -> list:
     ]
 
 
+# MATERIALIZED on the multi-consumer CTEs (`reps` x3, `sig` x4 via the
+# band UNION ALL, `bands` x3) — same duck OOM-class hardening.
 _LSH_TOPK_ORACLE = f"""
-    WITH reps AS (
+    WITH reps AS MATERIALIZED (
       SELECT MIN(vec_id) AS vec_id, embedding
       FROM embeddings GROUP BY embedding
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT vec_id,
            {_lsh_bits_sql('embedding', 'duck')}
       FROM reps
-    ), bands AS (
+    ), bands AS MATERIALIZED (
       {" UNION ALL ".join(
           f"SELECT vec_id, {k} AS band, "
           f"bit{4 * k} * 8 + bit{4 * k + 1} * 4 + bit{4 * k + 2} * 2 "
           f"+ bit{4 * k + 3} AS h FROM sig"
           for k in range(LSH_BANDS)
       )}
-    ), kept AS (
+    ), kept AS MATERIALIZED (
       SELECT band, h FROM bands GROUP BY band, h
       HAVING COUNT(*) <= {_LSH_MAX_BUCKET}
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
       FROM bands p JOIN kept USING (band, h)
       JOIN bands c ON p.band = c.band AND p.h = c.h
@@ -2130,19 +2135,23 @@ def ext_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bitext_sql(dialect: str) -> str:
     cos = cosine_unrolled_sql("p.embedding", "c.embedding", dialect=dialect)
+    # duck-only MATERIALIZED on the multi-consumer CTEs (`dv` x2 self-
+    # join, `ranked` x2 rank-1/rank-2 join) — oracle-OOM-class hardening
+    # (tools/audit_oracle_ctes.py); no-op in the spark dialect.
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     return f"""
-    WITH dv AS (
+    WITH dv AS {mat}(
       SELECT d.doc_id, d.lang, e.embedding
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     ),
-    scored AS (
+    scored AS {mat}(
       SELECT p.doc_id AS probe_id, p.lang AS probe_lang,
              c.doc_id AS cand_id,
              {cos} AS c
       FROM dv p JOIN dv c ON c.lang = 'en'
       WHERE p.lang <> 'en' AND p.doc_id < 64
     ),
-    ranked AS (
+    ranked AS {mat}(
       SELECT probe_id, probe_lang, cand_id, c,
              ROW_NUMBER() OVER (PARTITION BY probe_id
                                 ORDER BY c DESC, cand_id ASC) AS rk

@@ -346,10 +346,12 @@ def _pq_oracle() -> str:
         f"d{m}_{k} AS pd{m}_{k}" for m in range(_PQ_M) for k in range(4)
     )
     adc = " + ".join(_pq_adc(m) for m in range(_PQ_M))
+    # duck-only string: `dists` has 2 consumers — MATERIALIZED per the
+    # oracle-OOM-class audit (tools/audit_oracle_ctes.py).
     return f"""
-    WITH dists AS (SELECT vec_id, {dist_cols} FROM embeddings),
-    codes AS (SELECT vec_id, {code_cols} FROM dists),
-    probe AS (SELECT {probe_cols} FROM dists WHERE vec_id = 0)
+    WITH dists AS MATERIALIZED (SELECT vec_id, {dist_cols} FROM embeddings),
+    codes AS MATERIALIZED (SELECT vec_id, {code_cols} FROM dists),
+    probe AS MATERIALIZED (SELECT {probe_cols} FROM dists WHERE vec_id = 0)
     SELECT c.vec_id, ({adc}) AS adc_dist
     FROM codes c, probe
     WHERE c.vec_id <> 0
@@ -600,15 +602,21 @@ def _ivfpq_rerank_oracle() -> str:
         f"d{m}_{k} AS pd{m}_{k}" for m in range(_PQ2_M) for k in range(4)
     )
     adc = " + ".join(_pq_adc_packed(m, "duck") for m in range(_PQ2_M))
+    # Every CTE below is AS MATERIALIZED: DuckDB otherwise inlines each
+    # multi-consumer CTE per consumer, recomputing the 128-term unrolled
+    # dot products against `embeddings` once per reference — the oracle-
+    # environment OOM class that cost gate rows in r6/r7 and was fixed
+    # the same way in _ivf_multiprobe_sql (quality.py:1497) and
+    # extensions.py:1002. Duck-only string, so the hint is unconditional.
     return f"""
-    WITH cents AS (
+    WITH cents AS MATERIALIZED (
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < {_IVF_K}
     ),
-    probe AS (
+    probe AS MATERIALIZED (
       SELECT embedding AS p FROM embeddings WHERE vec_id = 0
     ),
-    pbuckets AS (
+    pbuckets AS MATERIALIZED (
       SELECT cent_id FROM (
         SELECT c.cent_id,
                ROW_NUMBER() OVER (
@@ -617,7 +625,7 @@ def _ivfpq_rerank_oracle() -> str:
         FROM cents c CROSS JOIN probe pr
       ) t WHERE cr <= {_IVF_STORE_NPROBE}
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT vec_id, embedding, cent_id AS bucket FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -626,15 +634,15 @@ def _ivfpq_rerank_oracle() -> str:
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    dists AS (SELECT vec_id, bucket, {dist_cols} FROM assigned),
-    codes AS (SELECT vec_id, bucket,
+    dists AS MATERIALIZED (SELECT vec_id, bucket, {dist_cols} FROM assigned),
+    codes AS MATERIALIZED (SELECT vec_id, bucket,
                      CAST({_pq2_packed()} AS BIGINT) AS packed
               FROM dists),
-    ptab AS (
+    ptab AS MATERIALIZED (
       SELECT {probe_cols}
       FROM (SELECT {dist_cols} FROM embeddings WHERE vec_id = 0) t
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT c.vec_id, c.bucket, ({adc}) AS adc_dist
       FROM codes c
       JOIN pbuckets pb ON c.bucket = pb.cent_id
@@ -642,7 +650,7 @@ def _ivfpq_rerank_oracle() -> str:
       WHERE c.vec_id <> 0
       ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {_IVFPQ_RERANK_R}
     ),
-    rerank AS (
+    rerank AS MATERIALIZED (
       SELECT a.vec_id, a.bucket, cd.adc_dist,
              {cosine_unrolled_sql('a.embedding', 'pr.p', dialect='duck')} AS c
       FROM assigned a
@@ -773,15 +781,19 @@ def _ivfpq_recall_oracle() -> str:
         f"d{m}_{k} AS pd{m}_{k}" for m in range(_PQ2_M) for k in range(4)
     )
     adc = " + ".join(_pq_adc_packed(m, "duck") for m in range(_PQ2_M))
+    # AS MATERIALIZED on every CTE — same OOM-class fix as
+    # _ivfpq_rerank_oracle above; this exact oracle was the one red row
+    # of CORRECTNESS_r07 (DuckDB inlined the embedding-heavy CTEs per
+    # consumer: `inb` has 3 consumers, `cand`/`exact` 2 each).
     return f"""
-    WITH cents AS (
+    WITH cents AS MATERIALIZED (
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < {_IVF_K}
     ),
-    probe AS (
+    probe AS MATERIALIZED (
       SELECT embedding AS p FROM embeddings WHERE vec_id = 0
     ),
-    pbuckets AS (
+    pbuckets AS MATERIALIZED (
       SELECT cent_id FROM (
         SELECT c.cent_id,
                ROW_NUMBER() OVER (
@@ -790,7 +802,7 @@ def _ivfpq_recall_oracle() -> str:
         FROM cents c CROSS JOIN probe pr
       ) t WHERE cr <= {_IVF_STORE_NPROBE}
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT vec_id, embedding, cent_id AS bucket FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -799,25 +811,25 @@ def _ivfpq_recall_oracle() -> str:
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    inb AS (
+    inb AS MATERIALIZED (
       SELECT a.vec_id, a.embedding, a.bucket
       FROM assigned a JOIN pbuckets pb ON a.bucket = pb.cent_id
       WHERE a.vec_id <> 0
     ),
-    dists AS (SELECT vec_id, bucket, {dist_cols} FROM inb),
-    codes AS (SELECT vec_id, bucket,
+    dists AS MATERIALIZED (SELECT vec_id, bucket, {dist_cols} FROM inb),
+    codes AS MATERIALIZED (SELECT vec_id, bucket,
                      CAST({_pq2_packed()} AS BIGINT) AS packed
               FROM dists),
-    ptab AS (
+    ptab AS MATERIALIZED (
       SELECT {probe_cols}
       FROM (SELECT {dist_cols} FROM embeddings WHERE vec_id = 0) t
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT c.vec_id, ({adc}) AS adc_dist
       FROM codes c CROSS JOIN ptab
       ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {_IVFPQ_RERANK_R}
     ),
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT vec_id FROM (
         SELECT i.vec_id,
                ROW_NUMBER() OVER (
@@ -937,36 +949,36 @@ def _km_oracle() -> str:
     init_rows = ", ".join(f"({cid}, {c})" for cid, c in enumerate(_KM_INIT))
     avg = _KM_AVG.format(div="//", S="SUM(e.vi)", n="COUNT(*)")
     return f"""
-    WITH ex AS (
+    WITH ex AS MATERIALIZED (
       SELECT vec_id, CAST(pos - 1 AS BIGINT) AS dim,
              CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS vi
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
     ),
-    c0 AS (SELECT * FROM (VALUES {init_rows}) t(cid, c)),
-    d1 AS (
+    c0 AS MATERIALIZED (SELECT * FROM (VALUES {init_rows}) t(cid, c)),
+    d1 AS MATERIALIZED (
       SELECT e.vec_id, c.cid, SUM((e.vi - c.c) * (e.vi - c.c)) AS dist
       FROM ex e CROSS JOIN c0 c GROUP BY 1, 2
     ),
-    a1 AS (
+    a1 AS MATERIALIZED (
       SELECT vec_id, cid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY dist ASC, cid ASC) AS rn FROM d1) WHERE rn = 1
     ),
-    c1 AS (
+    c1 AS MATERIALIZED (
       SELECT a.cid, e.dim, CAST({avg} AS BIGINT) AS c
       FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim
     ),
-    d2 AS (
+    d2 AS MATERIALIZED (
       SELECT e.vec_id, c.cid, SUM((e.vi - c.c) * (e.vi - c.c)) AS dist
       FROM ex e JOIN c1 c ON e.dim = c.dim GROUP BY 1, 2
     ),
-    a2 AS (
+    a2 AS MATERIALIZED (
       SELECT vec_id, cid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1
     ),
-    c2 AS (
+    c2 AS MATERIALIZED (
       SELECT a.cid, e.dim, CAST({avg} AS BIGINT) AS c
       FROM ex e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim
     )
@@ -1358,19 +1370,23 @@ def _ivf_recall_sql(dialect: str) -> str:
     brute-force ground truth, per-probe recall) is a single shared
     query shape, so the Spark plan and the DuckDB oracle cannot drift."""
     div = "div" if dialect == "spark" else "//"
+    # duck-only MATERIALIZED on the multi-consumer CTEs (probes x2,
+    # assigned x2, brute x2, ivf x2) — oracle-OOM-class hardening, same
+    # rationale as _ivf_multiprobe_sql below.
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     dot_ec = dot_unrolled_sql("e.embedding", "c.cent", dialect=dialect)
     cos_ep = cosine_unrolled_sql("e.embedding", "pr.p", dialect=dialect)
     cos_ap = cosine_unrolled_sql("a.embedding", "pb.p", dialect=dialect)
     return f"""
-    WITH cents AS (
+    WITH cents AS {mat}(
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < 8
     ),
-    probes AS (
+    probes AS {mat}(
       SELECT vec_id AS probe_id, embedding AS p
       FROM embeddings WHERE vec_id >= 100 AND vec_id < 132
     ),
-    assigned AS (
+    assigned AS {mat}(
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1378,11 +1394,11 @@ def _ivf_recall_sql(dialect: str) -> str:
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    pbuckets AS (
+    pbuckets AS {mat}(
       SELECT p.probe_id, p.p, a.cent_id AS pbucket
       FROM probes p JOIN assigned a ON a.vec_id = p.probe_id
     ),
-    brute AS (
+    brute AS {mat}(
       SELECT probe_id, vec_id FROM (
         SELECT pr.probe_id, e.vec_id,
                ROW_NUMBER() OVER (PARTITION BY pr.probe_id
@@ -1391,7 +1407,7 @@ def _ivf_recall_sql(dialect: str) -> str:
         WHERE e.vec_id <> pr.probe_id
       ) t WHERE rn <= 10
     ),
-    ivf AS (
+    ivf AS {mat}(
       SELECT probe_id, vec_id FROM (
         SELECT pb.probe_id, a.vec_id,
                ROW_NUMBER() OVER (PARTITION BY pb.probe_id
@@ -1500,11 +1516,11 @@ def _ivf_multiprobe_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
     cos_ep = cosine_unrolled_sql("e.embedding", "pr.p", dialect=dialect)
     cos_ap = cosine_unrolled_sql("a.embedding", "pb.p", dialect=dialect)
     return f"""
-    WITH cents AS (
+    WITH cents AS {mat}(
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < 8
     ),
-    probes AS (
+    probes AS {mat}(
       SELECT vec_id AS probe_id, embedding AS p
       FROM embeddings WHERE vec_id >= 100 AND vec_id < 132
     ),
@@ -1650,27 +1666,27 @@ def _outlier_round4(expr: str) -> str:
 @query(
     "ext_embed_outlier_filter",
     oracle=f"""
-    WITH ex AS (
+    WITH ex AS MATERIALIZED (
       SELECT vec_id, label, CAST(pos - 1 AS BIGINT) AS dim, embedding[pos] AS v
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
     ),
-    s AS (
+    s AS MATERIALIZED (
       SELECT label, dim, SUM({_VI}) AS S, COUNT(*) AS n
       FROM ex GROUP BY label, dim
     ),
-    cents AS (
+    cents AS MATERIALIZED (
       SELECT label, dim,
              CAST({_AVG_MICRO.format(div="//")} AS BIGINT) AS c
       FROM s
     ),
-    d AS (
+    d AS MATERIALIZED (
       SELECT e.vec_id, e.label,
              CAST(SUM(({_VI} - c.c) * ({_VI} - c.c)) AS BIGINT) AS dist2
       FROM ex e JOIN cents c ON e.label = c.label AND e.dim = c.dim
       GROUP BY e.vec_id, e.label
     ),
-    m AS (
+    m AS MATERIALIZED (
       SELECT label, COUNT(*) AS n,
              SUM(CAST(dist2 AS HUGEINT)) AS S,
              SUM(CAST(dist2 AS HUGEINT) * CAST(dist2 AS HUGEINT)) AS SS
@@ -1761,12 +1777,14 @@ _HARDNEG_TOP = 50
 def _hardneg_oracle() -> str:
     from mongodb_cdc_spark.operators.extensions import _IVF_K
 
+    # duck-only string: MATERIALIZED on `cents` (x2), `assigned`,
+    # `ranked` (x2 self-join) — oracle-OOM-class hardening.
     return f"""
-    WITH cents AS (
+    WITH cents AS MATERIALIZED (
       SELECT vec_id AS cent_id, embedding AS cent
       FROM embeddings WHERE vec_id < {_IVF_K}
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT vec_id, label, embedding, cent_id AS bucket FROM (
         SELECT e.vec_id, e.label, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1775,14 +1793,14 @@ def _hardneg_oracle() -> str:
         FROM embeddings e CROSS JOIN cents c
       ) t WHERE rn = 1
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT a.vec_id, a.label, a.embedding, a.bucket,
              ROW_NUMBER() OVER (PARTITION BY a.bucket
                ORDER BY {dot_unrolled_sql('a.embedding', 'c.cent', dialect='duck')} DESC,
                         a.vec_id ASC) AS rnk
       FROM assigned a JOIN cents c ON a.bucket = c.cent_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT x.vec_id AS a_id, y.vec_id AS b_id,
              x.label AS label_a, y.label AS label_b,
              CAST(x.bucket AS BIGINT) AS bucket,

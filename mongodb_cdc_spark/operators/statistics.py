@@ -1866,6 +1866,10 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text stays. Cost is linear in R by construction; R is the dial.
 
 _BOOT_R = 200
+# +C shift making every replicate-mean division nonnegative-over-positive
+# (see the `means` CTE comment): valid while |mean value| < 1e7 currency
+# units (C in e2 units).
+_BOOT_SHIFT = 1_000_000_000
 # cumulative Poisson(1) thresholds, floor(CDF(k) * 2^32), k = 0..6
 _BOOT_THRESH = (
     1580030168,
@@ -1914,6 +1918,12 @@ def _bootstrap_sql(dialect: str, nparts: int | None = None) -> str:
         f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
     )
     hint = f"/*+ REPARTITION({nparts}) */ " if nparts else ""
+    # Rank convention is the (R+1)-quantile (Hyndman-Fan type-1 upper
+    # bound): lo = R*0.025 = 5, hi = R*0.975 + 1 = 196 over R=200
+    # replicates — NOT percentile_disc (which would put hi at
+    # ceil(0.975*200) = 195). Both engines compute the same ranks from
+    # the same expression, so the choice is a convention, not a
+    # parity risk.
     lo_rk = _BOOT_R * 25 // 1000  # 5
     hi_rk = _BOOT_R * 975 // 1000 + 1  # 196
     return f"""
@@ -1941,10 +1951,16 @@ def _bootstrap_sql(dialect: str, nparts: int | None = None) -> str:
       FROM weighted GROUP BY event_type, r
     ),
     means AS (
+      -- +C*w shift before the division, de-shifted after: Spark `div`
+      -- truncates toward zero, DuckDB `//` floors — they agree only on
+      -- nonnegative numerators, and s = SUM(mult*cents) goes negative
+      -- the moment events.value does. Same trick (and same C bound:
+      -- valid while |mean_e2| < C; a larger corpus widens to
+      -- DECIMAL(38,0)) as ts_theil_sen_trend.
       SELECT event_type,
-             s * 100 {div} w AS mean_e2,
+             (s * 100 + {_BOOT_SHIFT} * w) {div} w - {_BOOT_SHIFT} AS mean_e2,
              ROW_NUMBER() OVER (PARTITION BY event_type
-               ORDER BY s * 100 {div} w ASC, r ASC) AS rk
+               ORDER BY (s * 100 + {_BOOT_SHIFT} * w) {div} w ASC, r ASC) AS rk
       FROM m
     ),
     ci AS (
@@ -1957,8 +1973,9 @@ def _bootstrap_sql(dialect: str, nparts: int | None = None) -> str:
     ),
     pt AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) * 100
-                  {div} COUNT(*) AS BIGINT) AS point_mean_e2
+             CAST((SUM(CAST(FLOOR(value * 100) AS BIGINT)) * 100
+                   + {_BOOT_SHIFT} * COUNT(*))
+                  {div} COUNT(*) - {_BOOT_SHIFT} AS BIGINT) AS point_mean_e2
       FROM events GROUP BY event_type
     )
     SELECT pt.event_type, pt.n_rows, pt.point_mean_e2,
@@ -1971,9 +1988,9 @@ def _bootstrap_sql(dialect: str, nparts: int | None = None) -> str:
 @query("stat_bootstrap_ci", oracle=_bootstrap_sql("duck"))
 def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 95% bootstrap CI for the mean value (docstring
-    block above): point estimate plus the (2.5%, 97.5%) percentile-disc
-    bounds over 200 deterministic Poisson replicates, all e2-scaled
-    exact integers.
+    block above): point estimate plus the (2.5%, 97.5%) order-statistic
+    bounds — the (R+1)-quantile ranks 5/196 over R=200 deterministic
+    Poisson replicates — all e2-scaled exact integers.
 
     Scale: the only fact-sized work is one map-side expansion (x R
     against a broadcast 200-row frame — BroadcastNestedLoopJoin, no
@@ -1989,5 +2006,8 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_cdc_spark.io import register_views
 
     register_views(spark, sf_dir)
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # some Spark distributions report the non-numeric "auto" here (AQE
+    # auto-partitioning) — fall back rather than crash at plan time.
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    nparts = int(raw) if str(raw).isdigit() else 32
     return spark.sql(_bootstrap_sql("spark", nparts=nparts))

@@ -94,43 +94,64 @@ def load_all_operators() -> None:
 # (47/50 green, CORRECTNESS_r06 — the 3 misses were driver-environment
 # failures: two DuckDB-oracle OOMs on embedding-heavy oracles and one
 # foreachBatch worker crash, re-fronted below with hardened oracles).
-# Round 7 (this rotation, applied at round START, mechanically
-# generated by tools/rotate_registry.py, executing the overflow window
-# frozen at round-6 close) fronts: positions 1-3 the r6 gate misses
-# (ext_sim_ivf_multiprobe_recall / ext_sim_ann_from_store /
-# stream_ivf_ingest); 4-22 the 19 round-6 extended-session additions in
-# addition order (IVFPQ store lifecycle, span-removal dedup, DLQ
-# streaming, chi2/MW/MAD/OLS, interpolation, embedding outlier filter,
-# hard negatives, referential audit, ACF, Hampel, GROUP BY ALL,
-# levenshtein, Simpson diversity); 23-25 three untouched cross-round
-# canaries from distinct tiers (join_broadcast_dims / agg_rollup /
-# fn_json — green since r1, untouched since). Window = 25 keys; the
-# driver's ~50-key budget also re-covers the first ~25 already-green
-# round-6 keys behind them.
+# Round 7 fronted the r6 gate misses + the 19 round-6 additions + 3
+# canaries (49/50 green, CORRECTNESS_r07 — the one miss was the
+# ext_sim_ivfpq_recall_eval DuckDB-oracle OOM, re-fronted below with a
+# MATERIALIZED-hardened oracle). Round 8 (this rotation, applied at
+# round start) fronts that miss + every oracle changed by the
+# MATERIALIZED-CTE audit sweep + 3 fresh canaries — the window
+# annotation inside the tuple is the authoritative description, so the
+# count can't go stale here.
 #
-# ROUND-7 ADDITION RULE: new/behavior-changed keys added during round 7
-# are inserted BEFORE the canaries (so canaries keep closing the live
-# window) while the window stays ≤50; overflow beyond 50 is appended
-# after the canaries and becomes the ROUND-8 WINDOW: round-8 fronts any
-# round-7 keys that missed this round's gate plus all round-7
-# additions/changed keys, then three untouched canaries from distinct
-# tiers at the window's end.
+# FROZEN ADDITION RULE (every round): new/behavior-changed keys are
+# inserted BEFORE the canaries (so canaries keep closing the live
+# window) while the window stays <= 50; overflow beyond 50 is appended
+# after the canaries and becomes the NEXT round's window: round N+1
+# fronts any round-N gate misses, then all round-N additions/changed
+# keys, then three fresh untouched canaries from distinct tiers at the
+# window's end.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
-    # --- round-7 window: r6 gate misses, then the round-6
-    #     overflow additions in addition order ---
-    "ext_sim_ivf_multiprobe_recall",
+    # --- ROUND-8 WINDOW (rotated at round start per the frozen rule
+    #     below): position 1 the single r7 gate miss
+    #     (ext_sim_ivfpq_recall_eval, oracle OOM — oracle hardened with
+    #     AS MATERIALIZED this round); positions 2-15 the 14 keys whose
+    #     oracles/plans changed this round (the MATERIALIZED-CTE audit
+    #     sweep, tools/audit_oracle_ctes.py, + stat_bootstrap_ci's
+    #     sign-robust shifted division); then three fresh cross-round
+    #     canaries from tiers never previously canaried
+    #     (filters / sorts / setops — r5 used agg/cdc/dedup, r6
+    #     win/stream/udf, r7 joins/agg/scalars). Round-8 ADDITIONS
+    #     insert BEFORE the canaries as they land (window stays <= 50);
+    #     overflow past the canaries becomes the ROUND-9 WINDOW: round 9
+    #     fronts any round-8 gate misses, then round-8 additions /
+    #     behavior-changed keys, then three fresh canaries at the
+    #     window end. The driver budget (~50 rows) re-covers the
+    #     already-green keys behind the live window.
+    "ext_sim_ivfpq_recall_eval",
+    "ext_sim_ivfpq_rerank",
     "ext_sim_ann_from_store",
+    "ext_sim_ann_pq",
+    "ext_sim_lsh_topk",
+    "ext_sim_ivf_recall_eval",
+    "ext_sim_ivf_multiprobe_recall",
+    "ext_bitext_mine_margin",
+    "ext_embed_outlier_filter",
+    "ext_embed_hard_negatives",
+    "ext_semantic_dedup",
+    "ext_semantic_dedup_from_store",
+    "ext_semantic_window_recall",
+    "ml_kmeans_refine",
+    "stat_bootstrap_ci",
+    "filter_compound_pred",
+    "sort_multikey",
+    "set_intersect",
     "stream_ivf_ingest",
     "maintenance_pq_store",
-    "ext_sim_ivfpq_rerank",
-    "ext_sim_ivfpq_recall_eval",
     "ext_dedup_span_remove",
     "stat_chi_square",
     "stat_mann_whitney",
     "ts_interpolate_linear",
     "stream_upsert_dlq",
-    "ext_embed_outlier_filter",
-    "ext_embed_hard_negatives",
     "maintenance_pq_refresh",
     "stat_mad_robust",
     "ml_linear_regression_normal",
@@ -140,20 +161,14 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "sql_group_by_all",
     "fn_edit_distance",
     "agg_simpson_diversity",
-    # --- round-7 additions (insert new keys here, above the canaries) ---
     "ml_logistic_newton_step",
     "ts_theil_sen_trend",
-    "stat_bootstrap_ci",
     "ext_rank_bm25",
-    # --- cross-round canaries at the window's end;
-    #     round-7 additions insert BEFORE these ---
     "join_broadcast_dims",
     "agg_rollup",
     "fn_json",
-    # --- already driver-green, prior order ---
     "ext_dedup_verify_jaccard",
     "scan_compressed_jsonl",
-    "ext_semantic_window_recall",
     "ext_token_budget_fill",
     "ext_source_cap",
     "ext_embed_knn_eval",
@@ -174,12 +189,10 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "win_distinct_count_frame",
     "join_interval_overlap",
     "sink_dynamic_partition_overwrite",
-    "ext_sim_ivf_recall_eval",
     "cdc_ivm_join",
     "maintenance_vacuum",
     "ext_bpe_coverage_eval",
     "maintenance_projection_store",
-    "ext_semantic_dedup_from_store",
     "sql_tpch_q2",
     "sql_tpch_q11",
     "sql_tpch_q13",
@@ -217,7 +230,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_dedup_containment",
     "ext_dedup_segments",
     "ext_classifier_metrics",
-    "ext_bitext_mine_margin",
     "ext_sample_topk_hash",
     "ext_shuffle_shards",
     "ext_dataset_card",
@@ -232,7 +244,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "udf_arrow_optimized",
     "api_pandas_on_spark",
     "ext_ngram_dup_coverage",
-    "ext_semantic_dedup",
     "ext_dsir_select",
     "maintenance_signature_store",
     "scan_text",
@@ -287,7 +298,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "cdc_bootstrap_sync",
     "cdc_resume_gap_detect",
     "cdc_idempotency_audit",
-    "ext_sim_lsh_topk",
     "ext_dedup_near_minhash",
     "ext_dedup_cluster",
 )
