@@ -191,6 +191,8 @@ HEADLINE = [
     ("ts_theil_sen_trend", None),
     ("stat_bootstrap_ci", None),
     ("ext_rank_bm25", None),
+    ("maintenance_postings_store", None),
+    ("ext_rank_bm25_from_store", None),
 ]
 
 

@@ -1937,3 +1937,220 @@ def ext_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_bm25_sql("spark"))
+
+# --------------------------------------------------------------------------
+# maintenance_postings_store / ext_rank_bm25_from_store — the persisted
+# inverted index the standalone `ext_rank_bm25` docstring names as the
+# production shape (SCALING.md: the from-text path re-explodes the whole
+# corpus per query, linear in corpus TEXT bytes; 9.2 s at the 100x
+# rehearsal). The store is built ONCE per corpus and a query touches only
+# its own terms' posting lists.
+#
+# Layout (one store, two artifacts, `signature_store_path` discipline):
+#   postings/   (term, doc_id, tf BIGINT, dl BIGINT), written
+#               partitionBy(bucket) with bucket = pmod(xxhash64(term), 64)
+#               — a query computes its terms' buckets and the scan prunes
+#               to <= |terms| directories by name, exactly the IVF-store
+#               sharding argument. dl is DENORMALIZED into the posting row
+#               (the Lucene-norms trick): scoring never joins a doc-length
+#               table, so the hot path is scan -> broadcast idf -> one
+#               map-combinable (doc_id) aggregate -> TakeOrdered.
+#   stats/      one row (n_docs, dlt) — the corpus constants BM25 needs,
+#               broadcast at query time.
+
+_POSTINGS_BUCKETS = 64
+
+
+def _bm25_toks(d: DataFrame) -> DataFrame:
+    """The exact `_bm25_sql` tokenizer (space-split, empties dropped) as
+    a DataFrame op — store build and from-text query MUST agree."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+
+
+def postings_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) and return the BM25 postings
+    store for ``sf_dir`` (layout block above).
+
+    Build cost: ONE corpus text scan -> (doc_id, term) map-combinable
+    tf aggregate -> per-doc dl aggregate -> one co-keyed join to
+    denormalize dl back onto the postings (both sides doc_id-derived;
+    the join is the one shuffle the build pays so that QUERIES never
+    pay it again) -> bucket-partitioned write. Incremental refresh at
+    100 TB appends new docs' postings per bucket and rewrites only the
+    1-row stats artifact (tf rows are per-(doc, term), so new docs
+    never rewrite old rows)."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"postings_store_{sf_name}_b{_POSTINGS_BUCKETS}_v1"
+    )
+    if not _os.path.exists(_os.path.join(path, "stats", "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        tf = (
+            _bm25_toks(d)
+            .groupBy("doc_id", F.col("token").alias("term"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        postings = tf.join(dl, "doc_id").withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS))
+        )
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("dlt"),
+        )
+        stage = path + ".stage"
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            _os.path.join(stage, "postings")
+        )
+        stats.write.mode("overwrite").parquet(_os.path.join(stage, "stats"))
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+@query(
+    "maintenance_postings_store",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(COUNT(DISTINCT t.term) AS BIGINT) AS n_terms,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS dlt,
+           CAST(SUM(t.tf * t.tf) AS BIGINT) AS tf_sq_checksum,
+           CAST(SUM(t.tf * d.dl) AS BIGINT) AS dl_checksum
+    FROM (SELECT doc_id, token AS term, tf FROM tf) t
+    JOIN dl d USING (doc_id)
+    """,
+)
+def maintenance_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the BM25 inverted index (module block above) and read back
+    a full-store audit row hash-checked against DuckDB's from-scratch
+    recomputation over the raw documents: posting count, vocabulary
+    size, the stats-artifact corpus constants (n_docs, dlt — proving the
+    1-row artifact, not just the postings), an exact SUM(tf^2) checksum
+    (a single drifted tf anywhere breaks it) and SUM(tf*dl) (a single
+    corrupted denormalized doc-length breaks it).
+
+    Scale: the read-back aggregates 4 BIGINTs per posting — never text;
+    the build is the one-time cost documented in `postings_store_path`."""
+    import os as _os
+
+    path = postings_store_path(spark, sf_dir)
+    postings = spark.read.parquet(_os.path.join(path, "postings"))
+    stats = spark.read.parquet(_os.path.join(path, "stats"))
+    audit = postings.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("tf_sq_checksum"),
+        F.sum(F.col("tf") * F.col("dl")).cast("bigint").alias("dl_checksum"),
+    )
+    return audit.crossJoin(F.broadcast(stats)).select(
+        "n_postings", "n_terms", "n_docs", "dlt", "tf_sq_checksum", "dl_checksum"
+    )
+
+
+@query("ext_rank_bm25_from_store", oracle=_bm25_sql("duck"))
+def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 for the fixed query {dup, key, vector} served FROM THE
+    PERSISTED POSTINGS STORE — the production twin of `ext_rank_bm25`,
+    hash-checked against the SAME from-scratch DuckDB oracle, so a stale
+    posting, a drifted tf, or a wrong denormalized dl all break the hash.
+
+    Query path (the 100 TB shape): the query's terms hash to their
+    bucket directories (bounded |terms|-row collect of the same
+    xxhash64 the writer used — the documented <=3-row scalar pattern);
+    the postings scan PRUNES to those buckets by name and filters to the
+    exact terms (4 BIGINT-ish columns/row, text never read); df/idf
+    reduce over that pruned sliver and broadcast back; scoring is one
+    map-combinable (doc_id) aggregate over matching postings (dl rides
+    in the row — no doc-length join); selection is TakeOrdered. Work is
+    O(matching postings), independent of corpus size — vs the from-text
+    twin's full corpus re-explode per query (measured linear at the
+    100x rehearsal)."""
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    terms = list(_BM25_QUERY_TERMS)
+    path = postings_store_path(spark, sf_dir)
+    # bounded driver-side scalars: one bucket id per query term, computed
+    # with the writer's own hash expression so they can never disagree.
+    trows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS)).alias("b"))
+        .collect()
+    )
+    buckets = sorted({int(r.b) for r in trows})
+
+    postings = spark.read.parquet(_os.path.join(path, "postings")).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(_os.path.join(path, "stats"))
+
+    ladder = " ".join(
+        f"WHEN r2 < {1 << k} THEN {k - 1}"
+        for k in range(1, _BM25_IDF_CAP_HB + 1)
+    )
+    idf = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .selectExpr(
+            "term",
+            "((2 * n_docs + 2) * (2 * n_docs + 2))"
+            " div ((2 * df + 1) * (2 * df + 1)) AS r2",
+        )
+        .selectExpr(
+            "term",
+            f"CAST(CASE {ladder} ELSE {_BM25_IDF_CAP_HB} END AS BIGINT)"
+            " AS idf_hb",
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(idf_hb * 50 * 44 * tf * dlt"
+                " div (20 * tf * dlt + 6 * dlt + 18 * dl * n_docs))"
+                " AS BIGINT)"
+            ).alias("score_cb"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    top = scored.orderBy(F.col("score_cb").desc(), F.col("doc_id").asc()).limit(
+        _BM25_TOPK
+    )
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("score_cb").desc(), F.col("doc_id").asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        "doc_id",
+        "score_cb",
+        "n_terms_matched",
+    ).orderBy("rk")

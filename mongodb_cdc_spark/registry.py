@@ -142,6 +142,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_semantic_window_recall",
     "ml_kmeans_refine",
     "stat_bootstrap_ci",
+    # --- round-8 additions (insert new keys here, above the canaries) ---
+    "maintenance_postings_store",
+    "ext_rank_bm25_from_store",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -708,3 +708,28 @@ def test_hard_negatives_block_join_not_cartesian(spark, sf_dir):
     ]
     assert key_lines, f"pair join is not equi-keyed on blk:\n{plan}"
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_from_store_pruned_no_text_scan(spark, sf_dir):
+    """The store-served BM25 query must never touch the documents table
+    (the store exists so queries stop paying the corpus text scan), must
+    prune the postings scan to the query terms' bucket directories
+    (PartitionFilters IN-list — I/O is O(matching postings) at any
+    corpus size), and must select via TakeOrderedAndProject with no
+    Python eval."""
+    plan = formatted_plan(QUERIES["ext_rank_bm25_from_store"](spark, sf_dir))
+    assert _scan_count(plan, "documents") == 0, plan
+    store_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Location" in ln and "postings_store_" in ln
+    ]
+    assert store_scans, f"no postings store scan in plan:\n{plan}"
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bucket" in ln
+    ]
+    assert any("IN" in ln for ln in pf), f"bucket IN-list not pruned:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -1040,3 +1040,35 @@ def test_bm25_ranking_invariants(spark, sf_dir):
     )
     toks = set(top_doc.text.split())
     assert "dup" in toks, "top-ranked doc does not contain the rare query term"
+
+
+def test_bm25_from_store_matches_from_text(spark, sf_dir):
+    """The store-served ranking must be row-identical to the from-text
+    twin: same exact-integer scores, same order, same tie-breaks — the
+    store holds exact tf/dl/stats, so any difference means a stale or
+    corrupted artifact."""
+    from_text = [
+        tuple(r) for r in QUERIES["ext_rank_bm25"](spark, sf_dir).collect()
+    ]
+    from_store = [
+        tuple(r)
+        for r in QUERIES["ext_rank_bm25_from_store"](spark, sf_dir).collect()
+    ]
+    assert from_store == from_text
+
+
+def test_postings_store_audit_consistent(spark, sf_dir):
+    """The audit row's postings-derived and stats-artifact numbers must
+    agree with an independent recount of the store itself."""
+    import os
+
+    from mongodb_cdc_spark.operators.textpipe import postings_store_path
+
+    row = QUERIES["maintenance_postings_store"](spark, sf_dir).collect()[0]
+    postings = spark.read.parquet(
+        os.path.join(postings_store_path(spark, sf_dir), "postings")
+    )
+    assert row.n_postings == postings.count()
+    dl = postings.select("doc_id", "dl").distinct()
+    assert row.n_docs == dl.count()
+    assert row.dlt == dl.agg(F.sum("dl")).collect()[0][0]

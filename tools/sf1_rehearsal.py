@@ -226,6 +226,11 @@ HEAVY = [
     "ts_theil_sen_trend",
     "stat_bootstrap_ci",
     "ext_rank_bm25",
+    # round-8 additions: the BM25 postings store build (one-time cost,
+    # expected ~linear in corpus) and the store-served query (expected
+    # ~flat: work is O(matching postings), text never read)
+    "maintenance_postings_store",
+    "ext_rank_bm25_from_store",
 ]
 
 
