@@ -193,6 +193,8 @@ HEADLINE = [
     ("ext_rank_bm25", None),
     ("maintenance_postings_store", None),
     ("ext_rank_bm25_from_store", None),
+    ("stream_dedup_minhash", None),
+    ("agg_quantile_partial_merge", None),
 ]
 
 

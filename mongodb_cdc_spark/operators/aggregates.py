@@ -1008,3 +1008,179 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_orderkey",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_quantile_partial_merge — mergeable EXACT quantiles from per-day
+# histogram partials (the quantile twin of `agg_hll_partial_merge` /
+# `agg_bitmap_distinct`'s store-partials-merge-any-range contract)
+# --------------------------------------------------------------------------
+# Spark exposes no partial-mergeable quantile sketch at the SQL level
+# (approx_percentile state is opaque), but the e2-quantized value domain
+# makes the EXACT mergeable structure cheap: a per-(key, day) VALUE
+# HISTOGRAM (cents -> count). Histograms sum associatively across any
+# date range — replay-idempotent per partial, shuffle rows bounded by
+# the distinct-value domain, never the event count — and the exact
+# quantile reads off the merged histogram's cumulative counts. The
+# one-shot `percentile_approx` rides along as a rank-error invariant:
+# its epsilon contract (|rank(v) - p*n| <= n/accuracy) is CHECKED, not
+# assumed, the `agg_hll_partial_merge` tolerance discipline.
+
+_QPM_ACCURACY = 10_000
+_QPM_PCTS = (50, 90, 99)
+
+
+@query(
+    "agg_quantile_partial_merge",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    days AS MATERIALIZED (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_partials
+      FROM events GROUP BY event_type
+    ),
+    cum AS MATERIALIZED (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           (SELECT n_day_partials FROM days d
+            WHERE d.event_type = cum.event_type) AS n_day_partials,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           {", ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {p} * n THEN cents END) AS BIGINT)"
+        f" AS p{p}_cents" for p in _QPM_PCTS)},
+           TRUE AS approx_rank_ok
+    FROM cum GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_quantile_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 (e2-cents, lower-value-at-ceil(p*n) convention)
+    computed by MERGING per-day histogram partials, hash-checked against
+    DuckDB's from-scratch cumulative-histogram recomputation — a wrong
+    partial, a lost day, or a broken merge shifts a quantile and breaks
+    the hash. `approx_rank_ok` certifies the one-shot percentile_approx
+    against its own epsilon contract: the returned value's true rank
+    interval must lie within n/accuracy + 1 of the target rank (exact
+    integer arithmetic over the merged histogram).
+
+    Scale: partial build is one map-combinable (type, day, cents)
+    aggregate (shuffle rows ~ distinct values per day-key, not events);
+    the merge shuffles histogram rows only; quantile extraction windows
+    over the domain-bounded merged histogram — the stat_mad_robust
+    collapse-the-fact-first design. Per-day partials persist and any
+    date range merges by summation without re-reading events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    partials = ev.groupBy("event_type", "day", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = partials.groupBy("event_type", "cents").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        *[
+            F.min(
+                F.when(100 * F.col("cum") >= p * F.col("n"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias(f"p{p}_cents")
+            for p in _QPM_PCTS
+        ],
+    )
+    days = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_day_partials")
+    )
+    # epsilon certification of the opaque one-shot sketch: rank bounds of
+    # the approx value in the exact merged histogram
+    approx = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                F.floor(F.col("value") * 100).cast("bigint"),
+                [p / 100 for p in _QPM_PCTS],
+                _QPM_ACCURACY,
+            ).alias("av")
+        )
+        .select(
+            "event_type",
+            *[F.col("av")[i].alias(f"a{p}") for i, p in enumerate(_QPM_PCTS)],
+        )
+    )
+    # rank-interval check of each approx value against the exact merged
+    # histogram: target rank p*n/100 must fall within n/accuracy + 1 of
+    # the value's true rank interval (cum of predecessor, cum of value]
+    avals = approx.selectExpr(
+        "event_type",
+        f"stack({len(_QPM_PCTS)}, "
+        + ", ".join(f"{p}, a{p}" for p in _QPM_PCTS)
+        + ") AS (p, av)",
+    )
+    ranks = (
+        avals.join(cum, "event_type")
+        .groupBy("event_type", "p", "av")
+        .agg(
+            F.max(F.when(F.col("cents") <= F.col("av"), F.col("cum")))
+            .alias("rank_hi"),
+            F.max(
+                F.when(F.col("cents") < F.col("av"), F.col("cum"))
+            ).alias("rank_lo_excl"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "event_type",
+            (
+                (
+                    F.coalesce(F.col("rank_lo_excl"), F.lit(0))
+                    <= (F.col("p") * F.col("n") / 100
+                        + F.col("n") / _QPM_ACCURACY + 1)
+                )
+                & (
+                    F.coalesce(F.col("rank_hi"), F.lit(0))
+                    >= (F.col("p") * F.col("n") / 100
+                        - F.col("n") / _QPM_ACCURACY - 1)
+                )
+            ).alias("ok"),
+        )
+        .groupBy("event_type")
+        .agg((F.sum(F.when(F.col("ok"), 0).otherwise(1)) == 0).alias(
+            "approx_rank_ok"
+        ))
+    )
+    return (
+        qs.join(days, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_day_partials",
+            "n_rows",
+            *[f"p{p}_cents" for p in _QPM_PCTS],
+            "approx_rank_ok",
+        )
+        .orderBy("event_type")
+    )

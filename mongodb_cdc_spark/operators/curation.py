@@ -482,35 +482,142 @@ def _sem_ranked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sem_window_pairs(ranked: DataFrame) -> DataFrame:
     """Distinct candidate pairs (da < db by vec_id) within _SEM_WINDOW of
     each other under ANY projection ordering — four linear block joins,
-    never a per-cluster cross product."""
+    never a per-cluster cross product. (Candidate enumeration only; the
+    dedup paths score via :func:`_sem_dropped`, which fuses scoring into
+    the block join — see its 1000x rationale.)"""
+    raw = _sem_block_join(ranked, with_embedding=False)
+    return raw.select(
+        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("da"),
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("db"),
+    ).distinct()
+
+
+def _sem_block_join(ranked: DataFrame, with_embedding: bool) -> DataFrame:
+    """The shared W-window block join: each left row carries its own
+    block id and its successor's, so every within-W rank pair meets in
+    exactly one (cluster, k, blk) bucket — linear output, evenly-sized
+    join keys by construction."""
     W = _SEM_WINDOW
+    cols = ["vec_id", "cluster"] + (["embedding"] if with_embedding else [])
     long = None
     for k in range(_SEM_K):
         part = ranked.select(
-            "vec_id", "cluster", F.lit(k).alias("k"), F.col(f"rn{k}").alias("rn")
+            *cols, F.lit(k).alias("k"), F.col(f"rn{k}").alias("rn")
         )
         long = part if long is None else long.unionAll(part)
     aexp = long.select(
-        "vec_id", "cluster", "k", "rn", F.expr(f"rn div {W}").alias("blk")
+        *cols, "k", "rn", F.expr(f"rn div {W}").alias("blk")
     ).unionAll(
-        long.select(
-            "vec_id", "cluster", "k", "rn",
-            F.expr(f"rn div {W} + 1").alias("blk"),
-        )
+        long.select(*cols, "k", "rn", F.expr(f"rn div {W} + 1").alias("blk"))
     )
     a = aexp.alias("a")
     b = long.alias("b")
-    raw = a.join(
+    return a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col("a.k") == F.col("b.k"))
         & (F.col("a.blk") == F.expr(f"(b.rn - 1) div {W}"))
         & F.col("b.rn").between(F.col("a.rn") + 1, F.col("a.rn") + W),
     )
-    return raw.select(
-        F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("da"),
-        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("db"),
-    ).distinct()
+
+
+_SEM_SB = 4096  # superblock width (ranks) for the grouped pair scorer
+
+
+def _sem_dropped(ranked: DataFrame) -> DataFrame:
+    """Dropped vec_ids (larger id of any pair at cosine >= tau within W
+    of some projection), computed by a SUPERBLOCK-GROUPED Arrow scorer:
+    per (cluster, k), ranks are cut into _SEM_SB-wide superblocks, each
+    group receives its own rows plus the next block's first W ranks as
+    read-only tails (two-copy replication, the `_sem_block_join` trick
+    at coarser grain), and a NumPy kernel scores all W offset diagonals
+    of the sorted group in vectorized sweeps.
+
+    This is the round-8 fix for the measured 1000x GC variance
+    (SCALING.md: 156-395 s across three 600 M-row runs). The old shape
+    DISTINCT'd the N*W*K narrow pairs then re-joined the embeddings
+    TWICE at pair cardinality — two array-payload shuffles of ~N*W*K
+    rows that thrashed a 48 g heap. Two intermediate shapes were BUILT
+    AND MEASURED on the way here: (a) the unrolled cosine fused into
+    the block join's output stage — blows janino's 64 KB doConsume
+    limit, whole join drops to interpreted (2.99 -> 5.5 s at sf0.1);
+    (b) `pair_cosine_udf` on the fused join — keeps codegen but streams
+    BOTH arrays of every pair through Arrow (~N*W*K x 550 B), measured
+    525.6 s at 1000x, WORSE than the old band. The superblock scorer
+    moves arrays at N(1 + W/B) scale only (~0.8% replication at
+    B=4096), computes the N*W*K pair work as W strided NumPy sweeps
+    per group (C speed, no per-pair rows ANYWHERE — not in a shuffle,
+    not in Arrow), and shuffles back only passing drop ids. Group size
+    is (B+W) rows regardless of corpus size; group count N*K/B scales
+    parallelism linearly.
+
+    Bit-exactness: per pair the kernel reproduces the unrolled SQL op
+    sequence exactly — one multiply-add per dimension accumulated in
+    order (never np.dot/einsum), norms via `_seq_norm_sq_np`, one
+    correctly-rounded divide (functions/vectors.py contract). Offset
+    sweeps slice BOTH operand matrices before the per-dim loop, so each
+    pair's sequence is identical to a row-pair evaluation; orientation
+    is irrelevant (IEEE multiply commutes, summation order is fixed)."""
+    import numpy as np
+    import pandas as pd
+
+    from mongodb_cdc_spark.functions.vectors import _seq_norm_sq_np
+
+    W, B, tau = _SEM_WINDOW, _SEM_SB, _SEM_TAU
+
+    long = None
+    for k in range(_SEM_K):
+        part = ranked.select(
+            "vec_id", "embedding", "cluster",
+            F.lit(k).alias("k"), F.col(f"rn{k}").alias("rn"),
+        )
+        long = part if long is None else long.unionAll(part)
+    own = long.select(
+        "vec_id", "embedding", "cluster", "k", "rn",
+        F.expr(f"(rn - 1) div {B}").alias("sb"),
+        F.lit(True).alias("own"),
+    )
+    tails = (
+        long.filter(F.expr(f"(rn - 1) % {B} < {W} AND rn > {B}"))
+        .select(
+            "vec_id", "embedding", "cluster", "k", "rn",
+            F.expr(f"(rn - 1) div {B} - 1").alias("sb"),
+            F.lit(False).alias("own"),
+        )
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        is_own = pdf["own"].to_numpy()
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        norm = np.sqrt(_seq_norm_sq_np(X))
+        out = []
+        for d in range(1, min(W, n - 1) + 1):
+            A, Bm = X[:-d], X[d:]
+            acc = A[:, 0] * Bm[:, 0]
+            for dim in range(1, X.shape[1]):
+                acc = acc + A[:, dim] * Bm[:, dim]
+            c = acc / (norm[:-d] * norm[d:])
+            # pair owner is the LEFT row; tails only ever serve as the
+            # right operand, so cross-group pairs emit exactly once
+            hit = (c >= tau) & is_own[:-d]
+            if hit.any():
+                out.append(
+                    np.maximum(ids[:-d][hit], ids[d:][hit]).astype(np.int64)
+                )
+        dropped = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        return pd.DataFrame({"vec_id": dropped})
+
+    scored = (
+        own.unionAll(tails)
+        .groupBy("cluster", "k", "sb")
+        .applyInPandas(score, schema="vec_id bigint")
+    )
+    return scored.distinct().withColumn("is_dropped", F.lit(True))
 
 
 # Duck-only fragment (consumed by _SEM_ORACLE below): MATERIALIZED on
@@ -567,8 +674,11 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair work is 4 x N x WINDOW — still linear — via block joins
     (each left row carries its block id and its successor's), never a
-    per-cluster cross product; candidate pairs are DISTINCT'd before the
-    single cosine-scoring join so no pair is scored twice. Recall of the
+    per-cluster cross product; scoring is FUSED into the block join
+    (`_sem_dropped`): embeddings ride the N-scale long frame and the
+    cosine evaluates in the join's output stage, so pair-cardinality
+    rows never carry arrays across an exchange (<= K re-scores per
+    pair is the trade — see the 1000x rationale). Recall of the
     window scheme is MEASURED, not assumed: `ext_semantic_window_recall`
     reports it exactly (single-projection caught 9/80 at sf0.1; the
     four-projection union at the round-6 W=32 operating point catches
@@ -579,18 +689,7 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so assignment, all four rank columns, and threshold comparisons
     agree with the DuckDB oracle at the last bit."""
     ranked = _sem_ranked_frame(spark, sf_dir)
-    pairs = _sem_window_pairs(ranked)
-    x = ranked.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
-    y = ranked.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
-    pair_cos = F.expr(cosine_unrolled_sql("ea", "eb"))
-    dropped = (
-        pairs.join(x, "da")
-        .join(y, "db")
-        .filter(pair_cos >= _SEM_TAU)
-        .select(F.col("db").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
-    )
+    dropped = _sem_dropped(ranked)
     return (
         ranked.join(dropped, "vec_id", "left")
         .select(
@@ -1584,18 +1683,10 @@ def ext_semantic_dedup_from_store(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    pairs = _sem_window_pairs(store)
-    x = emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
-    y = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
-    pair_cos = F.expr(cosine_unrolled_sql("ea", "eb"))
-    dropped = (
-        pairs.join(x, "da")
-        .join(y, "db")
-        .filter(pair_cos >= _SEM_TAU)
-        .select(F.col("db").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
-    )
+    # attach the scoring vectors ONCE at N scale (projections beside,
+    # payloads in the base table), then score inside the block join —
+    # arrays never shuffle at pair cardinality (_sem_dropped rationale).
+    dropped = _sem_dropped(store.join(emb, "vec_id"))
     return (
         store.join(dropped, "vec_id", "left")
         .select(
@@ -1718,4 +1809,282 @@ def maintenance_signature_refresh(
         .crossJoin(new_sigs.agg(F.count(F.lit(1)).alias("n_wave_new")))
         .crossJoin(checks)
         .select("n_signatures", "n_wave_new", "merge_mismatches")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_dedup_minhash — streaming near-duplicate gate vs the signature
+# store (VERDICT r7 item 6: composes the two proven pieces — the persisted
+# MinHash signatures and the foreachBatch ingest harness)
+# --------------------------------------------------------------------------
+# The 100 TB ingest question: "is this incoming document a duplicate of
+# the corpus?" answered PER MICRO-BATCH against a persisted base-corpus
+# signature store, never by re-shingling the base. Corpus split at the
+# 90th-percentile doc_id (the maintenance_signature_refresh convention):
+# base docs build the store once; wave docs arrive as a 4-file parquet
+# feed (maxFilesPerTrigger=1 -> 4 micro-batches). Each batch:
+#
+#   exact gate:  md5(text) semi-join against the base md5 set;
+#   near gate:   sign the batch (shared minhash machinery), band it
+#                (shared `signature_bands` geometry), equi-join bands
+#                against the store's bands -> candidate (wave, base-rep)
+#                pairs, then EXACT bigram-Jaccard verification at
+#                tau = 0.50 (the `_jaccard_pairs_ge` integer test) —
+#                LSH proposes, exact arithmetic decides.
+#
+# The oracle recomputes BOTH decisions from scratch in DuckDB — the
+# exact gate portably, the near gate as BRUTE-FORCE wave x base-rep
+# Jaccard truth. The near columns therefore hash-match only while the
+# LSH stage has FULL recall on this corpus's truth pairs (measured:
+# 52/52 at the bigram geometry, j~0.99 dup structure) — a deliberate
+# recall tripwire, not an over-claim: a geometry change that drops a
+# true pair turns this row red at the driver.
+
+_GATE_FEED_FILES = 4
+
+
+def _dedup_gate_feed(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """Materialize wave docs (doc_id > cut) as an n-file parquet feed
+    (write_vector_feed discipline: cached, pure function of the input)."""
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"wavedocs_{sf_name}_{_GATE_FEED_FILES}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") > cut).repartition(
+            _GATE_FEED_FILES
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def base_signature_store_path(
+    spark: SparkSession, sf_dir: str, cut: int
+) -> str:
+    """Build (once, stage-then-rename) the BASE-slice signature store:
+    MinHash signatures of the base corpus's exact-dup representatives —
+    what a standing deployment has on disk when the wave arrives."""
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"sigbase_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        base_reps = (
+            d.filter(F.col("doc_id") <= cut)
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
+        )
+        stage = path + ".stage"
+        _sign_reps(base_reps).write.mode("overwrite").parquet(stage)
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+_GATE_SHINGLE_DUCK = """
+      SELECT doc_id, substring(md5(g), 1, 16) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS g
+        FROM (SELECT doc_id, {toks} AS toks FROM {src})
+        WHERE len(toks) >= 2
+      )
+"""
+
+
+@query(
+    "stream_dedup_minhash",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    wave AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id > (SELECT c FROM cut)
+    ),
+    base_md5 AS MATERIALIZED (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    breps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS txt
+      FROM documents WHERE doc_id <= (SELECT c FROM cut)
+      GROUP BY md5(text)
+    ),
+    bsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('txt'), src='breps')}
+    ),
+    wsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('text'), src='wave')}
+    ),
+    bsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id
+    ),
+    wsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM wsh GROUP BY doc_id
+    ),
+    pc AS MATERIALIZED (
+      SELECT w.doc_id AS wid, b.doc_id AS bid, COUNT(*) AS c
+      FROM wsh w JOIN bsh b ON w.h = b.h GROUP BY 1, 2
+    ),
+    near AS MATERIALIZED (
+      SELECT DISTINCT pc.wid FROM pc
+      JOIN wsz ON wsz.doc_id = pc.wid
+      JOIN bsz ON bsz.doc_id = pc.bid
+      WHERE 100 * pc.c >= {_VERIFY_TAU_E2} * (wsz.n + bsz.n - pc.c)
+    )
+    SELECT w.doc_id,
+           (md5(w.text) IN (SELECT h FROM base_md5)) AS is_exact_dup,
+           (w.doc_id IN (SELECT wid FROM near)) AS is_near_dup
+    FROM wave w ORDER BY w.doc_id
+    """,
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest gate (tier block above): per wave doc,
+    an exact-dup verdict (md5 vs base) and a verified near-dup verdict
+    (banded-LSH candidates vs the persisted base signature store, exact
+    integer bigram-Jaccard >= 0.50 confirmation). Hash-checked against a
+    from-scratch DuckDB brute-force of BOTH gates.
+
+    Exactly-once by idempotence (engine sink contract): each micro-batch
+    overwrites its own batch=<id> directory; the run is supervised with
+    a fixed checkpoint so a foreachBatch retry replays into the same
+    directory. Scale: per-batch cost is batch-shingles + one (band, h)
+    equi-join where the BATCH side is micro-batch-sized (broadcastable)
+    and the store side is the read-once banded signature frame (8
+    BIGINTs/doc — base text is never re-read); verification touches
+    candidate pairs only. Nothing reshuffles previously ingested data."""
+    from mongodb_cdc_spark.operators.extensions import (
+        minhash_signatures_from_shingles,
+        signature_bands,
+    )
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # integer floor of max*9/10, matching the oracle's // (bounded
+    # 1-row scalar collect, the documented pattern)
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+
+    store = spark.read.parquet(
+        base_signature_store_path(spark, sf_dir, cut)
+    )
+    store_bands = signature_bands(store).localCheckpoint(eager=True)
+    base_md5 = (
+        d.filter(F.col("doc_id") <= cut)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # base-rep shingle-hash index + sizes, computed ONCE for the run
+    # (a standing deployment persists this beside the signatures)
+    base_reps = (
+        d.filter(F.col("doc_id") <= cut)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("txt"))
+    )
+    bsh = (
+        base_reps.select("doc_id", tokens("txt").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    feed = _dedup_gate_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("dedup_gate_target")
+    ckpt = new_scratch_dir("dedup_gate_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        tok = bdf.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+        )
+        mins = minhash_signatures_from_shingles(tok)
+        wb = signature_bands(mins).select(
+            F.col("doc_id").alias("wid"), "band", "h"
+        )
+        sb = store_bands.select(F.col("doc_id").alias("bid"), "band", "h")
+        cand = wb.join(sb, ["band", "h"]).select("wid", "bid").distinct()
+        wsh = tok.select(
+            F.col("doc_id").alias("wid"),
+            F.substring(F.md5("tok"), 1, 16).alias("h"),
+        )
+        wsz = wsh.groupBy("wid").agg(F.count(F.lit(1)).alias("nw"))
+        # shared-shingle count per candidate pair: pair ⋈ wave-shingles
+        # on wid, then the base index on bid, equal hashes kept — cost is
+        # |candidates| x avg shingle overlap, never all-pairs
+        pc = (
+            cand.join(wsh, "wid")
+            .join(
+                bsh.withColumnRenamed("doc_id", "bid").withColumnRenamed(
+                    "h", "hb"
+                ),
+                ["bid"],
+            )
+            .filter(F.col("h") == F.col("hb"))
+            .groupBy("wid", "bid")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        near = (
+            pc.join(wsz, "wid")
+            .join(
+                bsz.withColumnRenamed("doc_id", "bid").withColumnRenamed(
+                    "n", "nb"
+                ),
+                "bid",
+            )
+            .filter(
+                100 * F.col("c")
+                >= _VERIFY_TAU_E2 * (F.col("nw") + F.col("nb") - F.col("c"))
+            )
+            .select("wid")
+            .distinct()
+            .withColumn("near", F.lit(True))
+        )
+        exact = (
+            bdf.select("doc_id", F.md5("text").alias("mh"))
+            .join(base_md5, F.col("mh") == F.col("h"), "left_semi")
+            .select("doc_id")
+            .withColumn("exact", F.lit(True))
+        )
+        (
+            bdf.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near.withColumnRenamed("wid", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("exact", F.lit(False)).alias("is_exact_dup"),
+                F.coalesce("near", F.lit(False)).alias("is_near_dup"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select("doc_id", "is_exact_dup", "is_near_dup")
+        .orderBy("doc_id")
     )

