@@ -20,6 +20,7 @@ from mongodb_cdc_spark.operators.graphs import graph_pagerank
 from mongodb_cdc_spark.operators.scans import scan_text, scan_xml
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.plans.explain import formatted_plan
+from mongodb_cdc_spark.registry import QUERIES
 
 
 def test_ngram_dup_coverage_bounds(spark, sf_dir):
