@@ -195,6 +195,7 @@ HEADLINE = [
     ("ext_rank_bm25_from_store", None),
     ("stream_dedup_minhash", None),
     ("agg_quantile_partial_merge", None),
+    ("ext_rerank_crossmodal_eval", None),
 ]
 
 

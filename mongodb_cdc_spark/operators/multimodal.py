@@ -225,3 +225,97 @@ def mm_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.col("length").cast("bigint").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# ext_rerank_crossmodal_eval — two-stage retrieval eval over the
+# multimodal join (VERDICT r7 item 6, third candidate): a lexical
+# first-stage retriever feeds a cross-modal (embedding) reranker, and
+# the output certifies the rank movement between the stages exactly.
+# --------------------------------------------------------------------------
+# The production shape behind every "retrieve-then-rerank" serving stack:
+# stage 1 is cheap and corpus-wide (shared-token count against the probe
+# document — the inverted-index access pattern, probe tokens broadcast);
+# stage 2 is expensive and candidate-only (embedding cosine over the
+# R = 20 survivors via the documents ⋈ embeddings multimodal join, the
+# cross-encoder cost model: touch heavy features for R rows, never the
+# corpus). Everything is exact integer / bit-exact IEEE arithmetic, so
+# the full two-stage trace — lexical scores, both ranks, the rank delta
+# — hash-checks against DuckDB.
+
+_RERANK_R = 20
+_RERANK_K = 10
+
+
+def _crossmodal_sql(dialect: str) -> str:
+    """One SQL text per dialect (`_ivf_multiprobe_sql` discipline)."""
+    from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+
+    if dialect == "spark":
+        tok = "explode(filter(split(text, ' '), t -> t <> ''))"
+    else:
+        tok = "unnest(list_filter(string_split(text, ' '), t -> t <> ''))"
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    cos = cosine_unrolled_sql("e.embedding", "pr.p", dialect=dialect)
+    return f"""
+    WITH toks AS {mat}(
+      SELECT doc_id, {tok} AS token FROM documents
+    ),
+    ptoks AS {mat}(
+      SELECT DISTINCT token FROM toks WHERE doc_id = 0
+    ),
+    cand AS {mat}(
+      SELECT t.doc_id, CAST(COUNT(DISTINCT t.token) AS BIGINT) AS lex_score
+      FROM toks t JOIN ptoks p ON t.token = p.token
+      WHERE t.doc_id <> 0
+      GROUP BY t.doc_id
+    ),
+    lextop AS {mat}(
+      SELECT doc_id, lex_score, lex_rank FROM (
+        SELECT doc_id, lex_score,
+               ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id ASC)
+                 AS lex_rank
+        FROM cand
+      ) t WHERE lex_rank <= {_RERANK_R}
+    ),
+    probe AS {mat}(
+      SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+    ),
+    rr AS {mat}(
+      SELECT l.doc_id, l.lex_score, l.lex_rank, {cos} AS c
+      FROM lextop l
+      JOIN embeddings e ON e.vec_id = l.doc_id
+      CROSS JOIN probe pr
+    )
+    SELECT rk, doc_id, lex_score, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(lex_rank - rk AS BIGINT) AS rank_delta,
+           CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6
+    FROM (
+      SELECT doc_id, lex_score, lex_rank, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, doc_id ASC) AS rk
+      FROM rr
+    ) t
+    WHERE rk <= {_RERANK_K}
+    ORDER BY rk ASC
+    """
+
+
+@query("ext_rerank_crossmodal_eval", oracle=_crossmodal_sql("duck"))
+def ext_rerank_crossmodal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval trace for probe doc 0 (tier block above):
+    lexical top-R=20 by shared-token count, cross-modal rerank to
+    top-K=10 by exact embedding cosine, emitting both ranks and the
+    per-doc rank delta — the eval row a serving stack pins before
+    swapping either stage. Hash-checked end-to-end (a drifted lexical
+    tie, a wrong candidate cut, or one cosine bit breaks the hash).
+
+    Scale: stage 1 is one token scan joined to the broadcast probe-token
+    set, reduced map-side to (doc, shared-count) — the lazy
+    inverted-index pattern; its top-R is a TakeOrdered. Stage 2 touches
+    embeddings for R rows only (the multimodal join keyed doc_id =
+    vec_id, probe vector broadcast). Cost at 100 TB: one corpus token
+    scan + R vector reads, the canonical rerank asymmetry."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_crossmodal_sql("spark"))

@@ -147,6 +147,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_rank_bm25_from_store",
     "stream_dedup_minhash",
     "agg_quantile_partial_merge",
+    "ext_rerank_crossmodal_eval",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

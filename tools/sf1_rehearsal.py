@@ -233,6 +233,7 @@ HEAVY = [
     "ext_rank_bm25_from_store",
     "stream_dedup_minhash",
     "agg_quantile_partial_merge",
+    "ext_rerank_crossmodal_eval",
 ]
 
 
