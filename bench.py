@@ -196,6 +196,8 @@ HEADLINE = [
     ("stream_dedup_minhash", None),
     ("agg_quantile_partial_merge", None),
     ("ext_rerank_crossmodal_eval", None),
+    ("maintenance_postings_refresh", None),
+    ("ext_rank_rrf_fusion", None),
 ]
 
 

@@ -319,3 +319,101 @@ def ext_rerank_crossmodal_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_crossmodal_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# ext_rank_rrf_fusion — hybrid lexical + vector retrieval via exact-
+# integer Reciprocal Rank Fusion (the rerank-eval's serving-side sibling)
+# --------------------------------------------------------------------------
+# The standard hybrid-retrieval combiner: each retriever contributes
+# 1/(k + rank) with k = 60 (the published RRF constant); fusion is rank-
+# only, so scores from incomparable systems (token counts vs cosines)
+# never mix. Exactness: each contribution is floor(1e6/(60+rank)) — an
+# integer both engines compute identically — summed per doc; a doc
+# missing from one list contributes 0 from it.
+
+_RRF_K = 60
+_RRF_R = 20  # per-retriever candidate depth
+_RRF_TOPK = 10
+
+
+def _rrf_sql(dialect: str) -> str:
+    from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+
+    if dialect == "spark":
+        tok = "explode(filter(split(text, ' '), t -> t <> ''))"
+        div = "div"
+    else:
+        tok = "unnest(list_filter(string_split(text, ' '), t -> t <> ''))"
+        div = "//"
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    cos = cosine_unrolled_sql("e.embedding", "pr.p", dialect=dialect)
+    return f"""
+    WITH toks AS {mat}(
+      SELECT doc_id, {tok} AS token FROM documents
+    ),
+    ptoks AS {mat}(
+      SELECT DISTINCT token FROM toks WHERE doc_id = 0
+    ),
+    lex AS {mat}(
+      SELECT doc_id, lex_rank FROM (
+        SELECT t.doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY COUNT(DISTINCT t.token) DESC, t.doc_id ASC)
+                 AS lex_rank
+        FROM toks t JOIN ptoks p ON t.token = p.token
+        WHERE t.doc_id <> 0
+        GROUP BY t.doc_id
+      ) r WHERE lex_rank <= {_RRF_R}
+    ),
+    probe AS {mat}(
+      SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+    ),
+    vec AS {mat}(
+      SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id ASC)
+                 AS vec_rank
+        FROM embeddings e CROSS JOIN probe pr
+        WHERE e.vec_id <> 0
+      ) r WHERE vec_rank <= {_RRF_R}
+    ),
+    fused AS {mat}(
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE(1000000 {div} ({_RRF_K} + l.lex_rank), 0)
+                  + COALESCE(1000000 {div} ({_RRF_K} + v.vec_rank), 0)
+                  AS BIGINT) AS rrf_e6,
+             l.lex_rank, v.vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT rk, doc_id, rrf_e6,
+           CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank
+    FROM (
+      SELECT doc_id, rrf_e6, lex_rank, vec_rank,
+             ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+      FROM fused
+    ) t
+    WHERE rk <= {_RRF_TOPK}
+    ORDER BY rk ASC
+    """
+
+
+@query("ext_rank_rrf_fusion", oracle=_rrf_sql("duck"))
+def ext_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for probe doc/vec 0: lexical top-20 (shared-token
+    rank) and vector top-20 (exact-cosine rank) fused by exact-integer
+    RRF (tier block above), returning the fused top-10 with each
+    system's rank visible (0 = not retrieved by that system). The fused
+    list is the hybrid-serving contract; hash-checked end-to-end.
+
+    Scale: each retriever is its own bounded top-R (lexical: one token
+    scan + broadcast probe tokens + TakeOrdered; vector: the brute
+    probe pass `ext_sim_cosine_topk` demonstrates, with the IVF store
+    as the production swap-in); fusion joins two R-row lists — constant
+    work at any corpus size. Rank-only fusion is exactly why hybrid
+    stacks ship RRF first: no score calibration across systems."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_rrf_sql("spark"))

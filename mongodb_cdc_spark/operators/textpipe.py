@@ -2154,3 +2154,119 @@ def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_cb",
         "n_terms_matched",
     ).orderBy("rk")
+
+
+@query(
+    "maintenance_postings_refresh",
+    oracle="""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(SUM(CASE WHEN doc_id > (SELECT c FROM cut)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wave_postings,
+           CAST(0 AS BIGINT) AS merge_mismatches,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS dlt
+    FROM tf
+    """,
+)
+def maintenance_postings_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental postings-store refresh, verified against the full
+    build — the wave algebra of the BM25 inverted index, completing the
+    store lifecycle every maintained tier carries (signatures, IVF, PQ,
+    edges). Corpus split at the 90th-percentile doc_id (the shared
+    refresh convention): postings are per-(doc, term) and doc lengths
+    are within-doc, so an append-only wave contributes EXACTLY its own
+    rows — base-built ∪ wave-built must equal the from-scratch store
+    row for row (tf AND denormalized dl compared on a full outer join,
+    ``merge_mismatches`` hash-checked at 0) and the merged corpus stats
+    must equal the store's 1-row artifact (additive: n_docs and dlt
+    sum across waves).
+
+    Scale: steady-state refresh cost is tokenizing the WAVE only (the
+    full-corpus scan happens once at bootstrap); stats refresh is two
+    BIGINT additions. The from-scratch comparison here is the
+    certification pass, not the production path."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(
+        d.agg(F.expr("(MAX(doc_id) * 9) div 10").alias("c")).first()["c"]
+    )  # bounded 1-row scalar
+
+    def build(docs: DataFrame) -> DataFrame:
+        tf = (
+            _bm25_toks(docs)
+            .groupBy("doc_id", F.col("token").alias("term"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("dl")
+        )
+        return tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+
+    base_p = build(d.filter(F.col("doc_id") <= cut))
+    wave_p = build(d.filter(F.col("doc_id") > cut))
+    merged = base_p.unionByName(wave_p)
+
+    full = spark.read.parquet(
+        _os.path.join(postings_store_path(spark, sf_dir), "postings")
+    ).select(
+        "term",
+        "doc_id",
+        F.col("tf").alias("ftf"),
+        F.col("dl").alias("fdl"),
+    )
+    joined = merged.join(full, ["term", "doc_id"], "full_outer")
+    mism = joined.agg(
+        F.sum(
+            F.when(
+                (~F.col("tf").eqNullSafe(F.col("ftf")))
+                | (~F.col("dl").eqNullSafe(F.col("fdl"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("merge_mismatches")
+    )
+    stats = (
+        merged.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("dlt"),
+        )
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).cast("bigint").alias("n_postings"))
+        .crossJoin(
+            wave_p.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_wave_postings")
+            )
+        )
+        .crossJoin(mism)
+        .crossJoin(stats)
+        .select(
+            "n_postings",
+            "n_wave_postings",
+            "merge_mismatches",
+            "n_docs",
+            "dlt",
+        )
+    )

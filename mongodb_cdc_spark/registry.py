@@ -148,6 +148,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_dedup_minhash",
     "agg_quantile_partial_merge",
     "ext_rerank_crossmodal_eval",
+    "maintenance_postings_refresh",
+    "ext_rank_rrf_fusion",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -234,6 +234,8 @@ HEAVY = [
     "stream_dedup_minhash",
     "agg_quantile_partial_merge",
     "ext_rerank_crossmodal_eval",
+    "maintenance_postings_refresh",
+    "ext_rank_rrf_fusion",
 ]
 
 
