@@ -198,6 +198,7 @@ HEADLINE = [
     ("ext_rerank_crossmodal_eval", None),
     ("maintenance_postings_refresh", None),
     ("ext_rank_rrf_fusion", None),
+    ("ml_nb_text_classify", None),
 ]
 
 

@@ -150,6 +150,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_rerank_crossmodal_eval",
     "maintenance_postings_refresh",
     "ext_rank_rrf_fusion",
+    "ml_nb_text_classify",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -236,6 +236,7 @@ HEAVY = [
     "ext_rerank_crossmodal_eval",
     "maintenance_postings_refresh",
     "ext_rank_rrf_fusion",
+    "ml_nb_text_classify",
 ]
 
 
