@@ -199,6 +199,7 @@ HEADLINE = [
     ("maintenance_postings_refresh", None),
     ("ext_rank_rrf_fusion", None),
     ("ml_nb_text_classify", None),
+    ("stream_quantile_partials", None),
 ]
 
 

@@ -1184,3 +1184,141 @@ def agg_quantile_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _event_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the events table as an n-file parquet feed for the
+    streaming partial-ingest path (write_vector_feed discipline: cached,
+    a pure function of the input table)."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"eventfeed_{sf_name}_{n_files}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "stream_quantile_partials",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS MATERIALIZED (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           CAST(4 AS BIGINT) AS n_partial_batches,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           {", ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {p} * n THEN cents END) AS BIGINT)"
+        f" AS p{p}_cents" for p in _QPM_PCTS)}
+    FROM cum GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_quantile_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the mergeable quantile partials — the
+    ingest story of `agg_quantile_partial_merge`, mirroring
+    `stream_ivf_ingest`'s contract for the histogram tier: events arrive
+    as an unbounded feed (maxFilesPerTrigger=1 -> 4 micro-batches), each
+    batch reduces to its own (event_type, cents, cnt) histogram partial
+    inside foreachBatch and lands in an idempotent batch=<id> directory
+    (overwrite-on-retry = exactly-once by idempotence; the run is
+    supervised with a fixed checkpoint). The final read merges ALL
+    partials by summation and must reproduce the batch-exact p50/p90/p99
+    — SAME quantile convention and hash as the batch twin, proving
+    continuous histogram ingest converges to the one-shot build exactly.
+
+    Scale: per-batch state is the batch's distinct-value histogram
+    (domain-bounded, KBs); nothing reshuffles prior batches; any date
+    range answers quantiles by summing stored partials — the streaming
+    completion of the store-partials-merge-any-range contract."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    feed = _event_feed(spark, sf_dir)
+    target = new_scratch_dir("qpart_target")
+    ckpt = new_scratch_dir("qpart_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select(
+                "event_type",
+                F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+
+    parts = spark.read.parquet(target)
+    merged = parts.groupBy("event_type", "cents").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    n_batches = parts.select("batch").distinct().count()
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            *[
+                F.min(
+                    F.when(
+                        100 * F.col("cum") >= p * F.col("n"), F.col("cents")
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{p}_cents")
+                for p in _QPM_PCTS
+            ],
+        )
+        .select(
+            "event_type",
+            F.lit(n_batches).cast("bigint").alias("n_partial_batches"),
+            "n_rows",
+            *[f"p{p}_cents" for p in _QPM_PCTS],
+        )
+        .orderBy("event_type")
+    )

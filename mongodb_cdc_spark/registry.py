@@ -151,6 +151,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_postings_refresh",
     "ext_rank_rrf_fusion",
     "ml_nb_text_classify",
+    "stream_quantile_partials",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

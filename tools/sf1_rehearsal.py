@@ -237,6 +237,7 @@ HEAVY = [
     "maintenance_postings_refresh",
     "ext_rank_rrf_fusion",
     "ml_nb_text_classify",
+    "stream_quantile_partials",
 ]
 
 
