@@ -200,6 +200,7 @@ HEADLINE = [
     ("ext_rank_rrf_fusion", None),
     ("ml_nb_text_classify", None),
     ("stream_quantile_partials", None),
+    ("ext_embed_quantize_int8", None),
 ]
 
 

@@ -2016,3 +2016,116 @@ def maintenance_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(checks)
         .select("n_codes", "n_wave", "merge_mismatches")
     )
+
+
+# --------------------------------------------------------------------------
+# ext_embed_quantize_int8 — per-dimension symmetric int8 quantization of
+# the embedding corpus, with an exact reconstruction-error audit
+# --------------------------------------------------------------------------
+# The storage-side companion to the PQ tier: int8 embeddings are the
+# standard 4x-compression serving format (Faiss SQ8 / vector-DB int8).
+# Everything is exact integer arithmetic so the audit hashes:
+#
+# * values enter as e6 fixed-point (exact float32 -> double -> floor);
+# * the per-dim scale is M_d = max(|v_e6|) over the corpus (an integer
+#   max — order-free, engine-independent);
+# * code   = ((v_e6 + M_d) * 127) div M_d - 127   in [-127, 127]
+#   (the +M_d shift keeps the numerator nonnegative, so Spark's
+#   trunc-div and DuckDB's floor-div agree — the ts_theil_sen trick);
+# * recon  = ((code + 127) * M_d) div 127 - M_d   (same shift back);
+# * the audit emits per-dim n, M_d, total/max |v_e6 - recon| — the
+#   quantization-error contract a serving stack certifies before
+#   swapping the fp32 column out.
+
+_SQ8_LEVELS = 127
+
+
+def _sq8_oracle() -> str:
+    L = _SQ8_LEVELS
+    return f"""
+    WITH ex AS MATERIALIZED (
+      SELECT CAST(pos - 1 AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    scale AS MATERIALIZED (
+      SELECT dim, CAST(MAX(ABS(v)) AS BIGINT) AS m FROM ex GROUP BY dim
+    ),
+    codes AS MATERIALIZED (
+      SELECT e.dim, e.v, s.m,
+             ((e.v + s.m) * {L}) // s.m - {L} AS code
+      FROM ex e JOIN scale s ON e.dim = s.dim
+    ),
+    recon AS MATERIALIZED (
+      SELECT dim, v, m, code,
+             ((code + {L}) * m) // {L} - m AS r
+      FROM codes
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(m) AS BIGINT) AS scale_e6,
+           CAST(MIN(code) AS BIGINT) AS min_code,
+           CAST(MAX(code) AS BIGINT) AS max_code,
+           CAST(SUM(ABS(v - r)) AS BIGINT) AS total_abs_err_e6,
+           CAST(MAX(ABS(v - r)) AS BIGINT) AS max_abs_err_e6
+    FROM recon
+    GROUP BY dim
+    ORDER BY dim
+    """
+
+
+@query("ext_embed_quantize_int8", oracle=_sq8_oracle())
+def ext_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dim int8 quantization audit (tier block above):
+    64 rows of exact integers — scale, code range, total and max
+    reconstruction error per dimension — hash-checked against DuckDB's
+    from-scratch requantization. A drifted scale, a wrong shift, or a
+    single mis-rounded code breaks the hash; max_code/min_code landing
+    outside [-127, 127] is visible in the hashed values themselves.
+
+    Scale: posexplode is the zero-shuffle scan-stage expansion
+    (`ext_embed_outlier_filter` shape); the scale table (64 rows)
+    broadcasts back onto the exploded frame, so quantize + audit is ONE
+    map-combinable dim-keyed aggregate over the fact — two fact passes
+    total, no window, no self-join. The production writer emits the
+    code column in the same pass it audits."""
+    L = _SQ8_LEVELS
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    scale = ex.groupBy("dim").agg(
+        F.max(F.abs(F.col("v"))).cast("bigint").alias("m")
+    )
+    codes = ex.join(F.broadcast(scale), "dim").selectExpr(
+        "dim",
+        "v",
+        "m",
+        f"((v + m) * {L}) div m - {L} AS code",
+    )
+    recon = codes.selectExpr(
+        "dim", "v", "m", "code", f"((code + {L}) * m) div {L} - m AS r"
+    )
+    return (
+        recon.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("m").cast("bigint").alias("scale_e6"),
+            F.min("code").cast("bigint").alias("min_code"),
+            F.max("code").cast("bigint").alias("max_code"),
+            F.sum(F.abs(F.col("v") - F.col("r")))
+            .cast("bigint")
+            .alias("total_abs_err_e6"),
+            F.max(F.abs(F.col("v") - F.col("r")))
+            .cast("bigint")
+            .alias("max_abs_err_e6"),
+        )
+        .orderBy("dim")
+    )

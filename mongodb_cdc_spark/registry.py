@@ -152,6 +152,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_rank_rrf_fusion",
     "ml_nb_text_classify",
     "stream_quantile_partials",
+    "ext_embed_quantize_int8",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -238,6 +238,7 @@ HEAVY = [
     "ext_rank_rrf_fusion",
     "ml_nb_text_classify",
     "stream_quantile_partials",
+    "ext_embed_quantize_int8",
 ]
 
 
