@@ -201,6 +201,7 @@ HEADLINE = [
     ("ml_nb_text_classify", None),
     ("stream_quantile_partials", None),
     ("ext_embed_quantize_int8", None),
+    ("mm_audio_window_features", None),
 ]
 
 

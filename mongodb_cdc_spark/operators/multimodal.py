@@ -417,3 +417,111 @@ def ext_rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_rrf_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# mm_audio_window_features — windowed signal features over the binary
+# column (the audio-ingest shape: decode PCM -> overlapping frame windows
+# -> per-window energy/peak/zero-crossing features)
+# --------------------------------------------------------------------------
+# The stub "decode" interprets each blob byte as a centered int8 sample
+# (byte - 128) — deterministic and relationally mirrorable, standing in
+# for a real PCM decoder exactly like _decode_stub does for images. The
+# FEATURES are the real ones an audio curation pass computes (RMS-proxy
+# energy, peak, zero-crossing count per overlapping window), and the
+# Spark-side plumbing — binary Arrow transfer, per-doc 1->N window
+# fan-out inside one mapInPandas pass, vectorized NumPy windowing — is
+# the production shape verbatim.
+
+_AW_WIN = 64
+_AW_HOP = 32
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, win_idx int, n_samples int, "
+    "sum_abs bigint, peak_abs int, zero_crossings int"
+)
+
+
+def audio_window_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched windowed featurizer over (doc_id, content)."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "win_idx": [], "n_samples": [],
+            "sum_abs": [], "peak_abs": [], "zero_crossings": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError(
+                    "no blob: real decoder would fetch/skip"
+                )
+            a = np.frombuffer(bytes(blob), np.uint8).astype(np.int32) - 128
+            for i, s in enumerate(range(0, len(a), _AW_HOP)):
+                w = a[s : s + _AW_WIN]
+                sgn = np.where(w < 0, -1, 1)
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(i)
+                out["n_samples"].append(len(w))
+                out["sum_abs"].append(int(np.abs(w).sum()))
+                out["peak_abs"].append(int(np.abs(w).max()))
+                out["zero_crossings"].append(
+                    int((sgn[:-1] * sgn[1:] < 0).sum())
+                )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_audio_window_features",
+    oracle=f"""
+    -- samples are recomputed over the VARCHAR (fixture text is pure
+    -- ASCII: 1 char == 1 byte, ascii() == the byte value) — the same
+    -- blob/text equivalence mm_frame_sample documents.
+    WITH wins AS MATERIALIZED (
+      SELECT doc_id, text, length(text) AS L,
+             unnest(generate_series(0,
+               CAST((length(text) - 1) // {_AW_HOP} AS INT))) AS win_idx
+      FROM documents WHERE length(text) > 0
+    ),
+    sm AS MATERIALIZED (
+      SELECT doc_id, win_idx, p,
+             ascii(substring(text, p, 1)) - 128 AS v
+      FROM wins,
+           unnest(generate_series(win_idx * {_AW_HOP} + 1,
+             least(win_idx * {_AW_HOP} + {_AW_WIN}, L))) AS t(p)
+    ),
+    sgn AS MATERIALIZED (
+      SELECT doc_id, win_idx, p, v,
+             CASE WHEN v < 0 THEN -1 ELSE 1 END AS s,
+             LEAD(CASE WHEN v < 0 THEN -1 ELSE 1 END) OVER (
+               PARTITION BY doc_id, win_idx ORDER BY p) AS s_next
+      FROM sm
+    )
+    SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+           CAST(COALESCE(SUM(CASE WHEN s * s_next < 0 THEN 1 ELSE 0 END), 0)
+             AS INT) AS zero_crossings
+    FROM sgn
+    GROUP BY doc_id, win_idx
+    """,
+)
+def mm_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shape windowed features over the binary column (tier block
+    above): overlapping {_AW_WIN}-sample windows at hop {_AW_HOP}, per
+    window the exact integer energy proxy (sum |sample|), peak, and
+    zero-crossing count — hash-checked against DuckDB's relational
+    recomputation of the same stub decode, so the whole Arrow fan-out
+    plumbing is verified even though the decoder is fake.
+
+    Scale: one mapInPandas pass, scan-bandwidth-bound like the decode
+    pass; window math is vectorized NumPy per blob; output rows are
+    L/hop per doc with no shuffle (features land partition-local, ready
+    for a partitioned write). A real deployment swaps `np.frombuffer`
+    for the PCM decoder and keeps every other line."""
+    return binary_table(spark, sf_dir).select(
+        "doc_id", "content"
+    ).mapInPandas(audio_window_features, AUDIO_SCHEMA)

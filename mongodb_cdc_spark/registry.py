@@ -153,6 +153,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ml_nb_text_classify",
     "stream_quantile_partials",
     "ext_embed_quantize_int8",
+    "mm_audio_window_features",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -239,6 +239,7 @@ HEAVY = [
     "ml_nb_text_classify",
     "stream_quantile_partials",
     "ext_embed_quantize_int8",
+    "mm_audio_window_features",
 ]
 
 
