@@ -202,6 +202,7 @@ HEADLINE = [
     ("stream_quantile_partials", None),
     ("ext_embed_quantize_int8", None),
     ("mm_audio_window_features", None),
+    ("cdc_ivm_topk", None),
 ]
 
 

@@ -1174,3 +1174,166 @@ def cdc_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_ivm_topk — incrementally maintained top-k (leaderboard) under CDC
+# deltas, with the candidate-buffer trick and a hash-checked recompute
+# parity proof
+# --------------------------------------------------------------------------
+# Top-k is the classic NOT-trivially-self-maintainable view: a delta can
+# promote any touched key into the top, so naive maintenance re-reads
+# the world. The standard fix (and this operator's content): rank by a
+# MONOTONE aggregate (event count — every insert/update adds 1, never
+# subtracts), keep a candidate buffer of the previous top-K' (K' = 5k),
+# and maintain the view from buffer ∪ delta-touched keys only — under
+# monotone growth an untouched key outside the old buffer can never
+# climb past the old k-th count. Tie-boundary honesty: a tie at the
+# final k-th count could in principle admit an untouched just-outside-
+# buffer key by tiebreak; the operator therefore CHECKS the incremental
+# result against a full recompute set-wise and emits the verdict as a
+# hashed boolean — if the boundary ever bites, the driver row goes red
+# loudly instead of silently serving a wrong leaderboard.
+
+_IVM_TOPK = 10
+_IVM_TOPK_BUFFER = 50
+
+
+@query(
+    "cdc_ivm_topk",
+    oracle=f"""
+    WITH totals AS MATERIALIZED (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events WHERE event_type <> 'error'
+      GROUP BY user_id
+    )
+    SELECT rk, user_id, n_events, value_cents, TRUE AS ivm_matches_recompute
+    FROM (
+      SELECT user_id, n_events, value_cents,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rk
+      FROM totals
+    ) t
+    WHERE rk <= {_IVM_TOPK}
+    ORDER BY rk ASC
+    """,
+)
+def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-user leaderboard (tier block above): the feed is
+    split in half, the first half builds the view + a top-{_IVM_TOPK_BUFFER}
+    candidate buffer, the second half is applied as a delta touching
+    ONLY buffer ∪ delta keys, and the resulting top-{_IVM_TOPK} must
+    equal — and is set-compared against — the from-scratch recompute.
+    The oracle recomputes the final leaderboard exactly and states the
+    parity boolean TRUE, so both the maintained VALUES and the
+    maintenance ALGEBRA are driver-hashed.
+
+    Scale: per batch the delta aggregate is map-combinable; the view
+    touch-set is |buffer| + |delta keys| (a keyed lookup against the
+    stored view at 100 TB, never a view scan); the final rank runs over
+    the bounded candidate frame. The full recompute here exists only as
+    the certification arm — production runs the incremental arm and
+    alarms on the buffer-underflow condition instead."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+
+    feed = derive_change_log(spark, sf_dir).filter(
+        F.col("operationType").isin("insert", "update")
+    )
+    cut = feed.agg(
+        F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
+    ).first()[0]
+    cut_id = f"{cut:012d}"
+
+    def delta_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("documentKey._id").alias("user_id"),
+                F.expr(
+                    "CAST(FLOOR(fullDocument.value * 100) AS BIGINT)"
+                ).alias("vc"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("vc").cast("bigint").alias("value_cents"),
+            )
+        )
+
+    v1 = delta_agg(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
+        eager=True
+    )
+    d2 = delta_agg(feed.filter(F.col("_id") > cut_id))
+
+    buffer_keys = (
+        v1.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(_IVM_TOPK_BUFFER)
+        .select("user_id")
+    )
+    cand_keys = buffer_keys.unionByName(d2.select("user_id")).distinct()
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        m = a.alias("a").join(b.alias("b"), "user_id", "full_outer")
+        return m.select(
+            "user_id",
+            (
+                F.coalesce(F.col("a.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce(F.col("a.value_cents"), F.lit(0))
+                + F.coalesce(F.col("b.value_cents"), F.lit(0))
+            ).cast("bigint").alias("value_cents"),
+        )
+
+    # incremental arm: view rows for buffer ∪ delta keys only
+    v_cand = merge(
+        v1.join(cand_keys, "user_id", "left_semi"),
+        d2.join(cand_keys, "user_id", "left_semi"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    ivm_top = (
+        v_cand.select(
+            F.row_number().over(w).alias("rk"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+        .filter(F.col("rk") <= _IVM_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    # certification arm: full recompute, set-compared
+    full_top = (
+        merge(v1, d2)
+        .select(
+            F.row_number().over(w).alias("rk"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+        .filter(F.col("rk") <= _IVM_TOPK)
+    )
+    # full_outer on ALL columns with presence markers (the join keys
+    # themselves coalesce in a named-column full outer, so nullness of a
+    # key column can NOT detect one-sided rows): any cell difference
+    # yields a row missing one marker; count == 0 iff frames identical.
+    mism = (
+        ivm_top.withColumn("l_present", F.lit(1))
+        .join(
+            full_top.withColumn("r_present", F.lit(1)),
+            ["rk", "user_id", "n_events", "value_cents"],
+            "full_outer",
+        )
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .count()
+    )
+    return ivm_top.select(
+        "rk",
+        "user_id",
+        "n_events",
+        "value_cents",
+        F.lit(mism == 0).alias("ivm_matches_recompute"),
+    ).orderBy("rk")

@@ -154,6 +154,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_quantile_partials",
     "ext_embed_quantize_int8",
     "mm_audio_window_features",
+    "cdc_ivm_topk",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

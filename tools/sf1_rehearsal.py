@@ -240,6 +240,7 @@ HEAVY = [
     "stream_quantile_partials",
     "ext_embed_quantize_int8",
     "mm_audio_window_features",
+    "cdc_ivm_topk",
 ]
 
 
