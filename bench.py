@@ -203,6 +203,7 @@ HEADLINE = [
     ("ext_embed_quantize_int8", None),
     ("mm_audio_window_features", None),
     ("cdc_ivm_topk", None),
+    ("maintenance_rebucket", None),
 ]
 
 

@@ -264,3 +264,121 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orphans_staging bigint, content_unchanged boolean, "
         "snapshots_readable boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# maintenance_rebucket — online bucket-count rescaling of the upsert
+# target (the shard-split maintenance every hash-bucketed 100 TB table
+# eventually runs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_rebucket",
+    oracle="""
+    WITH state AS MATERIALIZED (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type <> 'error'
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(4 AS BIGINT) AS n_buckets_before,
+           CAST(8 AS BIGINT) AS n_buckets_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_checksum_cents,
+           TRUE AS rows_preserved,
+           TRUE AS bucket_assignment_ok
+    FROM state
+    """,
+)
+def maintenance_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescale a live upsert target from 4 to 8 hash buckets — the
+    shard-split a hash-bucketed table runs when buckets outgrow their
+    size target. The 4-bucket table is built from the full change feed,
+    its CURRENT state is re-merged into a fresh 8-bucket target through
+    the SAME merge path (one pass: re-reduce is idempotent on
+    already-latest state, so rebucketing is just a merge with a wider
+    bucket function), and the result is certified three ways, all
+    hashed: exact row count and value checksum against the oracle's
+    from-scratch latest-per-key recomputation of the feed; row-set
+    parity with the 4-bucket source (`rows_preserved`); and physical
+    placement — every row in each new bucket=b directory satisfies
+    pmod(xxhash64(_id), 8) == b (`bucket_assignment_ok`), the invariant
+    that keeps bucket-pruned key lookups correct after the split.
+
+    Scale: rebucketing reads each old bucket once and writes each new
+    bucket once (2x table I/O, the unavoidable floor); the merge path's
+    one-shuffle reduce and stage-then-rename commit carry over, so the
+    split is restart-safe per bucket and readers keep time travel
+    across it (fresh target here; production reuses the same dir and
+    the manifest log makes the cutover atomic)."""
+    import os as _os
+    import uuid as _uuid
+
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+    from mongodb_cdc_spark.streaming.upsert import (
+        ParquetUpsertTarget,
+        upsert_projection,
+    )
+
+    feed = upsert_projection(derive_change_log(spark, sf_dir))
+    t4 = ParquetUpsertTarget(
+        _os.path.join(
+            scratch_root(), f"rebucket4_{_uuid.uuid4().hex[:12]}"
+        ),
+        n_buckets=4,
+    )
+    t4.merge_batch(feed, epoch_id=1)
+    t8 = ParquetUpsertTarget(
+        _os.path.join(
+            scratch_root(), f"rebucket8_{_uuid.uuid4().hex[:12]}"
+        ),
+        n_buckets=8,
+    )
+    t8.merge_batch(t4.current(spark), epoch_id=1)
+
+    cur4 = t4.current(spark)
+    cur8 = t8.current(spark)
+    # row-set parity: presence-marker full outer on the key + payload
+    mism = (
+        cur4.select("_id", "event_type", "value")
+        .withColumn("l", F.lit(1))
+        .join(
+            cur8.select("_id", "event_type", "value").withColumn(
+                "r", F.lit(1)
+            ),
+            ["_id", "event_type", "value"],
+            "full_outer",
+        )
+        .filter(F.col("l").isNull() | F.col("r").isNull())
+        .count()
+    )
+    # physical placement audit: each new bucket dir only holds its keys
+    bad_placement = 0
+    for b in range(8):
+        paths = t8._latest_bucket_paths([b])
+        if not paths:
+            continue
+        bad_placement += (
+            spark.read.parquet(*paths)
+            .filter(F.pmod(F.xxhash64("_id"), F.lit(8)) != b)
+            .count()
+        )
+    agg = cur8.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_checksum_cents"),
+    )
+    return agg.select(
+        F.lit(4).cast("bigint").alias("n_buckets_before"),
+        F.lit(8).cast("bigint").alias("n_buckets_after"),
+        "n_rows",
+        "value_checksum_cents",
+        F.lit(mism == 0).alias("rows_preserved"),
+        F.lit(bad_placement == 0).alias("bucket_assignment_ok"),
+    )

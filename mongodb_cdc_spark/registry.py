@@ -155,6 +155,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_embed_quantize_int8",
     "mm_audio_window_features",
     "cdc_ivm_topk",
+    "maintenance_rebucket",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -241,6 +241,7 @@ HEAVY = [
     "ext_embed_quantize_int8",
     "mm_audio_window_features",
     "cdc_ivm_topk",
+    "maintenance_rebucket",
 ]
 
 
