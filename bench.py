@@ -204,6 +204,7 @@ HEADLINE = [
     ("mm_audio_window_features", None),
     ("cdc_ivm_topk", None),
     ("maintenance_rebucket", None),
+    ("graph_link_predict_from_store", None),
 ]
 
 

@@ -481,3 +481,123 @@ def graph_triangle_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_link_predict_from_store — neighborhood-Jaccard link prediction
+# over the maintained co-order graph
+# --------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+
+@query(
+    "graph_link_predict_from_store",
+    oracle=f"""
+    WITH ps AS MATERIALIZED ({_PAIR_SUPPORT_SQL}),
+    thr AS MATERIALIZED (
+      SELECT GREATEST(2, COUNT(*) // 50000) AS t FROM orders
+    ),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM ps WHERE support >= (SELECT t FROM thr)
+    ),
+    und AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY node
+    ),
+    shared AS MATERIALIZED (
+      SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM und x JOIN und y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY x.node, y.node
+    ),
+    cand AS MATERIALIZED (
+      SELECT s.a, s.b, s.c, da.d AS da, db.d AS db,
+             (s.c * 1000000) // (da.d + db.d - s.c) AS jaccard_e6
+      FROM shared s
+      JOIN deg da ON da.node = s.a
+      JOIN deg db ON db.node = s.b
+      LEFT JOIN edges e ON e.a = s.a AND e.b = s.b
+      WHERE e.a IS NULL
+    )
+    SELECT rk, a AS node_a, b AS node_b, c AS shared_nbrs,
+           da AS degree_a, db AS degree_b, jaccard_e6
+    FROM (
+      SELECT a, b, c, da, db, jaccard_e6,
+             ROW_NUMBER() OVER (
+               ORDER BY jaccard_e6 DESC, a ASC, b ASC) AS rk
+      FROM cand
+    ) t
+    WHERE rk <= {_LP_TOPK}
+    ORDER BY rk ASC
+    """,
+)
+def graph_link_predict_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction over the maintained co-order graph: the top-20
+    NON-ADJACENT part pairs by exact neighborhood Jaccard — the
+    collaborative-filtering "products bought together with the same
+    things" recommender primitive, served FROM THE PERSISTED EDGE STORE
+    with the relative minsup applied at read time (zero lineitem scans,
+    the `graph_pagerank_from_store` contract). Jaccard is exact integer
+    arithmetic (shared*1e6 // (da+db-shared), positive operands), ranks
+    totally ordered by (jaccard, a, b) — hash-checked against DuckDB's
+    from-scratch rebuild of the same graph from the fact.
+
+    Scale: candidate pairs are WEDGE pairs only (one self-join of the
+    adjacency on the shared neighbor — sum(deg^2) work over the
+    minsup-pruned graph, the `graph_triangle_from_store` cost class),
+    never all-pairs; degrees and the adjacency are store-aggregate-
+    sized; selection is TakeOrdered."""
+    path = edge_store_path(spark, sf_dir)
+    thr = _edge_store_threshold(path)
+    edges = (
+        spark.read.parquet(path)
+        .filter(F.col("support") >= thr)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).toDF(
+        "node", "nbr"
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = und.alias("x")
+    y = und.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cand = (
+        shared.join(edges, ["a", "b"], "left_anti")
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .selectExpr(
+            "a", "b", "c", "da", "db",
+            "(c * 1000000) div (da + db - c) AS jaccard_e6",
+        )
+    )
+    top = cand.orderBy(
+        F.col("jaccard_e6").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_LP_TOPK)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.pmod(F.col("a"), F.lit(1))).orderBy(
+        F.col("jaccard_e6").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rk"),
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.col("c").alias("shared_nbrs"),
+        F.col("da").alias("degree_a"),
+        F.col("db").alias("degree_b"),
+        F.col("jaccard_e6").cast("bigint").alias("jaccard_e6"),
+    ).orderBy("rk")

@@ -156,6 +156,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "mm_audio_window_features",
     "cdc_ivm_topk",
     "maintenance_rebucket",
+    "graph_link_predict_from_store",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

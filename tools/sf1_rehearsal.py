@@ -242,6 +242,7 @@ HEAVY = [
     "mm_audio_window_features",
     "cdc_ivm_topk",
     "maintenance_rebucket",
+    "graph_link_predict_from_store",
 ]
 
 
