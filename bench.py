@@ -205,6 +205,8 @@ HEADLINE = [
     ("cdc_ivm_topk", None),
     ("maintenance_rebucket", None),
     ("graph_link_predict_from_store", None),
+    ("win_time_range_frame", None),
+    ("stat_permutation_test", None),
 ]
 
 

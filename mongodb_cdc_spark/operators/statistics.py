@@ -2150,3 +2150,114 @@ def ml_nb_text_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_nb_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# stat_permutation_test — deterministic randomization test (the
+# nonparametric sibling of stat_ab_ttest / stat_bootstrap_ci)
+# --------------------------------------------------------------------------
+# Fisher-style significance without distributional assumptions: the
+# 'purchase' arm vs the 'view' control, statistic = difference of mean
+# cents, null distribution from R=100 label RE-RANDOMIZATIONS (Bernoulli
+# split per row — the standard Monte Carlo randomization-test form, NOT
+# exact permutations; documented honestly). Determinism discipline:
+#
+# * each (row, r) gets its split bit from the SAME md5-derived uniform
+#   both engines compute (the stat_bootstrap_ci spelling);
+# * "|T_r| >= |T_obs|" is decided by CROSS-MULTIPLICATION in DECIMAL(38,0)
+#   / HUGEINT — |s1*n2 - s2*n1| * (m1*m2) vs |t1*m2 - t2*m1| * (n1*n2) —
+#   so no division ever happens and the verdict is an exact integer
+#   comparison (bounds: ~3e30 at the 100x replica, inside 38 digits);
+# * an empty side in a re-randomization (impossible at these n, but
+#   stated) counts as extreme — the conservative CASE both engines share.
+
+_PERM_R = 100
+_PERM_TREAT = "purchase"
+
+
+def _perm_sql(dialect: str, nparts: int = 0) -> str:
+    xi = "CAST(FLOOR(value * 100) AS BIGINT)"
+    if dialect == "spark":
+        reps = (
+            "SELECT CAST(r0 AS BIGINT) AS r"
+            " FROM (SELECT explode(sequence(1, %d)) AS r0)" % _PERM_R
+        )
+        u = (
+            "CAST(conv(substring(md5(CAST(event_id AS STRING) || ':perm:'"
+            " || CAST(reps.r AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        wide = "DECIMAL(38,0)"
+    else:
+        reps = (
+            "SELECT CAST(range AS BIGINT) AS r FROM range(1, %d)"
+            % (_PERM_R + 1)
+        )
+        u = (
+            "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)"
+            " || ':perm:' || CAST(reps.r AS VARCHAR)), 1, 8)) AS BIGINT)"
+        )
+        wide = "HUGEINT"
+    hint = f"/*+ REPARTITION({nparts}) */ " if nparts else ""
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    return f"""
+    WITH base AS {mat}(
+      SELECT event_id, {xi} AS cents,
+             CASE WHEN event_type = '{_PERM_TREAT}' THEN 1 ELSE 0 END AS treat
+      FROM events
+      WHERE event_type IN ('{_PERM_TREAT}', '{_AB_CONTROL}')
+    ),
+    obs AS {mat}(
+      SELECT CAST(SUM(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS {wide}) AS t1,
+             CAST(SUM(treat) AS {wide}) AS m1,
+             CAST(SUM(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS {wide}) AS t2,
+             CAST(SUM(1 - treat) AS {wide}) AS m2
+      FROM base
+    ),
+    reps AS ({reps}),
+    perm AS {mat}(
+      SELECT reps.r,
+             CAST(SUM(CASE WHEN u % 2 = 1 THEN cents ELSE 0 END) AS {wide}) AS s1,
+             CAST(SUM(u % 2) AS {wide}) AS n1,
+             CAST(SUM(CASE WHEN u % 2 = 0 THEN cents ELSE 0 END) AS {wide}) AS s2,
+             CAST(SUM(1 - u % 2) AS {wide}) AS n2
+      FROM (SELECT {hint} event_id, cents FROM base) b
+      CROSS JOIN reps
+      CROSS JOIN LATERAL (SELECT {u} AS u) h
+      GROUP BY reps.r
+    ),
+    verdicts AS {mat}(
+      SELECT CASE WHEN n1 * n2 = 0 THEN 1
+                  WHEN ABS(s1 * n2 - s2 * n1) * (o.m1 * o.m2)
+                       >= ABS(o.t1 * o.m2 - o.t2 * o.m1) * (n1 * n2)
+                  THEN 1 ELSE 0 END AS extreme
+      FROM perm CROSS JOIN obs o
+    )
+    SELECT CAST(o.m1 AS BIGINT) AS n_treat,
+           CAST(o.m2 AS BIGINT) AS n_ctrl,
+           CAST({_PERM_R} AS BIGINT) AS n_permutations,
+           (SELECT CAST(SUM(extreme) AS BIGINT) FROM verdicts) AS n_extreme,
+           (SELECT CAST(SUM(extreme) * 10000 AS BIGINT) FROM verdicts)
+             {"div" if dialect == "spark" else "//"} {_PERM_R} AS p_bp
+    FROM obs o
+    """
+
+
+@query("stat_permutation_test", oracle=_perm_sql("duck"))
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test of the purchase-vs-view mean difference (tier
+    block above): arm sizes, R=100, the count of re-randomizations at
+    least as extreme as the observed statistic, and the Monte Carlo
+    p-value in basis points — all exact integers, hash-checked.
+
+    Scale: the only fact-sized work is the R-fold expansion feeding one
+    map-combinable per-r aggregate (the stat_bootstrap_ci cost shape —
+    R is the declared certification dial, and the pre-expansion
+    REPARTITION sidesteps the measured AQE single-task coalesce);
+    verdicts compare R rows against one observed row. The cross-
+    multiplied comparison keeps the whole test division-free."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    nparts = int(raw) if str(raw).isdigit() else 32
+    return spark.sql(_perm_sql("spark", nparts=nparts))

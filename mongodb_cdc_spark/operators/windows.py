@@ -606,3 +606,52 @@ def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(mad).alias("mad_cents"),
         F.expr(f"(abs(x_cents - med_cents) > 3 * {mad})").alias("is_outlier"),
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_cents_last_hour
+    FROM (
+      SELECT event_id, user_id, value,
+             CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+      FROM events
+    ) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the count and exact cents
+    sum of events in the trailing ONE HOUR (value-based frame bounds on
+    the epoch-seconds ordering — not a row count, not a tumbling bucket,
+    the genuinely different frame semantics SQL RANGE exists for: rows
+    with EQUAL timestamps are all peers of the frame regardless of
+    physical order, which makes the result deterministic under any
+    partitioning without a tiebreak key).
+
+    Scale: one hash partition by user + one sort per partition; the
+    range frame evaluates incrementally (two moving pointers) in both
+    engines, so cost is the sort, not the frame width; integer
+    accumulation keeps the running sum exact under either incremental
+    or re-scan evaluation (the `win_moving_agg` discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.to_unix_timestamp("ts").cast("bigint").alias("ts_sec"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec").asc())
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum("cents").over(w).cast("bigint").alias("sum_cents_last_hour"),
+    )

@@ -157,6 +157,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "cdc_ivm_topk",
     "maintenance_rebucket",
     "graph_link_predict_from_store",
+    "win_time_range_frame",
+    "stat_permutation_test",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -243,6 +243,8 @@ HEAVY = [
     "cdc_ivm_topk",
     "maintenance_rebucket",
     "graph_link_predict_from_store",
+    "win_time_range_frame",
+    "stat_permutation_test",
 ]
 
 
