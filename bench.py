@@ -207,7 +207,28 @@ HEADLINE = [
     ("graph_link_predict_from_store", None),
     ("win_time_range_frame", None),
     ("stat_permutation_test", None),
+    # round-9 additions
+    ("maintenance_dedup_gate_store", None),
+    ("stream_postings_ingest", None),
+    ("cdc_ivm_topk_tombstone", None),
 ]
+
+
+def _post_query_cleanup(spark) -> None:
+    """Between-query hygiene (round-9 drift work, SCALING.md): unpersist
+    every lingering persistent RDD — localCheckpoint blocks pin executor
+    memory until the ContextCleaner happens to run, and 160+ queries of
+    accumulation age the heap for every later query — and clear the SQL
+    cache. Runs OUTSIDE the timed region; each bench query is
+    self-contained (cross-query artifacts are all on-disk stores)."""
+    try:
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
 
 
 def time_query(spark, name: str, raw_fn: str | None) -> float:
@@ -222,7 +243,9 @@ def time_query(spark, name: str, raw_fn: str | None) -> float:
         fn = QUERIES[name]
     t0 = time.perf_counter()
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    _post_query_cleanup(spark)
+    return dt
 
 
 def time_cdc_stream(spark) -> tuple[float, float]:
@@ -251,6 +274,16 @@ def time_cdc_stream(spark) -> tuple[float, float]:
 
 
 def main() -> None:
+    # Host calibration BEFORE the JVM exists (round-9 drift attribution,
+    # SCALING.md): fixed code-independent microbenchmarks so a future
+    # round can separate "code got slower" from "host got slower" —
+    # r7->r8's 1.233x common-key drift turned out to be the latter.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from env_probe import mt_scale, st_loop_ms
+
+    host_st_ms = round(st_loop_ms(), 1)
+    host_mt32 = mt_scale()
+
     spark = get_spark("mongodb-cdc-spark-bench")
     load_all_operators()
 
@@ -332,6 +365,8 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cdc_stream_events_per_sec": round(eps, 1),
+        "host_st_loop_ms": host_st_ms,
+        "host_mt_scale_32": host_mt32,
     }
     if subset:
         # a restricted run is NOT the headline suite — label it and leave
@@ -361,6 +396,8 @@ def main() -> None:
         "sf": SF_DIR,
         "n_queries": len(timings),
         "cdc_stream_events_per_sec": round(eps, 1),
+        "host_st_loop_ms": host_st_ms,
+        "host_mt_scale_32": host_mt32,
     }), flush=True)
     spark.stop()
 

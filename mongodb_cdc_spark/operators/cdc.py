@@ -1337,3 +1337,211 @@ def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents",
         F.lit(mism == 0).alias("ivm_matches_recompute"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# cdc_ivm_topk_tombstone — maintained top-k under DELETE deltas (VERDICT
+# r8 next #5): the monotone-buffer trick of `cdc_ivm_topk` is correct
+# only while the ranked aggregate never decreases; a tombstone breaks
+# that bound, so the maintainer must DETECT the decrease and fall back
+# to the recompute arm. This operator extends the IVM tier with exactly
+# that invalidation algebra, composed with `cdc_apply_tombstone`'s
+# delete semantics (the reference drops deletes at js:159-177; the
+# engine deliberately extends past that).
+# --------------------------------------------------------------------------
+# View semantics (epoch counts, the sessionized-lifetime shape): a
+# tombstone RESETS its key — the maintained aggregate counts only events
+# after the key's latest tombstone, and a key with no live events since
+# its last tombstone leaves the leaderboard. Event order is CDC LOG
+# ORDER (_id = event_id — deltas apply in log order, the same prefix
+# order the feed split uses), so per-delta states merge exactly:
+#   merge(a, b) = b.has_del ? b : (a.n + b.n, a.vc + b.vc)
+# Buffer invalidation: ANY tombstone in the delta can demote a buffered
+# key, which can promote a key OUTSIDE the buffer — the monotone
+# argument is void, so the maintainer serves the recompute arm that
+# batch (and the flag is part of the hashed output). With no tombstone
+# in the delta the monotone incremental arm serves, parity-checked
+# against recompute like `cdc_ivm_topk`.
+
+
+@query(
+    "cdc_ivm_topk_tombstone",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT MAX(event_id) // 2 AS c FROM events
+    ),
+    lastdel AS MATERIALIZED (
+      SELECT user_id, MAX(event_id) AS de FROM events
+      WHERE event_type = 'error' GROUP BY user_id
+    ),
+    live AS MATERIALIZED (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events e LEFT JOIN lastdel d ON e.user_id = d.user_id
+      WHERE e.event_type <> 'error'
+        AND (d.de IS NULL OR e.event_id > d.de)
+      GROUP BY e.user_id
+    )
+    SELECT rk, user_id, n_events, value_cents,
+           (SELECT COUNT(*) > 0 FROM events
+            WHERE event_type = 'error'
+              AND event_id > (SELECT c FROM cut)) AS recompute_triggered,
+           TRUE AS served_matches_recompute
+    FROM (
+      SELECT user_id, n_events, value_cents,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rk
+      FROM live
+    ) t
+    WHERE rk <= {_IVM_TOPK}
+    ORDER BY rk ASC
+    """,
+)
+def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware maintained leaderboard (tier block above): the
+    feed splits at the midpoint event id; each half reduces to a
+    mergeable per-user epoch state (live count/cents since the half's
+    last tombstone + a has-tombstone marker); the delta half is scanned
+    for tombstones and, because the feed DOES carry them, the buffer
+    bound is declared invalid and the recompute arm serves — the
+    invalidation decision, the served values, and the serve==recompute
+    parity are all part of the driver-hashed row, so a maintainer that
+    wrongly served the monotone arm under deletes goes red loudly.
+
+    Scale: per-delta state is one map-combinable aggregate + one keyed
+    self-join on user_id (tombstone positions); the merge is a keyed
+    full-outer on the delta's touched keys against the stored view at
+    100 TB. The recompute arm costs one view-sized rank — the price of
+    correctness under non-monotone deltas, paid ONLY on batches whose
+    delta contains a tombstone (the flag is the alarm the production
+    pipeline keys compaction on)."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+
+    feed = derive_change_log(spark, sf_dir)
+    cut = feed.agg(
+        F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
+    ).first()[0]
+    cut_id = f"{cut:012d}"
+
+    def epoch_state(df: DataFrame) -> DataFrame:
+        """Mergeable per-user state for one log prefix/delta: live
+        aggregate since the last in-delta tombstone + has_del marker."""
+        base = df.select(
+            F.col("documentKey._id").alias("user_id"),
+            F.col("_id").alias("eid"),
+            (F.col("operationType") == "delete").alias("is_del"),
+            F.expr("CAST(FLOOR(fullDocument.value * 100) AS BIGINT)").alias(
+                "vc"
+            ),
+        )
+        lastdel = (
+            base.filter(F.col("is_del"))
+            .groupBy("user_id")
+            .agg(F.max("eid").alias("de"))
+        )
+        live = (
+            base.filter(~F.col("is_del"))
+            .join(lastdel, "user_id", "left")
+            .filter(F.col("de").isNull() | (F.col("eid") > F.col("de")))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("vc").cast("bigint").alias("value_cents"),
+            )
+        )
+        return lastdel.join(live, "user_id", "full_outer").select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("value_cents", F.lit(0))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.col("de").isNotNull().alias("has_del"),
+        )
+
+    s1 = epoch_state(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
+        eager=True
+    )
+    s2 = epoch_state(feed.filter(F.col("_id") > cut_id)).localCheckpoint(
+        eager=True
+    )
+    # the invalidation probe: bounded 1-row scalar over the delta state
+    recompute_triggered = (
+        s2.filter(F.col("has_del")).limit(1).count() > 0
+    )
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        m = a.alias("a").join(b.alias("b"), "user_id", "full_outer")
+        reset = F.coalesce(F.col("b.has_del"), F.lit(False))
+        return m.select(
+            "user_id",
+            F.when(reset, F.coalesce(F.col("b.n_events"), F.lit(0)))
+            .otherwise(
+                F.coalesce(F.col("a.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_events"),
+            F.when(reset, F.coalesce(F.col("b.value_cents"), F.lit(0)))
+            .otherwise(
+                F.coalesce(F.col("a.value_cents"), F.lit(0))
+                + F.coalesce(F.col("b.value_cents"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+
+    def rank_top(view: DataFrame) -> DataFrame:
+        return (
+            view.filter(F.col("n_events") > 0)
+            .select(
+                F.row_number().over(w).alias("rk"),
+                "user_id",
+                "n_events",
+                "value_cents",
+            )
+            .filter(F.col("rk") <= _IVM_TOPK)
+        )
+
+    full_top = rank_top(merge(s1, s2)).localCheckpoint(eager=True)
+    if recompute_triggered:
+        serve = full_top
+    else:
+        buffer_keys = (
+            s1.filter(F.col("n_events") > 0)
+            .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+            .limit(_IVM_TOPK_BUFFER)
+            .select("user_id")
+        )
+        cand_keys = buffer_keys.unionByName(s2.select("user_id")).distinct()
+        serve = rank_top(
+            merge(
+                s1.join(cand_keys, "user_id", "left_semi"),
+                s2.join(cand_keys, "user_id", "left_semi"),
+            )
+        ).localCheckpoint(eager=True)
+    # serve-vs-recompute parity, full-outer with presence markers (the
+    # cdc_ivm_topk discipline: key-column nullness cannot detect
+    # one-sided rows in a named-column full outer)
+    mism = (
+        serve.withColumn("l_present", F.lit(1))
+        .join(
+            full_top.withColumn("r_present", F.lit(1)),
+            ["rk", "user_id", "n_events", "value_cents"],
+            "full_outer",
+        )
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .count()
+    )
+    return serve.select(
+        "rk",
+        "user_id",
+        "n_events",
+        "value_cents",
+        F.lit(recompute_triggered).alias("recompute_triggered"),
+        F.lit(mism == 0).alias("served_matches_recompute"),
+    ).orderBy("rk")

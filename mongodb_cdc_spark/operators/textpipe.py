@@ -2072,6 +2072,18 @@ def maintenance_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-session serving cache for the from-store path (VERDICT r8 next
+# #6: the ~4 s/query fixed overhead at rehearsal scale was the per-call
+# bucket-id job + the 64-directory listing, not data). Keyed by
+# (applicationId, store path); the store is immutable once built
+# (stage-then-rename, versioned directory name), so cache entries can
+# never go stale within a session. Holds the term->bucket ids, the
+# 2-scalar stats artifact, and the PRUNED postings DataFrame (whose
+# InMemoryFileIndex lists only the query buckets' directories — warm
+# calls re-plan from the cached index with zero listing I/O).
+_BM25_SERVE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 @query("ext_rank_bm25_from_store", oracle=_bm25_sql("duck"))
 def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 BM25 for the fixed query {dup, key, vector} served FROM THE
@@ -2081,34 +2093,52 @@ def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Query path (the 100 TB shape): the query's terms hash to their
     bucket directories (bounded |terms|-row collect of the same
-    xxhash64 the writer used — the documented <=3-row scalar pattern);
-    the postings scan PRUNES to those buckets by name and filters to the
-    exact terms (4 BIGINT-ish columns/row, text never read); df/idf
-    reduce over that pruned sliver and broadcast back; scoring is one
-    map-combinable (doc_id) aggregate over matching postings (dl rides
-    in the row — no doc-length join); selection is TakeOrdered. Work is
-    O(matching postings), independent of corpus size — vs the from-text
-    twin's full corpus re-explode per query (measured linear at the
-    100x rehearsal)."""
+    xxhash64 the writer used — the documented <=3-row scalar pattern,
+    cached per session); the scan lists ONLY those bucket directories
+    (basePath read over the <= |terms| target dirs — the 64-dir listing
+    never happens) and filters to the exact terms (4 BIGINT-ish
+    columns/row, text never read); df/idf reduce over that pruned
+    sliver and broadcast back; scoring is one map-combinable (doc_id)
+    aggregate over matching postings (dl rides in the row — no
+    doc-length join) with the 2-scalar stats artifact inlined as
+    literals; selection is TakeOrdered. Work is O(matching postings),
+    independent of corpus size — vs the from-text twin's full corpus
+    re-explode per query (measured linear at the 100x rehearsal)."""
     import os as _os
 
     from pyspark.sql.window import Window
 
     terms = list(_BM25_QUERY_TERMS)
     path = postings_store_path(spark, sf_dir)
-    # bounded driver-side scalars: one bucket id per query term, computed
-    # with the writer's own hash expression so they can never disagree.
-    trows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS)).alias("b"))
-        .collect()
-    )
-    buckets = sorted({int(r.b) for r in trows})
+    ckey = (spark.sparkContext.applicationId, path)
+    cached = _BM25_SERVE_CACHE.get(ckey)
+    if cached is None:
+        # bounded driver-side scalars: one bucket id per query term,
+        # computed with the writer's own hash expression so they can
+        # never disagree.
+        trows = (
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                F.pmod(
+                    F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS)
+                ).alias("b")
+            )
+            .collect()
+        )
+        buckets = sorted({int(r.b) for r in trows})
+        srow = spark.read.parquet(_os.path.join(path, "stats")).first()
+        base = _os.path.join(path, "postings")
+        pruned = (
+            spark.read.option("basePath", base)
+            .parquet(*[_os.path.join(base, f"bucket={b}") for b in buckets])
+        )
+        cached = (buckets, int(srow["n_docs"]), int(srow["dlt"]), pruned)
+        _BM25_SERVE_CACHE[ckey] = cached
+    buckets, n_docs, dlt, pruned = cached
 
-    postings = spark.read.parquet(_os.path.join(path, "postings")).filter(
+    postings = pruned.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    stats = spark.read.parquet(_os.path.join(path, "stats"))
 
     ladder = " ".join(
         f"WHEN r2 < {1 << k} THEN {k - 1}"
@@ -2117,7 +2147,7 @@ def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
         .selectExpr(
             "term",
             "((2 * n_docs + 2) * (2 * n_docs + 2))"
@@ -2131,7 +2161,8 @@ def ext_rank_bm25_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         postings.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn("dlt", F.lit(dlt).cast("bigint"))
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -2269,4 +2300,213 @@ def maintenance_postings_refresh(
             "n_docs",
             "dlt",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_postings_ingest — the STREAMING arm of the BM25 postings-store
+# lifecycle (VERDICT r8 next #4): `maintenance_postings_refresh` proved
+# the wave algebra in batch (append-only waves contribute exactly their
+# own (term, doc_id, tf, dl) rows; corpus stats are additive); this
+# operator runs that algebra per micro-batch inside foreachBatch under
+# the run_supervised restart contract, completing the lifecycle the IVF
+# tier already has (`stream_ivf_ingest`).
+#
+# Shape: base slice (doc_id <= cut, the shared 90th-percentile refresh
+# convention) is the persisted store a standing deployment has on disk;
+# the wave arrives as a file-source stream (one file per trigger). Each
+# micro-batch tokenizes ONLY its own docs, writes its postings delta and
+# its 2-number stats partial to idempotent batch=<id> directories
+# (overwrite-on-replay == exactly-once by idempotence, the engine sink
+# contract). Postings are per-(doc, term) and dl is within-doc, so no
+# batch ever touches another batch's rows — the merged store equals the
+# from-scratch build row for row, which the audit below hash-checks.
+# Deltas carry the writer's bucket column; folding them into the
+# bucket-partitioned layout is the compaction pass
+# (`maintenance_postings_refresh`'s production twin), not the ingest
+# hot path.
+
+
+def base_postings_store_path(
+    spark: SparkSession, sf_dir: str, cut: int
+) -> str:
+    """Build (once, stage-then-rename) the BASE-slice postings store —
+    what a standing deployment has on disk when the wave arrives:
+    postings/ (term, doc_id, tf, dl, bucket) + stats/ (n_docs, dlt)."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"postings_base_{sf_name}_b{_POSTINGS_BUCKETS}_v1"
+    )
+    if not _os.path.exists(_os.path.join(path, "stats", "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") <= cut
+        )
+        tf = (
+            _bm25_toks(d)
+            .groupBy("doc_id", F.col("token").alias("term"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        postings = tf.join(dl, "doc_id").withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS))
+        )
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("dlt"),
+        )
+        stage = path + ".stage"
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            _os.path.join(stage, "postings")
+        )
+        stats.write.mode("overwrite").parquet(_os.path.join(stage, "stats"))
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+def _postings_delta(bdf: DataFrame) -> DataFrame:
+    """One micro-batch's (term, doc_id, tf, dl, bucket) rows — the same
+    expressions the full-store builder uses, over batch docs only."""
+    tf = (
+        _bm25_toks(bdf)
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    return tf.join(dl, "doc_id").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_BUCKETS))
+    )
+
+
+@query(
+    "stream_postings_ingest",
+    oracle="""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(SUM(CASE WHEN t.doc_id > (SELECT c FROM cut)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wave_postings,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS dlt,
+           CAST(SUM(t.tf * t.tf) AS BIGINT) AS tf_sq_checksum,
+           CAST(SUM(t.tf * d.dl) AS BIGINT) AS dl_checksum
+    FROM tf t JOIN dl d USING (doc_id)
+    """,
+)
+def stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming postings-store ingest (tier block above): drain the wave
+    docs through foreachBatch, each micro-batch appending its postings
+    delta + stats partial idempotently, then audit base ∪ deltas against
+    DuckDB's from-scratch full-corpus recomputation — posting count,
+    wave-posting count, the ADDITIVE stats (n_docs/dlt summed across the
+    base artifact and every batch partial — the wave algebra itself is
+    hash-checked), and the SUM(tf^2)/SUM(tf*dl) value checksums (a
+    drifted tf or a wrong denormalized dl in ANY batch breaks the hash).
+
+    Scale: per-batch cost is tokenizing the BATCH only (map-combinable
+    tf, one within-batch dl join); the base store is never read during
+    ingest — it appears only in the final audit union. Replay of a batch
+    overwrites its own batch=<id> directory (exactly-once by
+    idempotence; replay-twice test in tests/test_streaming.py)."""
+    import os as _os
+
+    from mongodb_cdc_spark.operators.curation import _dedup_gate_feed
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+
+    base = base_postings_store_path(spark, sf_dir, cut)
+    feed = _dedup_gate_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("postings_ingest_target")
+    ckpt = new_scratch_dir("postings_ingest_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        delta = _postings_delta(bdf).localCheckpoint(eager=True)
+        delta.write.mode("overwrite").parquet(
+            f"{target}/postings/batch={batch_id}"
+        )
+        (
+            delta.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("dlt"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/stats/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+
+    cols = ["term", "doc_id", "tf", "dl"]
+    merged = (
+        spark.read.parquet(_os.path.join(base, "postings"))
+        .select(*cols)
+        .unionByName(spark.read.parquet(f"{target}/postings").select(*cols))
+    )
+    # stats are ADDITIVE across the base artifact and the batch partials
+    stats = (
+        spark.read.parquet(_os.path.join(base, "stats"))
+        .select("n_docs", "dlt")
+        .unionByName(
+            spark.read.parquet(f"{target}/stats").select("n_docs", "dlt")
+        )
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("dlt").cast("bigint").alias("dlt"),
+        )
+    )
+    audit = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.sum(F.when(F.col("doc_id") > cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wave_postings"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("tf_sq_checksum"),
+        F.sum(F.col("tf") * F.col("dl")).cast("bigint").alias("dl_checksum"),
+    )
+    return audit.crossJoin(F.broadcast(stats)).select(
+        "n_postings",
+        "n_wave_postings",
+        "n_docs",
+        "dlt",
+        "tf_sq_checksum",
+        "dl_checksum",
     )

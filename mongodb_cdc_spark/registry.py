@@ -159,6 +159,13 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "graph_link_predict_from_store",
     "win_time_range_frame",
     "stat_permutation_test",
+    # --- round-9 additions (frozen rule: insert BEFORE the canaries;
+    #     the round-8 window above is intentionally NOT rotated out —
+    #     CORRECTNESS_r08 came back empty, so every r8 key above still
+    #     awaits its first real driver row; window stays <= 50) ---
+    "maintenance_dedup_gate_store",
+    "stream_postings_ingest",
+    "cdc_ivm_topk_tombstone",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -733,3 +733,42 @@ def test_bm25_from_store_pruned_no_text_scan(spark, sf_dir):
     assert any("IN" in ln for ln in pf), f"bucket IN-list not pruned:\n{plan}"
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dedup_gate_store_serves_zero_base_text(spark, sf_dir):
+    """The streaming dedup gate's base-side inputs (md5 set, rep shingle
+    index, rep sizes) must come from the persisted gate store, never the
+    documents table — the round-9 fix for the one per-run base TEXT
+    rebuild the round-8 gate carried. Once the store exists, every setup
+    frame's plan scans gatestore_ directories only."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.operators.curation import (
+        _gate_setup_frames,
+        dedup_gate_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    for frame in _gate_setup_frames(spark, gate):
+        plan = formatted_plan(frame)
+        assert _scan_count(plan, "documents") == 0, plan
+        assert "gatestore_" in plan, plan
+        assert "text" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_bm25_from_store_lists_only_query_buckets(spark, sf_dir):
+    """The round-9 overhead shave: the from-store scan's file index must
+    be built from the <= |terms| target bucket directories (basePath
+    read), so the store's other ~60 directories are never listed — and
+    the first call's cache must leave the served rows identical on a
+    warm second call."""
+    plan = formatted_plan(QUERIES["ext_rank_bm25_from_store"](spark, sf_dir))
+    loc = [ln for ln in plan.splitlines() if "Location" in ln and "postings_base" not in ln and "postings_store_" in ln]
+    assert loc, plan
+    # the Location line enumerates the explicit bucket=N roots
+    assert "bucket=" in loc[0], loc[0]
+    cold = [tuple(r) for r in QUERIES["ext_rank_bm25_from_store"](spark, sf_dir).collect()]
+    warm = [tuple(r) for r in QUERIES["ext_rank_bm25_from_store"](spark, sf_dir).collect()]
+    assert cold == warm and len(cold) == 10

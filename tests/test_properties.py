@@ -1072,3 +1072,97 @@ def test_postings_store_audit_consistent(spark, sf_dir):
     dl = postings.select("doc_id", "dl").distinct()
     assert row.n_docs == dl.count()
     assert row.dlt == dl.agg(F.sum("dl")).collect()[0][0]
+
+
+def test_ivm_topk_tombstone_semantics(spark, sf_dir):
+    """The tombstone-aware leaderboard must (a) detect the delta's
+    tombstones and declare the recompute arm, (b) serve values equal to
+    an independent epoch recompute over the raw events (count/cents
+    since each user's last tombstone in LOG ORDER, tombstoned-out users
+    absent), and (c) certify serve==recompute."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.io import load_table
+
+    got = QUERIES["cdc_ivm_topk_tombstone"](spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(r.served_matches_recompute for r in got)
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("MAX(event_id) div 2")).collect()[0][0]
+    late_dels = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") > cut)
+    ).count()
+    assert all(r.recompute_triggered == (late_dels > 0) for r in got)
+
+    lastdel = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("de"))
+    )
+    live = (
+        ev.filter(F.col("event_type") != "error")
+        .join(lastdel, "user_id", "left")
+        .filter(F.col("de").isNull() | (F.col("event_id") > F.col("de")))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    want = (
+        live.select(
+            F.row_number().over(w).alias("rk"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+        .filter(F.col("rk") <= 10)
+        .collect()
+    )
+    assert [
+        (r.rk, r.user_id, r.n_events, r.value_cents) for r in got
+    ] == [(r.rk, r.user_id, r.n_events, r.value_cents) for r in want]
+
+
+def test_dedup_gate_store_matches_inline_recompute(spark, sf_dir):
+    """The persisted gate index must equal a from-text recompute of the
+    base md5 set and rep shingle index (store staleness detector beyond
+    the audit checksums)."""
+    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.curation import (
+        _gate_setup_frames,
+        dedup_gate_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    base_md5, bsh, bsz = _gate_setup_frames(spark, gate)
+
+    base = d.filter(F.col("doc_id") <= cut)
+    want_md5 = {
+        r.h for r in base.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert {r.h for r in base_md5.collect()} == want_md5
+
+    reps = base.groupBy(F.md5("text").alias("mh")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("txt")
+    )
+    want_sh = {
+        (r.doc_id, r.h)
+        for r in reps.select("doc_id", tokens("txt").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        .collect()
+    }
+    assert {(r.doc_id, r.h) for r in bsh.collect()} == want_sh
+    sizes = {r.doc_id: r.n for r in bsz.collect()}
+    want_sizes: dict = {}
+    for doc_id, _h in want_sh:
+        want_sizes[doc_id] = want_sizes.get(doc_id, 0) + 1
+    assert sizes == want_sizes

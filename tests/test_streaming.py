@@ -1043,3 +1043,44 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
     assert rows == want and len(rows) > 0
     # one emission per event: tokens are unique (no replay duplication)
     assert len({t for t, *_ in rows}) == len(rows)
+
+
+def test_postings_ingest_replay_twice_idempotent(spark, sf_dir, tmp_path):
+    """R9 at-least-once + idempotent sink, applied to the postings
+    ingest: replaying a micro-batch overwrites its own batch=<id>
+    directory with byte-identical content — the replayed store equals
+    the first-run store row for row."""
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.textpipe import _postings_delta
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    )
+    target = str(tmp_path / "batch=0")
+    _postings_delta(d).write.mode("overwrite").parquet(target)
+    first = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    _postings_delta(d).write.mode("overwrite").parquet(target)  # replay
+    second = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert first == second and len(first) > 0
+
+
+def test_postings_ingest_audit_equals_full_store(spark, sf_dir):
+    """The streamed store (base ∪ per-batch deltas) must reproduce the
+    from-scratch full store's audit numbers exactly — the wave algebra
+    under micro-batching."""
+    row = QUERIES["stream_postings_ingest"](spark, sf_dir).collect()[0]
+    full = QUERIES["maintenance_postings_store"](spark, sf_dir).collect()[0]
+    assert (
+        row.n_postings,
+        row.n_docs,
+        row.dlt,
+        row.tf_sq_checksum,
+        row.dl_checksum,
+    ) == (
+        full.n_postings,
+        full.n_docs,
+        full.dlt,
+        full.tf_sq_checksum,
+        full.dl_checksum,
+    )
+    assert 0 < row.n_wave_postings < row.n_postings
