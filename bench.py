@@ -211,6 +211,9 @@ HEADLINE = [
     ("maintenance_dedup_gate_store", None),
     ("stream_postings_ingest", None),
     ("cdc_ivm_topk_tombstone", None),
+    ("mm_image_window_features", None),
+    ("ext_dedup_url_canonical", None),
+    ("ext_rerank_hard_pair_mine", None),
 ]
 
 

@@ -525,3 +525,260 @@ def mm_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_table(spark, sf_dir).select(
         "doc_id", "content"
     ).mapInPandas(audio_window_features, AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mm_image_window_features — the 2-D twin of `mm_audio_window_features`
+# (VERDICT r8 next #8, first candidate): windowed TILE features over the
+# binary column, the image-ingest shape (decode -> tile grid -> per-tile
+# statistics for quality filtering / patch selection).
+# --------------------------------------------------------------------------
+# The stub "decode" reads the blob as a row-major {_IW_W}-pixel-wide
+# grayscale raster of centered int8 pixels (byte - 128) — deterministic
+# and relationally mirrorable, standing in for a real image decoder
+# exactly like the audio stub. Features per {_IW_T}x{_IW_T} tile: pixel
+# count (edge tiles are partial), exact integer intensity energy
+# (sum |v|), peak |v|, and HORIZONTAL GRADIENT ENERGY (sum |v[r,c+1] -
+# v[r,c]| over within-tile horizontal neighbor pairs) — the edge-energy
+# statistic image curation uses for blur/blank-patch detection, and the
+# feature that makes this genuinely 2-D: it needs raster geometry, not
+# a flat sample stream.
+
+_IW_W = 32  # raster width in pixels (stub decode geometry)
+_IW_T = 16  # tile side; divides _IW_W so tile rows never straddle rows
+
+IMAGE_TILE_SCHEMA = (
+    "doc_id bigint, tile_r int, tile_c int, n_px int, "
+    "sum_abs bigint, peak_abs int, grad_sum bigint"
+)
+
+
+def image_tile_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 2-D tile featurizer over (doc_id, content)."""
+    import numpy as np
+
+    for pdf in batches:
+        frames = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError(
+                    "no blob: real decoder would fetch/skip"
+                )
+            a = np.frombuffer(bytes(blob), np.uint8).astype(np.int64) - 128
+            n = len(a)
+            if n == 0:
+                continue
+            p = np.arange(n)
+            c = p % _IW_W
+            tr = (p // _IW_W) // _IW_T
+            tc = (c // _IW_T).astype(np.int64)
+            # horizontal neighbor exists within the same tile-row iff the
+            # pixel is not on the tile's last column and not the raster's
+            # final pixel (truncated last row); _IW_T | _IW_W makes the
+            # raster's last column a tile-last column automatically
+            valid = (c % _IW_T != _IW_T - 1) & (p < n - 1)
+            grad = np.zeros(n, np.int64)
+            vi = p[valid]
+            grad[vi] = np.abs(a[vi + 1] - a[vi])
+            g = pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "tile_r": tr,
+                    "tile_c": tc,
+                    "absv": np.abs(a),
+                    "grad": grad,
+                }
+            )
+            agg = g.groupby(["doc_id", "tile_r", "tile_c"], sort=True).agg(
+                n_px=("absv", "size"),
+                sum_abs=("absv", "sum"),
+                peak_abs=("absv", "max"),
+                grad_sum=("grad", "sum"),
+            )
+            frames.append(agg.reset_index())
+        if not frames:
+            continue
+        out = pd.concat(frames, ignore_index=True)
+        out["tile_r"] = out["tile_r"].astype("int32")
+        out["tile_c"] = out["tile_c"].astype("int32")
+        out["n_px"] = out["n_px"].astype("int32")
+        out["peak_abs"] = out["peak_abs"].astype("int32")
+        yield out
+
+
+@query(
+    "mm_image_window_features",
+    oracle=f"""
+    -- pixels recomputed over the VARCHAR (pure-ASCII fixture: 1 char ==
+    -- 1 byte, ascii() == the byte value) — the mm_frame_sample
+    -- blob/text equivalence.
+    WITH px AS MATERIALIZED (
+      SELECT doc_id, p,
+             ascii(substring(text, p, 1)) - 128 AS v,
+             (p - 1) // {_IW_W} AS r,
+             (p - 1) % {_IW_W} AS c
+      FROM documents,
+           unnest(generate_series(1, length(text))) AS t(p)
+      WHERE length(text) > 0
+    ),
+    nb AS MATERIALIZED (
+      SELECT doc_id, r, c, v,
+             LEAD(v) OVER (
+               PARTITION BY doc_id, r, c // {_IW_T} ORDER BY c) AS nv
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(r // {_IW_T} AS INT) AS tile_r,
+           CAST(c // {_IW_T} AS INT) AS tile_c,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+           CAST(COALESCE(SUM(CASE WHEN nv IS NOT NULL
+                                  THEN ABS(nv - v) END), 0) AS BIGINT)
+             AS grad_sum
+    FROM nb
+    GROUP BY doc_id, r // {_IW_T}, c // {_IW_T}
+    """,
+)
+def mm_image_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-shape windowed TILE features over the binary column (tier
+    block above): {_IW_T}x{_IW_T} tiles of a {_IW_W}-wide raster, per
+    tile the exact integer intensity energy, peak, and horizontal
+    gradient (edge) energy — hash-checked against DuckDB's relational
+    recomputation of the same stub decode (LEAD over raster geometry),
+    so the whole 2-D Arrow fan-out plumbing is verified even though the
+    decoder is fake.
+
+    Scale: one mapInPandas pass, no shuffle — tile features land
+    partition-local at scan bandwidth, output is L/{_IW_T * _IW_T}
+    rows per doc; all tile math is vectorized NumPy (one groupby per
+    blob over int64 views). A real deployment swaps `np.frombuffer`
+    for the image decoder (and W for the decoded width) and keeps
+    every other line."""
+    return binary_table(spark, sf_dir).select(
+        "doc_id", "content"
+    ).mapInPandas(image_tile_features, IMAGE_TILE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ext_rerank_hard_pair_mine — training-pair miner over the two-stage
+# retrieval trace (VERDICT r8 next #8, third candidate): compose
+# `ext_rerank_crossmodal_eval`'s retrieve-then-rerank with
+# `ext_embed_hard_negatives`' mining intent. For a panel of probe docs,
+# candidates where the lexical retriever and the embedding reranker
+# DISAGREE by a large rank margin are exactly the pairs a dual-encoder
+# trains on next: lexically-close/semantically-far survivors are
+# retriever hard negatives; lexically-buried/semantically-near ones are
+# reranker promotions (hard positives the retriever misses).
+# --------------------------------------------------------------------------
+
+_HPM_PROBES = (0, 1, 2, 3)
+_HPM_R = 20  # stage-1 candidate depth per probe
+_HPM_NEG_LEX = 8  # lex_rank <= 8 and rr_rank >= 13 -> hard negative
+_HPM_NEG_RR = 13
+_HPM_POS_LEX = 13  # lex_rank >= 13 and rr_rank <= 8 -> promotion
+_HPM_POS_RR = 8
+
+
+def _hard_pair_sql(dialect: str) -> str:
+    from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+
+    if dialect == "spark":
+        tok = "explode(filter(split(text, ' '), t -> t <> ''))"
+        probes = "SELECT * FROM VALUES {} AS t(pid)".format(
+            ", ".join(f"({p})" for p in _HPM_PROBES)
+        )
+    else:
+        tok = "unnest(list_filter(string_split(text, ' '), t -> t <> ''))"
+        probes = "SELECT * FROM (VALUES {}) t(pid)".format(
+            ", ".join(f"({p})" for p in _HPM_PROBES)
+        )
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    cos = cosine_unrolled_sql("e.embedding", "pv.p", dialect=dialect)
+    return f"""
+    WITH probes AS {mat}({probes}),
+    toks AS {mat}(
+      SELECT doc_id, {tok} AS token FROM documents
+    ),
+    ptoks AS {mat}(
+      SELECT DISTINCT p.pid, t.token
+      FROM toks t JOIN probes p ON t.doc_id = p.pid
+    ),
+    cand AS {mat}(
+      SELECT p.pid, t.doc_id,
+             CAST(COUNT(DISTINCT t.token) AS BIGINT) AS lex_score
+      FROM toks t JOIN ptoks p ON t.token = p.token
+      WHERE t.doc_id <> p.pid
+      GROUP BY p.pid, t.doc_id
+    ),
+    lextop AS {mat}(
+      SELECT pid, doc_id, lex_score, lex_rank FROM (
+        SELECT pid, doc_id, lex_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pid
+                 ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+        FROM cand
+      ) t WHERE lex_rank <= {_HPM_R}
+    ),
+    pvec AS {mat}(
+      SELECT p.pid, e.embedding AS p
+      FROM embeddings e JOIN probes p ON e.vec_id = p.pid
+    ),
+    rr AS {mat}(
+      SELECT l.pid, l.doc_id, l.lex_score, l.lex_rank, {cos} AS c
+      FROM lextop l
+      JOIN embeddings e ON e.vec_id = l.doc_id
+      JOIN pvec pv ON pv.pid = l.pid
+    ),
+    ranked AS {mat}(
+      SELECT pid, doc_id, lex_score, lex_rank, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY pid ORDER BY c DESC, doc_id ASC) AS rr_rank,
+             FIRST_VALUE(c) OVER (
+               PARTITION BY pid ORDER BY c DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c_top
+      FROM rr
+    )
+    SELECT CAST(pid AS BIGINT) AS probe_id, doc_id,
+           CASE WHEN lex_rank <= {_HPM_NEG_LEX}
+                 AND rr_rank >= {_HPM_NEG_RR}
+                THEN 'retriever_hard_negative'
+                ELSE 'reranker_promotion' END AS pair_type,
+           lex_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(rr_rank AS BIGINT) AS rr_rank,
+           CAST(FLOOR(c * 1000000) AS BIGINT) AS cos_e6,
+           CAST(FLOOR(c_top * 1000000) - FLOOR(c * 1000000) AS BIGINT)
+             AS margin_e6
+    FROM ranked
+    WHERE (lex_rank <= {_HPM_NEG_LEX} AND rr_rank >= {_HPM_NEG_RR})
+       OR (lex_rank >= {_HPM_POS_LEX} AND rr_rank <= {_HPM_POS_RR})
+    ORDER BY probe_id ASC, pair_type ASC, doc_id ASC
+    """
+
+
+@query("ext_rerank_hard_pair_mine", oracle=_hard_pair_sql("duck"))
+def ext_rerank_hard_pair_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-pair miner over a {len(_HPM_PROBES)}-probe panel (tier block
+    above): per probe, lexical top-{_HPM_R} candidates are reranked by
+    exact embedding cosine; rows where the two stages disagree past the
+    rank thresholds are emitted as labeled training pairs with both
+    ranks and the exact-integer cosine margin to the reranked top-1.
+    Hash-checked end-to-end — a drifted rank on either side moves a row
+    across a threshold and breaks the hash.
+
+    Scale: stage 1 is ONE corpus token scan joined to the broadcast
+    probe-token panel (probe count rides as a small dimension — the
+    scan does not repeat per probe), reduced map-side to (probe, doc,
+    shared-count); per-probe top-R is a partitioned rank over matching
+    docs only. Stage 2 touches |probes| x R embedding rows. Mining is a
+    predicate over the bounded reranked frame. At 100 TB the miner runs
+    as one pass per probe BATCH (thousands of probes share the same
+    token scan), the exact shape hard-negative mining jobs ship."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hard_pair_sql("spark"))

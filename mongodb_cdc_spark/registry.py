@@ -166,6 +166,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_dedup_gate_store",
     "stream_postings_ingest",
     "cdc_ivm_topk_tombstone",
+    "mm_image_window_features",
+    "ext_dedup_url_canonical",
+    "ext_rerank_hard_pair_mine",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

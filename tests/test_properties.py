@@ -1166,3 +1166,62 @@ def test_dedup_gate_store_matches_inline_recompute(spark, sf_dir):
     for doc_id, _h in want_sh:
         want_sizes[doc_id] = want_sizes.get(doc_id, 0) + 1
     assert sizes == want_sizes
+
+
+def test_image_tile_geometry(spark, sf_dir):
+    """Tile geometry invariants of the 2-D featurizer: tile_c in {0, 1}
+    for a 32-wide raster with 16-px tiles; full interior tiles carry
+    exactly 256 px; per-doc pixel total equals the doc's byte length;
+    grad_sum is 0 for any constant-byte doc and bounded by 255 * n_px."""
+    from mongodb_cdc_spark.io import load_table
+
+    rows = QUERIES["mm_image_window_features"](spark, sf_dir).collect()
+    assert rows
+    assert {r.tile_c for r in rows} <= {0, 1}
+    assert all(r.n_px <= 256 for r in rows)
+    assert all(0 <= r.grad_sum <= 255 * r.n_px for r in rows)
+    px_per_doc: dict = {}
+    for r in rows:
+        px_per_doc[r.doc_id] = px_per_doc.get(r.doc_id, 0) + r.n_px
+    want = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+        if r.n > 0
+    }
+    assert px_per_doc == want
+
+
+def test_url_canonical_format_and_conservation(spark, sf_dir):
+    """The canonical URL must be lowercase, port-free, param-free,
+    fragment-free, and default-document-free; per-host raw counts must
+    conserve the corpus (every doc contributes exactly one URL)."""
+    from mongodb_cdc_spark.io import load_table
+
+    rows = QUERIES["ext_dedup_url_canonical"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_urls for r in rows) == n_docs
+    for r in rows:
+        u = r.sample_canonical
+        assert u == u.lower()
+        assert u.startswith(f"https://{r.host}/")
+        assert ":443" not in u and "?" not in u and "#" not in u
+        assert "index.html" not in u and "utm_" not in u
+        assert r.n_dup_docs == r.n_urls - r.n_canonical >= 0
+
+
+def test_hard_pair_mine_thresholds(spark, sf_dir):
+    """Every mined pair must actually satisfy its label's rank
+    thresholds, margins must be non-negative, and both ranks must lie
+    within the stage-1 candidate depth."""
+    rows = QUERIES["ext_rerank_hard_pair_mine"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.lex_rank <= 20 and 1 <= r.rr_rank <= 20
+        assert r.margin_e6 >= 0
+        if r.pair_type == "retriever_hard_negative":
+            assert r.lex_rank <= 8 and r.rr_rank >= 13
+        else:
+            assert r.pair_type == "reranker_promotion"
+            assert r.lex_rank >= 13 and r.rr_rank <= 8
