@@ -214,6 +214,8 @@ HEADLINE = [
     ("mm_image_window_features", None),
     ("ext_dedup_url_canonical", None),
     ("ext_rerank_hard_pair_mine", None),
+    ("maintenance_dedup_gate_refresh", None),
+    ("mm_video_scene_cut", None),
 ]
 
 

@@ -2045,6 +2045,149 @@ def maintenance_dedup_gate_store(
 
 
 @query(
+    "maintenance_dedup_gate_refresh",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    cut2 AS MATERIALIZED (
+      SELECT ((SELECT c FROM cut) * 9) // 10 AS c2
+    ),
+    base AS MATERIALIZED (
+      SELECT doc_id, text, md5(text) AS h FROM documents
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    breps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS txt
+      FROM base GROUP BY h
+    ),
+    bsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('txt'), src='breps')}
+    )
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM base) AS n_md5,
+      (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM base
+       WHERE doc_id > (SELECT c2 FROM cut2)
+         AND h NOT IN (SELECT h FROM base
+                       WHERE doc_id <= (SELECT c2 FROM cut2)))
+        AS n_wave_new_md5,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bsh) AS n_shingle_rows,
+      CAST(0 AS BIGINT) AS md5_mismatches,
+      CAST(0 AS BIGINT) AS shingle_mismatches,
+      CAST(0 AS BIGINT) AS size_mismatches
+    """,
+)
+def maintenance_dedup_gate_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental gate-store refresh, verified against the full build —
+    the `maintenance_signature_refresh` wave algebra applied to all
+    three gate artifacts. The base slice splits again at ITS 90th
+    percentile (base2 / wave): the md5 set refreshes by unioning
+    wave-new hashes (anti-join); reps are append-stable (a wave doc
+    joining an existing md5 group changes nothing — append-only ids
+    keep the base rep minimal), so the shingle index and size table
+    refresh by appending ONLY wave-NEW groups' rows. The merged
+    artifacts must equal the persisted store (built from scratch over
+    the whole base) row for row: all three ``*_mismatches`` columns are
+    REAL full-outer-join mismatch counts on the Spark side, hash-checked
+    at 0 against the oracle's recomputation.
+
+    Scale: steady-state refresh tokenizes wave-NEW text only; the
+    dominant full-base shingle pass happens once at bootstrap. This is
+    the missing-piece companion of `maintenance_dedup_gate_store` —
+    with it, the streaming gate's base index is both persisted AND
+    append-refreshable, like every sibling store."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    cut2 = (cut * 9) // 10
+    base = d.filter(F.col("doc_id") <= cut)
+    b2 = base.filter(F.col("doc_id") <= cut2)
+    wv = base.filter(F.col("doc_id") > cut2)
+
+    b2_md5 = b2.select(F.md5("text").alias("h")).distinct()
+    wave_new_md5 = (
+        wv.select(F.md5("text").alias("h"))
+        .distinct()
+        .join(b2_md5, "h", "left_anti")
+    )
+    merged_md5 = b2_md5.unionByName(wave_new_md5)
+
+    def reps_of(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("text").alias("txt"),
+        )
+
+    b2_reps = reps_of(b2)
+    wave_new_reps = reps_of(wv).join(
+        b2_reps.select("h"), "h", "left_anti"
+    )
+
+    def shingles_of(reps: DataFrame) -> DataFrame:
+        return (
+            reps.select("doc_id", tokens("txt").alias("toks"))
+            .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+            .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+        )
+
+    merged_sh = shingles_of(b2_reps).unionByName(
+        shingles_of(wave_new_reps)
+    )
+    merged_sz = merged_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    full_md5, full_sh, full_sz = _gate_setup_frames(spark, gate)
+
+    def one_sided(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+        return (
+            a.withColumn("l_present", F.lit(1))
+            .join(b.withColumn("r_present", F.lit(1)), on, "full_outer")
+            .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        )
+
+    md5_mism = one_sided(merged_md5, full_md5, ["h"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("md5_mismatches")
+    )
+    sh_mism = one_sided(merged_sh, full_sh, ["doc_id", "h"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("shingle_mismatches")
+    )
+    sz_mism = one_sided(merged_sz, full_sz, ["doc_id", "n"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_mismatches")
+    )
+    return (
+        merged_md5.agg(F.count(F.lit(1)).cast("bigint").alias("n_md5"))
+        .crossJoin(
+            F.broadcast(
+                wave_new_md5.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_wave_new_md5")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged_sh.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_shingle_rows")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(md5_mism))
+        .crossJoin(F.broadcast(sh_mism))
+        .crossJoin(F.broadcast(sz_mism))
+        .select(
+            "n_md5",
+            "n_wave_new_md5",
+            "n_shingle_rows",
+            "md5_mismatches",
+            "shingle_mismatches",
+            "size_mismatches",
+        )
+    )
+
+
+@query(
     "stream_dedup_minhash",
     oracle=f"""
     WITH cut AS MATERIALIZED (

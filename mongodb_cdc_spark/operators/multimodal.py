@@ -559,8 +559,12 @@ def image_tile_features(
     """Arrow-batched 2-D tile featurizer over (doc_id, content)."""
     import numpy as np
 
+    tiles_per_row = _IW_W // _IW_T
     for pdf in batches:
-        frames = []
+        cols: dict[str, list] = {
+            "doc_id": [], "tile_r": [], "tile_c": [], "n_px": [],
+            "sum_abs": [], "peak_abs": [], "grad_sum": [],
+        }
         for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
             if blob is None:
                 raise NotImplementedError(
@@ -572,8 +576,7 @@ def image_tile_features(
                 continue
             p = np.arange(n)
             c = p % _IW_W
-            tr = (p // _IW_W) // _IW_T
-            tc = (c // _IW_T).astype(np.int64)
+            tid = ((p // _IW_W) // _IW_T) * tiles_per_row + c // _IW_T
             # horizontal neighbor exists within the same tile-row iff the
             # pixel is not on the tile's last column and not the raster's
             # final pixel (truncated last row); _IW_T | _IW_W makes the
@@ -582,30 +585,40 @@ def image_tile_features(
             grad = np.zeros(n, np.int64)
             vi = p[valid]
             grad[vi] = np.abs(a[vi + 1] - a[vi])
-            g = pd.DataFrame(
-                {
-                    "doc_id": doc_id,
-                    "tile_r": tr,
-                    "tile_c": tc,
-                    "absv": np.abs(a),
-                    "grad": grad,
-                }
-            )
-            agg = g.groupby(["doc_id", "tile_r", "tile_c"], sort=True).agg(
-                n_px=("absv", "size"),
-                sum_abs=("absv", "sum"),
-                peak_abs=("absv", "max"),
-                grad_sum=("grad", "sum"),
-            )
-            frames.append(agg.reset_index())
-        if not frames:
+            absa = np.abs(a)
+            ntile = int(tid.max()) + 1
+            # bincount float64 weights are exact here: per-tile sums are
+            # bounded by 256 px * 255 << 2^53
+            n_px = np.bincount(tid, minlength=ntile)
+            sum_abs = np.rint(
+                np.bincount(tid, weights=absa, minlength=ntile)
+            ).astype(np.int64)
+            grad_sum = np.rint(
+                np.bincount(tid, weights=grad, minlength=ntile)
+            ).astype(np.int64)
+            peak = np.zeros(ntile, np.int64)
+            np.maximum.at(peak, tid, absa)
+            live = np.nonzero(n_px)[0]
+            cols["doc_id"].append(np.full(len(live), doc_id, np.int64))
+            cols["tile_r"].append(live // tiles_per_row)
+            cols["tile_c"].append(live % tiles_per_row)
+            cols["n_px"].append(n_px[live])
+            cols["sum_abs"].append(sum_abs[live])
+            cols["peak_abs"].append(peak[live])
+            cols["grad_sum"].append(grad_sum[live])
+        if not cols["doc_id"]:
             continue
-        out = pd.concat(frames, ignore_index=True)
-        out["tile_r"] = out["tile_r"].astype("int32")
-        out["tile_c"] = out["tile_c"].astype("int32")
-        out["n_px"] = out["n_px"].astype("int32")
-        out["peak_abs"] = out["peak_abs"].astype("int32")
-        yield out
+        yield pd.DataFrame(
+            {
+                "doc_id": np.concatenate(cols["doc_id"]),
+                "tile_r": np.concatenate(cols["tile_r"]).astype("int32"),
+                "tile_c": np.concatenate(cols["tile_c"]).astype("int32"),
+                "n_px": np.concatenate(cols["n_px"]).astype("int32"),
+                "sum_abs": np.concatenate(cols["sum_abs"]),
+                "peak_abs": np.concatenate(cols["peak_abs"]).astype("int32"),
+                "grad_sum": np.concatenate(cols["grad_sum"]),
+            }
+        )
 
 
 @query(
@@ -782,3 +795,131 @@ def ext_rerank_hard_pair_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_hard_pair_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# mm_video_scene_cut — the TEMPORAL twin completing the multimodal
+# windowed-feature tier (audio = 1-D windows, image = 2-D tiles, video =
+# frame sequence): frame-level means over the blob's fixed-size frames,
+# scene-cut detection where consecutive frame means jump past a
+# threshold — the shot-boundary pass a video curation pipeline runs to
+# pick keyframes and segment clips.
+# --------------------------------------------------------------------------
+# Stub decode: the blob is a sequence of {FRAME_BYTES}-byte "frames"
+# (the mm_frame_sample geometry at stride 1); a frame's brightness proxy
+# is the SUM of its raw byte values. Cut test between frames i-1 and i,
+# exact integer (cross-multiplied mean comparison, no division):
+#   |S_i * L_{i-1} - S_{i-1} * L_i| >= TAU * L_i * L_{i-1}
+# i.e. the mean byte value moved by >= TAU between frames.
+
+_VSC_TAU = 2
+
+
+def video_scene_cuts(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched scene-cut detector over (doc_id, content)."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "n_frames": [], "n_cuts": [],
+            "first_cut_idx": [], "cut_idx_checksum": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError(
+                    "no blob: real decoder would fetch/skip"
+                )
+            a = np.frombuffer(bytes(blob), np.uint8).astype(np.int64)
+            n = len(a)
+            if n == 0:
+                continue
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            fidx = np.arange(n) // FRAME_BYTES
+            sums = np.zeros(n_frames, np.int64)
+            np.add.at(sums, fidx, a)
+            lens = np.full(n_frames, FRAME_BYTES, np.int64)
+            lens[-1] = n - (n_frames - 1) * FRAME_BYTES
+            if n_frames > 1:
+                s1, s0 = sums[1:], sums[:-1]
+                l1, l0 = lens[1:], lens[:-1]
+                cut = np.abs(s1 * l0 - s0 * l1) >= _VSC_TAU * l1 * l0
+                cut_ids = np.nonzero(cut)[0] + 1
+            else:
+                cut_ids = np.array([], np.int64)
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(int(n_frames))
+            out["n_cuts"].append(int(len(cut_ids)))
+            out["first_cut_idx"].append(
+                int(cut_ids[0]) if len(cut_ids) else -1
+            )
+            out["cut_idx_checksum"].append(int(cut_ids.sum()))
+        yield pd.DataFrame(out)
+
+
+VSC_SCHEMA = (
+    "doc_id bigint, n_frames int, n_cuts int, "
+    "first_cut_idx int, cut_idx_checksum bigint"
+)
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle=f"""
+    -- frame sums recomputed over the VARCHAR (pure-ASCII fixture:
+    -- 1 char == 1 byte) — the mm_frame_sample blob/text equivalence.
+    WITH fr AS MATERIALIZED (
+      SELECT doc_id, (p - 1) // {FRAME_BYTES} AS fi,
+             ascii(substring(text, p, 1)) AS v
+      FROM documents,
+           unnest(generate_series(1, length(text))) AS t(p)
+      WHERE length(text) > 0
+    ),
+    fs AS MATERIALIZED (
+      SELECT doc_id, fi,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM fr GROUP BY doc_id, fi
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, fi, s, l,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY fi) AS ps,
+             LAG(l) OVER (PARTITION BY doc_id ORDER BY fi) AS pl
+      FROM fs
+    ),
+    cuts AS MATERIALIZED (
+      SELECT doc_id, fi FROM dl
+      WHERE ps IS NOT NULL
+        AND ABS(s * pl - ps * l) >= {_VSC_TAU} * l * pl
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(COALESCE((SELECT COUNT(*) FROM cuts c
+                          WHERE c.doc_id = f.doc_id), 0) AS INT) AS n_cuts,
+           CAST(COALESCE((SELECT MIN(fi) FROM cuts c
+                          WHERE c.doc_id = f.doc_id), -1) AS INT)
+             AS first_cut_idx,
+           CAST(COALESCE((SELECT SUM(fi) FROM cuts c
+                          WHERE c.doc_id = f.doc_id), 0) AS BIGINT)
+             AS cut_idx_checksum
+    FROM fs f
+    GROUP BY f.doc_id
+    """,
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shot-boundary summary (tier block above): frame count,
+    scene-cut count, first cut index, and the exact SUM of cut indices
+    (one misdetected boundary anywhere breaks the hash) — hash-checked
+    against DuckDB's relational recomputation of the same stub decode
+    (frame sums + LAG + the integer cross-multiplied mean test).
+
+    Scale: one mapInPandas pass, no shuffle; per-blob work is one
+    np.add.at frame reduction + one vectorized diff — scan-bandwidth-
+    bound like the decode pass, with ONE summary row per doc (output is
+    corpus-cardinality, not frame-cardinality). A real deployment swaps
+    the byte-sum proxy for decoded-frame histograms/embedding distance
+    and keeps the windowed LAG-compare shape verbatim."""
+    return binary_table(spark, sf_dir).select(
+        "doc_id", "content"
+    ).mapInPandas(video_scene_cuts, VSC_SCHEMA)

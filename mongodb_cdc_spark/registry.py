@@ -169,6 +169,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "mm_image_window_features",
     "ext_dedup_url_canonical",
     "ext_rerank_hard_pair_mine",
+    "maintenance_dedup_gate_refresh",
+    "mm_video_scene_cut",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -1225,3 +1225,44 @@ def test_hard_pair_mine_thresholds(spark, sf_dir):
         else:
             assert r.pair_type == "reranker_promotion"
             assert r.lex_rank >= 13 and r.rr_rank <= 8
+
+
+def test_dedup_gate_refresh_consistent_with_store_audit(spark, sf_dir):
+    """The refresh's merged artifacts must be mismatch-free against the
+    persisted store, and its cardinalities must agree with the store
+    audit row computed independently."""
+    ref = QUERIES["maintenance_dedup_gate_refresh"](spark, sf_dir).collect()[0]
+    assert (
+        ref.md5_mismatches,
+        ref.shingle_mismatches,
+        ref.size_mismatches,
+    ) == (0, 0, 0)
+    audit = QUERIES["maintenance_dedup_gate_store"](spark, sf_dir).collect()[0]
+    assert ref.n_md5 == audit.n_base_md5
+    assert ref.n_shingle_rows == audit.n_shingle_rows
+    assert 0 < ref.n_wave_new_md5 < ref.n_md5
+
+
+def test_video_scene_cut_semantics(spark, sf_dir):
+    """Scene-cut invariants: frame counts match ceil(len/64); cut count
+    is bounded by n_frames - 1; first_cut_idx is -1 exactly when no cuts
+    and otherwise a valid frame index <= checksum."""
+    from mongodb_cdc_spark.io import load_table
+
+    rows = QUERIES["mm_video_scene_cut"](spark, sf_dir).collect()
+    assert rows
+    want = {
+        r.doc_id: (r.n + 63) // 64
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+        if r.n > 0
+    }
+    assert {r.doc_id: r.n_frames for r in rows} == want
+    for r in rows:
+        assert 0 <= r.n_cuts <= r.n_frames - 1 if r.n_frames > 1 else r.n_cuts == 0
+        if r.n_cuts == 0:
+            assert r.first_cut_idx == -1 and r.cut_idx_checksum == 0
+        else:
+            assert 1 <= r.first_cut_idx < r.n_frames
+            assert r.cut_idx_checksum >= r.first_cut_idx

@@ -245,6 +245,17 @@ HEAVY = [
     "graph_link_predict_from_store",
     "win_time_range_frame",
     "stat_permutation_test",
+    # round-9 tier
+    "maintenance_dedup_gate_store",
+    "stream_dedup_minhash",
+    "stream_postings_ingest",
+    "cdc_ivm_topk_tombstone",
+    "mm_image_window_features",
+    "ext_dedup_url_canonical",
+    "ext_rerank_hard_pair_mine",
+    "ext_rank_bm25_from_store",
+    "maintenance_dedup_gate_refresh",
+    "mm_video_scene_cut",
 ]
 
 
