@@ -216,6 +216,7 @@ HEADLINE = [
     ("ext_rerank_hard_pair_mine", None),
     ("maintenance_dedup_gate_refresh", None),
     ("mm_video_scene_cut", None),
+    ("ext_embed_matryoshka_eval", None),
 ]
 
 

@@ -171,6 +171,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_rerank_hard_pair_mine",
     "maintenance_dedup_gate_refresh",
     "mm_video_scene_cut",
+    "ext_embed_matryoshka_eval",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -1266,3 +1266,17 @@ def test_video_scene_cut_semantics(spark, sf_dir):
         else:
             assert 1 <= r.first_cut_idx < r.n_frames
             assert r.cut_idx_checksum >= r.first_cut_idx
+
+
+def test_matryoshka_eval_bounds(spark, sf_dir):
+    """Overlap bounds: 0 <= overlap@10 <= 10 <= overlap@20 <= 20; zero
+    drift implies identical intersected rankings, so drift=0 with full
+    overlap means prefix ranking reproduced full ranking."""
+    rows = QUERIES["ext_embed_matryoshka_eval"](spark, sf_dir).collect()
+    assert [r.probe_id for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert 0 <= r.overlap_at_10 <= 10
+        assert r.overlap_at_10 <= r.overlap_at_20 <= 20
+        assert r.rank_drift_sum >= 0
+        if r.overlap_at_20 == 0:
+            assert r.rank_drift_sum == 0

@@ -256,6 +256,7 @@ HEAVY = [
     "ext_rank_bm25_from_store",
     "maintenance_dedup_gate_refresh",
     "mm_video_scene_cut",
+    "ext_embed_matryoshka_eval",
 ]
 
 
