@@ -217,6 +217,9 @@ HEADLINE = [
     ("maintenance_dedup_gate_refresh", None),
     ("mm_video_scene_cut", None),
     ("ext_embed_matryoshka_eval", None),
+    ("mm_blob_dedup_phash", None),
+    ("cdc_ivm_distinct", None),
+    ("stream_url_dedup_ingest", None),
 ]
 
 

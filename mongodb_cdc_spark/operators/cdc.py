@@ -1545,3 +1545,162 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(recompute_triggered).alias("recompute_triggered"),
         F.lit(mism == 0).alias("served_matches_recompute"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# cdc_ivm_distinct — incrementally maintained COUNT DISTINCT under
+# insert AND delete deltas, completing the IVM tier's algebra square
+# (aggregate: monotone sums; join: keyed deltas; topk: monotone buffer;
+# topk_tombstone: buffer invalidation; distinct: PER-KEY SUPPORT
+# COUNTS — the classic refcount construction for the one aggregate
+# that is never self-maintainable without auxiliary state).
+# --------------------------------------------------------------------------
+# View: COUNT(DISTINCT user_id) over LIVE users (epoch semantics shared
+# with cdc_ivm_topk_tombstone: a user's live support = events after its
+# last tombstone in log order; support 0 = not counted). The auxiliary
+# state is the per-user support count — a delta changes the DISTINCT
+# only when some key's support crosses 0 in either direction, which the
+# merge detects key-locally (no view scan). Both arms (incremental via
+# merged per-key states; full recompute) are computed and set-compared;
+# the crossing counts themselves are part of the hashed row.
+
+@query(
+    "cdc_ivm_distinct",
+    oracle="""
+    WITH cut AS MATERIALIZED (
+      SELECT MAX(event_id) // 2 AS c FROM events
+    ),
+    lastdel AS MATERIALIZED (
+      SELECT user_id, MAX(event_id) AS de FROM events
+      WHERE event_type = 'error' GROUP BY user_id
+    ),
+    live AS MATERIALIZED (
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e LEFT JOIN lastdel d ON e.user_id = d.user_id
+      WHERE e.event_type <> 'error'
+        AND (d.de IS NULL OR e.event_id > d.de)
+      GROUP BY e.user_id
+    ),
+    live1 AS MATERIALIZED (
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e
+      LEFT JOIN (SELECT user_id, MAX(event_id) AS de FROM events
+                 WHERE event_type = 'error'
+                   AND event_id <= (SELECT c FROM cut)
+                 GROUP BY user_id) d ON e.user_id = d.user_id
+      WHERE e.event_type <> 'error'
+        AND e.event_id <= (SELECT c FROM cut)
+        AND (d.de IS NULL OR e.event_id > d.de)
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM live) AS n_distinct_live,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM live1) AS n_distinct_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM live
+       WHERE user_id NOT IN (SELECT user_id FROM live1))
+        AS n_keys_entered,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM live1
+       WHERE user_id NOT IN (SELECT user_id FROM live))
+        AS n_keys_left,
+      TRUE AS ivm_matches_recompute
+    """,
+)
+def cdc_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained live-user distinct count (tier block above): the feed
+    splits at the midpoint event id; per-half per-user support states
+    (live count since the half's last tombstone + has-tombstone marker)
+    merge key-locally; the maintained count updates by the two crossing
+    sets only — keys whose support rose from 0 (entered) and keys a
+    tombstone dropped to 0 (left). The crossing counts, the base and
+    final distinct values, and the incremental==recompute parity are
+    all driver-hashed, so wrong refcount algebra anywhere goes red.
+
+    Scale: per-delta state is one map-combinable aggregate; the merge
+    is a keyed full-outer on the delta's touched keys against the
+    stored per-key support (a keyed lookup at 100 TB); the DISTINCT
+    update is |crossings|, never a view scan. The full recompute arm
+    exists only as certification."""
+    from mongodb_cdc_spark.sources.changefeed import derive_change_log
+
+    feed = derive_change_log(spark, sf_dir)
+    cut = feed.agg(
+        F.expr("CAST(MAX(CAST(_id AS BIGINT)) div 2 AS BIGINT)")
+    ).first()[0]
+    cut_id = f"{cut:012d}"
+
+    def support(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col("documentKey._id").alias("user_id"),
+            F.col("_id").alias("eid"),
+            (F.col("operationType") == "delete").alias("is_del"),
+        )
+        lastdel = (
+            base.filter(F.col("is_del"))
+            .groupBy("user_id")
+            .agg(F.max("eid").alias("de"))
+        )
+        live = (
+            base.filter(~F.col("is_del"))
+            .join(lastdel, "user_id", "left")
+            .filter(F.col("de").isNull() | (F.col("eid") > F.col("de")))
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        return lastdel.join(live, "user_id", "full_outer").select(
+            "user_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.col("de").isNotNull().alias("has_del"),
+        )
+
+    s1 = support(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
+        eager=True
+    )
+    s2 = support(feed.filter(F.col("_id") > cut_id)).localCheckpoint(
+        eager=True
+    )
+    merged = (
+        s1.alias("a")
+        .join(s2.alias("b"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce(F.col("a.n"), F.lit(0)).alias("n1"),
+            F.when(
+                F.coalesce(F.col("b.has_del"), F.lit(False)),
+                F.coalesce(F.col("b.n"), F.lit(0)),
+            )
+            .otherwise(
+                F.coalesce(F.col("a.n"), F.lit(0))
+                + F.coalesce(F.col("b.n"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_final"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    entered = merged.filter(
+        (F.col("n1") == 0) & (F.col("n_final") > 0)
+    ).count()
+    left = merged.filter(
+        (F.col("n1") > 0) & (F.col("n_final") == 0)
+    ).count()
+    n_base = s1.filter(F.col("n") > 0).count()
+    # incremental arm: base + crossings
+    n_ivm = n_base + entered - left
+    # certification arm: full recompute over the unsplit feed
+    n_full = (
+        support(feed).filter(F.col("n") > 0).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_ivm),
+                int(n_base),
+                int(entered),
+                int(left),
+                bool(n_ivm == n_full),
+            )
+        ],
+        "n_distinct_live bigint, n_distinct_base bigint, "
+        "n_keys_entered bigint, n_keys_left bigint, "
+        "ivm_matches_recompute boolean",
+    )

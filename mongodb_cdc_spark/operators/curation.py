@@ -2401,7 +2401,12 @@ _URL_HEAD_RE = "^[^/]+//[^/]+"
 _URL_TRACK_RE = "[?&](session|utm_[a-z]+)=[^&#]*"
 
 
-def _url_canon_sql(dialect: str) -> str:
+def _url_canon_ctes(dialect: str, src: str = "documents") -> str:
+    """The shared synthesis + canonicalization CTE chain (raw -> defrag
+    -> parts -> canon), reusable over any source relation carrying
+    (doc_id, source, lang) — the batch view of the streaming ingest
+    gate uses it verbatim, so the streaming and batch canonicalizers
+    can never drift."""
     if dialect == "spark":
         s = "STRING"
         g = ""
@@ -2409,15 +2414,14 @@ def _url_canon_sql(dialect: str) -> str:
         s = "VARCHAR"
         g = ", 'g'"
     mat = "MATERIALIZED " if dialect == "duck" else ""
-    return f"""
-    WITH raw AS {mat}(
+    return f"""raw AS {mat}(
       SELECT doc_id,
              'HTTPS://' || upper(source) || '.Example.COM:443/' || lang
              || '/p' || CAST(doc_id % 211 AS {s})
              || '/index.html?session=s' || CAST(doc_id % 97 AS {s})
              || '&utm_campaign=c' || CAST(doc_id % 7 AS {s})
              || '#sec' || CAST(doc_id % 5 AS {s}) AS url
-      FROM documents
+      FROM {src}
     ),
     defrag AS {mat}(
       SELECT doc_id, regexp_replace(url, '#.*$', ''{g}) AS u FROM raw
@@ -2436,7 +2440,13 @@ def _url_canon_sql(dialect: str) -> str:
                   regexp_replace(tail, '{_URL_TRACK_RE}', ''{g}),
                   '/index.html', '') AS curl
       FROM parts
-    ),
+    )"""
+
+
+def _url_canon_sql(dialect: str) -> str:
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    return f"""
+    WITH {_url_canon_ctes(dialect)},
     grp AS {mat}(
       SELECT curl, COUNT(*) AS n, MIN(doc_id) AS rep FROM canon
       GROUP BY curl
@@ -2467,3 +2477,224 @@ def ext_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_url_canon_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# stream_url_dedup_ingest — the crawl-frontier ingest gate: canonical-
+# URL dedup of an arriving wave against a persisted seen-URL store,
+# per micro-batch, under the run_supervised restart contract. Composes
+# the round-9 canonicalizer (`_url_canon_ctes` — the EXACT same CTE
+# chain, so streaming and batch canonicalization can never drift) with
+# the streaming-gate harness of `stream_dedup_minhash`.
+# --------------------------------------------------------------------------
+# Semantics are ORDER-INDEPENDENT (min-doc-id-wins): a wave doc is a
+# duplicate iff its canonical URL is already in the base store OR a
+# smaller-doc_id wave doc carries the same canonical URL. The wave feed
+# is materialized as doc_id-RANGE files named in range order, so
+# micro-batch order == doc_id order and the per-batch rule "base ∪
+# previously committed wave-seen ∪ in-batch smaller doc_id" implements
+# exactly that — which is what the oracle recomputes from scratch.
+# Exactly-once by idempotence: verdicts AND newly-seen URLs both land
+# in per-batch overwrite directories; a replay rewrites identical
+# content.
+
+_URL_FEED_FILES = 4
+
+
+def _url_wave_feed(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """Wave docs (doc_id > cut) as doc_id-range parquet files whose
+    LISTING order equals range order (wave_0.parquet < wave_1...), so
+    maxFilesPerTrigger=1 replays the wave in doc_id order."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"urlwave_{sf_name}_{_URL_FEED_FILES}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_FEED_DONE")):
+        d = load_table(spark, sf_dir, "documents")
+        hi = int(d.agg(F.max("doc_id")).collect()[0][0])
+        span = (hi - cut + _URL_FEED_FILES) // _URL_FEED_FILES
+        stage = path + ".stage"
+        _shutil.rmtree(stage, ignore_errors=True)
+        _os.makedirs(stage, exist_ok=True)
+        for i in range(_URL_FEED_FILES):
+            lo_i = cut + i * span
+            hi_i = cut + (i + 1) * span
+            tmp = _os.path.join(stage, f"_tmp{i}")
+            (
+                d.filter(
+                    (F.col("doc_id") > lo_i) & (F.col("doc_id") <= hi_i)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            _os.rename(part, _os.path.join(stage, f"wave_{i}.parquet"))
+            _shutil.rmtree(tmp, ignore_errors=True)
+        with open(_os.path.join(stage, "_FEED_DONE"), "w"):
+            pass
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its feed is identical
+    return path
+
+
+def url_seen_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """Build (once, stage-then-rename) the base seen-URL store: the
+    DISTINCT canonical URLs of the base slice — 8-40 bytes per unique
+    page, the store a crawl frontier keeps hot."""
+    from mongodb_cdc_spark.io import register_views
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"urlseen_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        register_views(spark, sf_dir)
+        base_seen = spark.sql(
+            f"""
+            WITH {_url_canon_ctes('spark')}
+            SELECT DISTINCT curl FROM canon
+            WHERE doc_id <= {cut}
+            """
+        )
+        stage = path + ".stage"
+        base_seen.write.mode("overwrite").parquet(stage)
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            pass  # another session won the rename; its store is identical
+    return path
+
+
+@query(
+    "stream_url_dedup_ingest",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_url_canon_ctes('duck')},
+    base_seen AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    wave AS MATERIALIZED (
+      SELECT doc_id, curl FROM canon
+      WHERE doc_id > (SELECT c FROM cut)
+    ),
+    wmin AS MATERIALIZED (
+      SELECT curl, MIN(doc_id) AS m FROM wave GROUP BY curl
+    )
+    SELECT w.doc_id,
+           (w.curl IN (SELECT curl FROM base_seen)
+            OR w.doc_id > wm.m) AS is_dup_url
+    FROM wave w JOIN wmin wm ON w.curl = wm.curl
+    ORDER BY w.doc_id ASC
+    """,
+)
+def stream_url_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming canonical-URL ingest gate (tier block above): drain the
+    doc_id-ordered wave feed through foreachBatch; each micro-batch
+    canonicalizes ITS OWN rows with the shared CTE chain, reads the
+    seen set (persisted base store ∪ previously committed wave-seen
+    batches), emits per-doc duplicate verdicts, and commits its newly
+    seen canonical URLs — both writes idempotent per-batch overwrites.
+    Hash-checked against DuckDB's order-independent from-scratch
+    recomputation (min-doc-id-wins), which the doc_id-range batch order
+    makes exactly equal to first-seen-wins.
+
+    Scale: per-batch cost is batch canonicalization (codegen string
+    expressions) + one semi-join against the seen store (bucketable by
+    host prefix at 100 TB) + one in-batch min window over batch rows;
+    newly-seen commits are append-shaped. The base corpus is read ONCE
+    at store build — a standing frontier reads zero base rows per
+    wave."""
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    seen_store = url_seen_store_path(spark, sf_dir, cut)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("urlgate_target")
+    seen_dir = new_scratch_dir("urlgate_seen")
+    ckpt = new_scratch_dir("urlgate_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        # the batch frame lives in the micro-batch session clone; the
+        # temp view and the SQL must both run THERE
+        s = bdf.sparkSession
+        bdf.createOrReplaceTempView("url_batch")
+        bcanon = s.sql(
+            f"WITH {_url_canon_ctes('spark', 'url_batch')} "
+            "SELECT doc_id, curl FROM canon"
+        ).localCheckpoint(eager=True)
+        seen = s.read.parquet(seen_store)
+        committed = [
+            _os.path.join(seen_dir, n)
+            for n in sorted(_os.listdir(seen_dir))
+            if n.startswith("batch=")
+        ]
+        if committed:
+            seen = seen.unionByName(
+                s.read.parquet(*committed).select("curl")
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("curl")
+        verdicts = (
+            bcanon.withColumn("m", F.min("doc_id").over(w))
+            .join(
+                seen.select(F.col("curl").alias("scurl")).distinct(),
+                F.col("curl") == F.col("scurl"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "curl",
+                (
+                    F.col("scurl").isNotNull()
+                    | (F.col("doc_id") > F.col("m"))
+                ).alias("is_dup_url"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        verdicts.select("doc_id", "is_dup_url").write.mode(
+            "overwrite"
+        ).parquet(f"{target}/batch={batch_id}")
+        (
+            verdicts.filter(~F.col("is_dup_url"))
+            .select("curl")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{seen_dir}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "wave_*.parquet")
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select("doc_id", "is_dup_url")
+        .orderBy("doc_id")
+    )

@@ -923,3 +923,154 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_table(spark, sf_dir).select(
         "doc_id", "content"
     ).mapInPandas(video_scene_cuts, VSC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mm_blob_dedup_phash — perceptual-hash near-dup detection for MEDIA
+# blobs: the dedup tier crossed into the multimodal tier. Classic pHash
+# serving shape: a tiny per-blob signature computed once at ingest
+# (here: 16 block-mean threshold bits over the blob's first 256 bytes —
+# the stub stand-in for DCT-mean bits over a decoded thumbnail), then
+# near-dup pairs via BANDED signature join + exact Hamming verification.
+# --------------------------------------------------------------------------
+# Recall is STRUCTURAL, not empirical: candidates join on 4 bands of 4
+# bits; a pair within the tau = 2-bit Hamming budget can damage at most
+# 2 bands, so >= 2 bands stay equal and the pair is always proposed
+# (pigeonhole) — the banded engine arm provably equals the oracle's
+# brute-force all-pairs truth at ANY corpus, unlike a recall-measured
+# LSH. Verification is exact bit_count(xor).
+
+_PH_WINDOW = 256
+_PH_BLOCK = 16
+_PH_BITS = _PH_WINDOW // _PH_BLOCK  # 16 signature bits
+_PH_BANDS = 4
+_PH_TAU = 2
+
+PHASH_SCHEMA = "doc_id bigint, sig bigint"
+
+
+def phash_signatures(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched block-mean signature over (doc_id, content)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, sigs = [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError(
+                    "no blob: real decoder would fetch/skip"
+                )
+            a = np.frombuffer(bytes(blob)[:_PH_WINDOW], np.uint8).astype(
+                np.int64
+            )
+            n = len(a)
+            if n == 0:
+                continue
+            b = np.arange(n) // _PH_BLOCK
+            nblk = int(b[-1]) + 1
+            bs = np.bincount(b, weights=a, minlength=_PH_BITS)
+            bs = np.rint(bs).astype(np.int64)
+            bl = np.bincount(b, minlength=_PH_BITS).astype(np.int64)
+            ts = int(a.sum())
+            bits = (bs * n > ts * bl).astype(np.int64)
+            ids.append(doc_id)
+            sigs.append(int((bits << np.arange(_PH_BITS)).sum()))
+        yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+
+@query(
+    "mm_blob_dedup_phash",
+    oracle=f"""
+    WITH px AS MATERIALIZED (
+      SELECT doc_id, (p - 1) // {_PH_BLOCK} AS b,
+             ascii(substring(text, p, 1)) AS v
+      FROM documents,
+           unnest(generate_series(1, least(length(text), {_PH_WINDOW})))
+             AS t(p)
+      WHERE length(text) > 0
+    ),
+    tot AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ts,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM px GROUP BY doc_id
+    ),
+    blk AS MATERIALIZED (
+      SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS bs,
+             CAST(COUNT(*) AS BIGINT) AS bl
+      FROM px GROUP BY doc_id, b
+    ),
+    sig AS MATERIALIZED (
+      SELECT blk.doc_id,
+             CAST(SUM(CASE WHEN bs * l > ts * bl THEN 1 ELSE 0 END
+                      * (1 << b)) AS BIGINT) AS sig
+      FROM blk JOIN tot USING (doc_id)
+      GROUP BY blk.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming_bits
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PH_TAU}
+    ORDER BY doc_a ASC, doc_b ASC
+    """,
+)
+def mm_blob_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs by perceptual-hash signature (tier block
+    above): signatures via one mapInPandas ingest pass, candidates via
+    the 4x4-bit banded equi-join, verification by exact
+    bit_count(sig_a XOR sig_b) <= {_PH_TAU} — hash-checked against
+    DuckDB's brute-force all-pairs truth, which the banded arm equals
+    BY CONSTRUCTION (pigeonhole over the band split).
+
+    Scale: signatures are 8 bytes/blob computed at ingest (persistable
+    exactly like the MinHash signature store); the candidate join is
+    keyed on (band, nibble) — work follows bucket occupancy, never
+    all-pairs; verification is one integer op per candidate. The
+    brute-force arm exists only in the oracle. A real deployment swaps
+    the block-mean stub for DCT-mean bits over decoded thumbnails and
+    keeps signature width, banding, and the verify predicate."""
+    sigs = (
+        binary_table(spark, sf_dir)
+        .select("doc_id", "content")
+        .mapInPandas(phash_signatures, PHASH_SCHEMA)
+        .localCheckpoint(eager=True)  # one ingest pass feeds 4 band views
+    )
+    bands = None
+    for k in range(_PH_BANDS):
+        b = sigs.select(
+            "doc_id",
+            "sig",
+            F.lit(k).alias("band"),
+            F.shiftright("sig", k * 4).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "nib",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "nib",
+    )
+    cand = (
+        left.join(right, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming_bits",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming_bits") <= _PH_TAU)
+        .select("doc_a", "doc_b", "hamming_bits")
+        .orderBy("doc_a", "doc_b")
+    )

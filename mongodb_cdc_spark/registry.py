@@ -172,6 +172,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_dedup_gate_refresh",
     "mm_video_scene_cut",
     "ext_embed_matryoshka_eval",
+    "mm_blob_dedup_phash",
+    "cdc_ivm_distinct",
+    "stream_url_dedup_ingest",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

@@ -1280,3 +1280,97 @@ def test_matryoshka_eval_bounds(spark, sf_dir):
         assert r.rank_drift_sum >= 0
         if r.overlap_at_20 == 0:
             assert r.rank_drift_sum == 0
+
+
+def test_phash_pairs_within_tau_and_canonical(spark, sf_dir):
+    """Every emitted pair must satisfy the Hamming budget, be canonical
+    (a < b, no duplicates), and the banded candidate stage must have
+    FULL recall vs a brute-force recompute of the signatures."""
+    from mongodb_cdc_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        _PH_TAU,
+        binary_table,
+        phash_signatures,
+    )
+
+    rows = QUERIES["mm_blob_dedup_phash"](spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert len(pairs) == len(rows)
+    assert all(r.doc_a < r.doc_b and 0 <= r.hamming_bits <= _PH_TAU for r in rows)
+    sigs = (
+        binary_table(spark, sf_dir)
+        .select("doc_id", "content")
+        .mapInPandas(phash_signatures, PHASH_SCHEMA)
+        .collect()
+    )
+    sl = sorted((r.doc_id, r.sig) for r in sigs)
+    want = {
+        (a, b)
+        for i, (a, sa) in enumerate(sl)
+        for b, sb in sl[i + 1 :]
+        if bin(sa ^ sb).count("1") <= _PH_TAU
+    }
+    assert pairs == want
+
+
+def test_ivm_distinct_crossing_algebra(spark, sf_dir):
+    """The maintained distinct must equal base + entered - left, match
+    the recompute, and match a direct live-epoch distinct count."""
+    from mongodb_cdc_spark.io import load_table
+
+    r = QUERIES["cdc_ivm_distinct"](spark, sf_dir).collect()[0]
+    assert r.ivm_matches_recompute
+    assert r.n_distinct_live == r.n_distinct_base + r.n_keys_entered - r.n_keys_left
+    ev = load_table(spark, sf_dir, "events")
+    lastdel = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("de"))
+    )
+    direct = (
+        ev.filter(F.col("event_type") != "error")
+        .join(lastdel, "user_id", "left")
+        .filter(F.col("de").isNull() | (F.col("event_id") > F.col("de")))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_distinct_live == direct
+
+
+def test_url_ingest_gate_min_wins(spark, sf_dir):
+    """The streamed verdicts must equal the order-independent min-wins
+    batch recompute: one row per wave doc; a doc is non-dup iff it is
+    the minimum doc_id of a canonical URL unseen in the base."""
+    from mongodb_cdc_spark.io import load_table, register_views
+    from mongodb_cdc_spark.operators.curation import _url_canon_ctes
+
+    got = {
+        r.doc_id: r.is_dup_url
+        for r in QUERIES["stream_url_dedup_ingest"](spark, sf_dir).collect()
+    }
+    register_views(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    want = {
+        r.doc_id: r.is_dup
+        for r in spark.sql(
+            f"""
+            WITH {_url_canon_ctes('spark')},
+            base_seen AS (
+              SELECT DISTINCT curl FROM canon WHERE doc_id <= {cut}
+            ),
+            wave AS (
+              SELECT doc_id, curl FROM canon WHERE doc_id > {cut}
+            ),
+            wmin AS (
+              SELECT curl, MIN(doc_id) AS m FROM wave GROUP BY curl
+            )
+            SELECT w.doc_id,
+                   (w.curl IN (SELECT curl FROM base_seen)
+                    OR w.doc_id > wm.m) AS is_dup
+            FROM wave w JOIN wmin wm ON w.curl = wm.curl
+            """
+        ).collect()
+    }
+    assert got == want and len(got) > 0
