@@ -196,3 +196,76 @@ def test_value_table_median_equals_row_rank_median(values: list[int]):
     rests on (oracle keeps the row-rank form, Spark runs the value form)."""
     want = sorted(values)[(len(values) + 1) // 2 - 1]
     assert median_rank_pick(values) == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9 IVM epoch-merge algebra (cdc_ivm_topk_tombstone /
+# cdc_ivm_distinct): pure-Python mirror of the per-key state + merge,
+# verified against a direct recomputation over random op sequences.
+# State per key per delta: (n_live_since_last_del, has_del); merge(a, b)
+# = b if b.has_del else (a.n + b.n, a.has_del).
+# ---------------------------------------------------------------------------
+
+
+def _epoch_state(ops: list[str]) -> tuple[int, bool]:
+    """Direct per-key state from an op sequence ('e' = event, 'd' = delete)."""
+    n, has_del = 0, False
+    for op in ops:
+        if op == "d":
+            n, has_del = 0, True
+        else:
+            n += 1
+    return n, has_del
+
+
+def _epoch_merge(a: tuple[int, bool], b: tuple[int, bool]) -> tuple[int, bool]:
+    if b[1]:
+        return b[0], True
+    return a[0] + b[0], a[1]
+
+
+@given(
+    st.lists(st.sampled_from(["e", "d"]), max_size=40),
+    st.lists(st.sampled_from(["e", "d"]), max_size=40),
+)
+@settings(max_examples=2000)
+def test_epoch_merge_equals_direct(ops1: list[str], ops2: list[str]):
+    """merge(state(prefix), state(suffix)) == state(prefix + suffix) for
+    EVERY split — the exact property the engine's split-at-cut arms rely
+    on (log order, any batch boundary)."""
+    got = _epoch_merge(_epoch_state(ops1), _epoch_state(ops2))
+    assert got == _epoch_state(ops1 + ops2)
+
+
+@given(st.lists(st.sampled_from(["e", "d"]), min_size=0, max_size=60),
+       st.integers(min_value=0, max_value=60))
+@settings(max_examples=2000)
+def test_epoch_merge_associative_any_split(ops: list[str], k: int):
+    """Any two-way split of one sequence merges to the same state —
+    batch boundaries cannot change the maintained view."""
+    k = min(k, len(ops))
+    got = _epoch_merge(_epoch_state(ops[:k]), _epoch_state(ops[k:]))
+    assert got == _epoch_state(ops)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 pHash banding (mm_blob_dedup_phash): pigeonhole recall —
+# for ANY two 16-bit signatures within Hamming tau=2, at least one of
+# the four 4-bit bands is equal, so the banded equi-join always
+# proposes the pair (the engine arm's recall is structural).
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=65535),
+       st.sets(st.integers(min_value=0, max_value=15), max_size=2))
+@settings(max_examples=2000)
+def test_phash_banding_full_recall_at_tau2(sig: int, flipped: set[int]):
+    other = sig
+    for b in flipped:
+        other ^= 1 << b
+    assert bin(sig ^ other).count("1") <= 2
+    bands_equal = sum(
+        ((sig >> (4 * k)) & 15) == ((other >> (4 * k)) & 15)
+        for k in range(4)
+    )
+    assert bands_equal >= 2  # tau=2 damages at most 2 of 4 bands
