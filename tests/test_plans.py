@@ -772,3 +772,37 @@ def test_bm25_from_store_lists_only_query_buckets(spark, sf_dir):
     cold = [tuple(r) for r in QUERIES["ext_rank_bm25_from_store"](spark, sf_dir).collect()]
     warm = [tuple(r) for r in QUERIES["ext_rank_bm25_from_store"](spark, sf_dir).collect()]
     assert cold == warm and len(cold) == 10
+
+
+def test_url_canonical_no_text_read_no_python(spark, sf_dir):
+    """URL-canonical dedup must be pure codegen string expressions over
+    ONE documents scan whose ReadSchema excludes text entirely — the
+    whole point of URL dedup is deciding duplicates without reading a
+    byte of content."""
+    plan = formatted_plan(QUERIES["ext_dedup_url_canonical"](spark, sf_dir))
+    assert _scan_count(plan, "documents") == 1, plan
+    assert "EvalPython" not in plan, plan
+    # single scan -> single ReadSchema line (Location/ReadSchema print on
+    # separate lines in formatted mode)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("text" not in ln for ln in rs), rs
+
+
+def test_hard_pair_mine_bounded_scans(spark, sf_dir):
+    """The probe-panel miner must share ONE corpus token scan across all
+    probes (plus one for the probe-token derivation) and touch
+    embeddings only for candidates + probes — a per-probe corpus rescan
+    would show up as extra scans here."""
+    plan = formatted_plan(QUERIES["ext_rerank_hard_pair_mine"](spark, sf_dir))
+    assert _scan_count(plan, "documents") <= 2, plan
+    assert _scan_count(plan, "embeddings") <= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_matryoshka_bounded_scans(spark, sf_dir):
+    """Two rankings x (corpus + probe panel) = at most 4 embeddings
+    scans and zero documents scans; both rankings stay in codegen."""
+    plan = formatted_plan(QUERIES["ext_embed_matryoshka_eval"](spark, sf_dir))
+    assert _scan_count(plan, "embeddings") <= 4, plan
+    assert _scan_count(plan, "documents") == 0, plan
+    assert "EvalPython" not in plan, plan
