@@ -27,10 +27,36 @@ accumulators.
 
 from __future__ import annotations
 
+import os as _os
+import shutil as _shutil
+import uuid as _uuid
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCALE = 10000  # 4 implicit fractional digits of working precision
+
+
+def new_stage(path: str) -> str:
+    """Per-session-unique stage directory beside ``path`` for
+    stage-then-rename store builds. A FIXED shared stage dir
+    (``path + ".stage"``) lets two concurrent sessions building the same
+    store interleave their overwrite writes inside the stage before
+    either renames, so the rename winner can publish a mixed/partial
+    store; the uuid suffix keeps each session's stage private while
+    :func:`publish_store` keeps final-path atomicity."""
+    return f"{path}.stage-{_uuid.uuid4().hex[:8]}"
+
+
+def publish_store(stage: str, path: str) -> None:
+    """Atomically publish ``stage`` as ``path`` via rename. On a lost
+    race the winner's store has identical content (stores are pure
+    functions of the fixture), so drop our stage dir instead of leaving
+    it on disk permanently."""
+    try:
+        _os.rename(stage, path)
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
 
 
 def _round_cents(S: str, div: str) -> str:

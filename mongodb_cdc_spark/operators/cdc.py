@@ -1222,7 +1222,7 @@ _IVM_TOPK_BUFFER = 50
 )
 def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-user leaderboard (tier block above): the feed is
-    split in half, the first half builds the view + a top-{_IVM_TOPK_BUFFER}
+    split in half, the first half builds the view + a top-50
     candidate buffer, the second half is applied as a delta touching
     ONLY buffer ∪ delta keys, and the resulting top-{_IVM_TOPK} must
     equal — and is set-compared against — the from-scratch recompute.

@@ -50,6 +50,7 @@ from mongodb_cdc_spark.functions.text import (
 from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
 # --------------------------------------------------------------------------
 # ext_ngram_dup_coverage — per-doc duplicated-ngram fraction
@@ -901,12 +902,9 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
             "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
         )
         mins = minhash_signatures_from_shingles(tok)
-        stage = path + ".stage"
+        stage = new_stage(path)
         mins.write.mode("overwrite").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -926,12 +924,9 @@ def exact_dup_map_store_path(spark: SparkSession, sf_dir: str) -> str:
     path = _os.path.join(scratch_root(), f"exactdup_map_{sf_name}_v1")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         d = load_table(spark, sf_dir, "documents")
-        stage = path + ".stage"
+        stage = new_stage(path)
         exact_dup_pairs(d).write.mode("overwrite").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -1584,12 +1579,9 @@ def projection_store_path(spark: SparkSession, sf_dir: str) -> str:
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         ranked = _sem_ranked_frame(spark, sf_dir).drop("embedding")
-        stage = path + ".stage"
+        stage = new_stage(path)
         ranked.write.mode("overwrite").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -1877,12 +1869,9 @@ def base_signature_store_path(
             .groupBy(F.md5("text").alias("h"))
             .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
         )
-        stage = path + ".stage"
+        stage = new_stage(path)
         _sign_reps(base_reps).write.mode("overwrite").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -1923,7 +1912,7 @@ def dedup_gate_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
     if not _os.path.exists(_os.path.join(path, "sizes", "_SUCCESS")):
         d = load_table(spark, sf_dir, "documents")
         base = d.filter(F.col("doc_id") <= cut)
-        stage = path + ".stage"
+        stage = new_stage(path)
         (
             base.select(F.md5("text").alias("h"))
             .distinct()
@@ -1951,10 +1940,7 @@ def dedup_gate_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
             .write.mode("overwrite")
             .parquet(_os.path.join(stage, "sizes"))
         )
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -2518,7 +2504,7 @@ def _url_wave_feed(spark: SparkSession, sf_dir: str, cut: int) -> str:
         d = load_table(spark, sf_dir, "documents")
         hi = int(d.agg(F.max("doc_id")).collect()[0][0])
         span = (hi - cut + _URL_FEED_FILES) // _URL_FEED_FILES
-        stage = path + ".stage"
+        stage = new_stage(path)
         _shutil.rmtree(stage, ignore_errors=True)
         _os.makedirs(stage, exist_ok=True)
         for i in range(_URL_FEED_FILES):
@@ -2534,14 +2520,19 @@ def _url_wave_feed(spark: SparkSession, sf_dir: str, cut: int) -> str:
                 .parquet(tmp)
             )
             part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
-            _os.rename(part, _os.path.join(stage, f"wave_{i}.parquet"))
+            wave = _os.path.join(stage, f"wave_{i}.parquet")
+            _os.rename(part, wave)
+            # the file-stream source orders same-batch files by
+            # modification time; make that ordering EXPLICIT (strictly
+            # monotone, 1 s apart) instead of relying on sequential
+            # rename timing — an mtime tie on a coarse-timestamp
+            # filesystem (or a copied/restored scratch dir) could
+            # otherwise invert batch order vs doc_id order
+            _os.utime(wave, (1_600_000_000 + i, 1_600_000_000 + i))
             _shutil.rmtree(tmp, ignore_errors=True)
         with open(_os.path.join(stage, "_FEED_DONE"), "w"):
             pass
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its feed is identical
+        publish_store(stage, path)
     return path
 
 
@@ -2563,13 +2554,79 @@ def url_seen_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
             WHERE doc_id <= {cut}
             """
         )
-        stage = path + ".stage"
+        stage = new_stage(path)
         base_seen.write.mode("overwrite").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
+
+
+def url_gate_batch_applier(seen_store: str, target: str, seen_dir: str):
+    """The URL gate's per-micro-batch function, module-level so the
+    restart/replay contract is directly testable: canonicalize the
+    batch, read the seen set (persisted store ∪ STRICTLY-earlier
+    committed batches), emit verdicts, commit newly seen URLs — both
+    writes idempotent per-batch overwrites."""
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        # the batch frame lives in the micro-batch session clone; the
+        # temp view and the SQL must both run THERE
+        s = bdf.sparkSession
+        bdf.createOrReplaceTempView("url_batch")
+        bcanon = s.sql(
+            f"WITH {_url_canon_ctes('spark', 'url_batch')} "
+            "SELECT doc_id, curl FROM canon"
+        ).localCheckpoint(eager=True)
+        seen = s.read.parquet(seen_store)
+        # STRICTLY earlier batches only: a supervised replay of batch N
+        # must see exactly the pre-N state — including N's own
+        # (possibly partial) commit from the failed attempt would flip
+        # its first-seen docs to duplicates and overwrite its
+        # newly-seen commit as empty, corrupting every later batch that
+        # shares those canonical URLs. The bound also keeps the read
+        # set BOUNDED: one store path + at most (batch_id) current-run
+        # commits; cross-run growth folds back into the store via
+        # `maintenance_url_seen_refresh`.
+        committed = [
+            _os.path.join(seen_dir, n)
+            for n in sorted(_os.listdir(seen_dir))
+            if n.startswith("batch=") and int(n.split("=")[1]) < batch_id
+        ]
+        if committed:
+            seen = seen.unionByName(
+                s.read.parquet(*committed).select("curl")
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("curl")
+        verdicts = (
+            bcanon.withColumn("m", F.min("doc_id").over(w))
+            .join(
+                seen.select(F.col("curl").alias("scurl")).distinct(),
+                F.col("curl") == F.col("scurl"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "curl",
+                (
+                    F.col("scurl").isNotNull()
+                    | (F.col("doc_id") > F.col("m"))
+                ).alias("is_dup_url"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        verdicts.select("doc_id", "is_dup_url").write.mode(
+            "overwrite"
+        ).parquet(f"{target}/batch={batch_id}")
+        (
+            verdicts.filter(~F.col("is_dup_url"))
+            .select("curl")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{seen_dir}/batch={batch_id}")
+        )
+
+    return apply_batch
 
 
 @query(
@@ -2627,56 +2684,7 @@ def stream_url_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = new_scratch_dir("urlgate_target")
     seen_dir = new_scratch_dir("urlgate_seen")
     ckpt = new_scratch_dir("urlgate_ckpt")
-
-    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        # the batch frame lives in the micro-batch session clone; the
-        # temp view and the SQL must both run THERE
-        s = bdf.sparkSession
-        bdf.createOrReplaceTempView("url_batch")
-        bcanon = s.sql(
-            f"WITH {_url_canon_ctes('spark', 'url_batch')} "
-            "SELECT doc_id, curl FROM canon"
-        ).localCheckpoint(eager=True)
-        seen = s.read.parquet(seen_store)
-        committed = [
-            _os.path.join(seen_dir, n)
-            for n in sorted(_os.listdir(seen_dir))
-            if n.startswith("batch=")
-        ]
-        if committed:
-            seen = seen.unionByName(
-                s.read.parquet(*committed).select("curl")
-            )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("curl")
-        verdicts = (
-            bcanon.withColumn("m", F.min("doc_id").over(w))
-            .join(
-                seen.select(F.col("curl").alias("scurl")).distinct(),
-                F.col("curl") == F.col("scurl"),
-                "left",
-            )
-            .select(
-                "doc_id",
-                "curl",
-                (
-                    F.col("scurl").isNotNull()
-                    | (F.col("doc_id") > F.col("m"))
-                ).alias("is_dup_url"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        verdicts.select("doc_id", "is_dup_url").write.mode(
-            "overwrite"
-        ).parquet(f"{target}/batch={batch_id}")
-        (
-            verdicts.filter(~F.col("is_dup_url"))
-            .select("curl")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{seen_dir}/batch={batch_id}")
-        )
+    apply_batch = url_gate_batch_applier(seen_store, target, seen_dir)
 
     def start_query():
         stream = (

@@ -48,7 +48,7 @@ from mongodb_cdc_spark.functions.vectors import (
     lsh_bit_sum_sql,
 )
 from mongodb_cdc_spark.io import load_table, register_views
-from mongodb_cdc_spark.operators._util import avg2, avg2_sql, round2_sql
+from mongodb_cdc_spark.operators._util import avg2, avg2_sql, new_stage, publish_store, round2_sql
 from mongodb_cdc_spark.registry import query
 
 # ---------------------------------------------------------------- text ----
@@ -934,14 +934,11 @@ def ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
     path = _os.path.join(scratch_root(), f"ivf_store_{sf_name}_k{_IVF_K}_v1")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings")
-        stage = path + ".stage"
+        stage = new_stage(path)
         ivf_assignments(e).write.mode("overwrite").partitionBy("bucket").parquet(
             stage
         )
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mongodb_cdc_spark.io import register_views
 from mongodb_cdc_spark.registry import query
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
 # --------------------------------------------------------------------------
 # graph_triangle_count
@@ -260,7 +261,7 @@ def edge_store_path(spark: SparkSession, sf_dir: str) -> str:
         register_views(spark, sf_dir)
         pairs = spark.sql(_PAIR_SUPPORT_SQL)
         n_orders = spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
-        stage = path + ".stage"
+        stage = new_stage(path)
         # repartition by the pagerank join key so store scans start
         # co-partitioned on `a` (file-level clustering; the read side
         # still shuffles once for the und/deg build, but off an
@@ -271,10 +272,7 @@ def edge_store_path(spark: SparkSession, sf_dir: str) -> str:
         # a production refresh wave updates it alongside the merge.
         with open(_os.path.join(stage, "_corpus_meta.json"), "w") as fh:
             _json.dump({"n_orders": int(n_orders)}, fh)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 

@@ -511,7 +511,7 @@ def audio_window_features(
 )
 def mm_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shape windowed features over the binary column (tier block
-    above): overlapping {_AW_WIN}-sample windows at hop {_AW_HOP}, per
+    above): overlapping 64-sample windows at hop 32, per
     window the exact integer energy proxy (sum |sample|), peak, and
     zero-crossing count — hash-checked against DuckDB's relational
     recomputation of the same stub decode, so the whole Arrow fan-out
@@ -657,7 +657,7 @@ def image_tile_features(
 )
 def mm_image_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-shape windowed TILE features over the binary column (tier
-    block above): {_IW_T}x{_IW_T} tiles of a {_IW_W}-wide raster, per
+    block above): 16x16 tiles of a 32-wide raster, per
     tile the exact integer intensity energy, peak, and horizontal
     gradient (edge) energy — hash-checked against DuckDB's relational
     recomputation of the same stub decode (LEAD over raster geometry),
@@ -665,7 +665,7 @@ def mm_image_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder is fake.
 
     Scale: one mapInPandas pass, no shuffle — tile features land
-    partition-local at scan bandwidth, output is L/{_IW_T * _IW_T}
+    partition-local at scan bandwidth, output is L/256
     rows per doc; all tile math is vectorized NumPy (one groupby per
     blob over int64 views). A real deployment swaps `np.frombuffer`
     for the image decoder (and W for the decoded width) and keeps
@@ -775,8 +775,8 @@ def _hard_pair_sql(dialect: str) -> str:
 
 @query("ext_rerank_hard_pair_mine", oracle=_hard_pair_sql("duck"))
 def ext_rerank_hard_pair_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-pair miner over a {len(_HPM_PROBES)}-probe panel (tier block
-    above): per probe, lexical top-{_HPM_R} candidates are reranked by
+    """Hard-pair miner over a 4-probe panel (tier block
+    above): per probe, lexical top-20 candidates are reranked by
     exact embedding cosine; rows where the two stages disagree past the
     rank thresholds are emitted as labeled training pairs with both
     ranks and the exact-integer cosine margin to the reranked top-1.
@@ -1019,7 +1019,7 @@ def mm_blob_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup media pairs by perceptual-hash signature (tier block
     above): signatures via one mapInPandas ingest pass, candidates via
     the 4x4-bit banded equi-join, verification by exact
-    bit_count(sig_a XOR sig_b) <= {_PH_TAU} — hash-checked against
+    bit_count(sig_a XOR sig_b) <= 2 — hash-checked against
     DuckDB's brute-force all-pairs truth, which the banded arm equals
     BY CONSTRUCTION (pigeonhole over the band split).
 

@@ -26,6 +26,7 @@ from mongodb_cdc_spark.functions.vectors import (
 )
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
 # --------------------------------------------------------------------------
 # ext_embed_centroids
@@ -518,12 +519,9 @@ def pq_store_path(spark: SparkSession, sf_dir: str) -> str:
         codes = dists.selectExpr(
             "vec_id", f"CAST({_pq2_packed()} AS BIGINT) AS packed", "bucket"
         )
-        stage = path + ".stage"
+        stage = new_stage(path)
         codes.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -2208,8 +2206,8 @@ def _matryoshka_sql(dialect: str) -> str:
 @query("ext_embed_matryoshka_eval", oracle=_matryoshka_sql("duck"))
 def ext_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-dimension ranking agreement per probe (tier block above):
-    top-{_MAT_K} by full-dim exact cosine vs top-{_MAT_K} by
-    {_MAT_PREFIX_DIM}-dim prefix cosine, certified as overlap@10,
+    top-20 by full-dim exact cosine vs top-20 by
+    16-dim prefix cosine, certified as overlap@10,
     overlap@20, and the exact rank-drift sum over the intersection —
     hash-checked end-to-end (one cosine bit on either ranking moves a
     rank and breaks the hash).
@@ -2217,7 +2215,7 @@ def ext_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each ranking is one corpus scan with the probe panel
     broadcast (TakeOrdered per probe, never a global sort); the prefix
     pass reads the same rows but arithmetically touches only
-    {_MAT_PREFIX_DIM} components — on a columnar fixed-width layout
+    16 components — on a columnar fixed-width layout
     (the PQ/int8 stores this repo maintains) that is a real 4x I/O cut,
     which is exactly the trade this eval certifies before a deployment
     flips ANN serving to prefix dims."""

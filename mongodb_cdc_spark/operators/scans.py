@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
 
 @query("scan_parquet", oracle="SELECT * FROM lineitem")
@@ -66,12 +67,9 @@ def _staged_write(path: str, write_fn) -> None:
     winner's identical content."""
     if _os.path.exists(_os.path.join(path, "_SUCCESS")):
         return
-    stage = path + ".stage"
+    stage = new_stage(path)
     write_fn(stage)
-    try:
-        _os.rename(stage, path)
-    except OSError:
-        pass  # another session won the rename; content is identical
+    publish_store(stage, path)
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, fmt: str, **wopts):

@@ -42,6 +42,7 @@ from mongodb_cdc_spark.functions.text import (
 )
 from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
 # Shingle geometry for the contamination check: window of 24 chars, one
 # shingle every 8 offsets. Any verbatim overlap of >= 24 + 8 - 1 chars
@@ -2007,15 +2008,12 @@ def postings_store_path(spark: SparkSession, sf_dir: str) -> str:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("dlt"),
         )
-        stage = path + ".stage"
+        stage = new_stage(path)
         postings.write.mode("overwrite").partitionBy("bucket").parquet(
             _os.path.join(stage, "postings")
         )
         stats.write.mode("overwrite").parquet(_os.path.join(stage, "stats"))
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 
@@ -2358,15 +2356,12 @@ def base_postings_store_path(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("dlt"),
         )
-        stage = path + ".stage"
+        stage = new_stage(path)
         postings.write.mode("overwrite").partitionBy("bucket").parquet(
             _os.path.join(stage, "postings")
         )
         stats.write.mode("overwrite").parquet(_os.path.join(stage, "stats"))
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            pass  # another session won the rename; its store is identical
+        publish_store(stage, path)
     return path
 
 

@@ -566,3 +566,82 @@ def test_quantile_partial_merge_matches_exact(spark, sf_dir):
             expect = vals[math.ceil(p * n / 100) - 1]
             assert getattr(row, f"p{p}_cents") == expect, (et, p)
         assert row.approx_rank_ok
+
+
+def test_url_gate_replay_sees_pre_batch_state(spark, sf_dir, tmp_path):
+    """Regression (round-10 ADVICE medium): a supervised replay of
+    micro-batch N must assemble its seen set from the base store plus
+    STRICTLY-EARLIER committed batches only. Before the fix, the replay
+    listed every ``batch=*`` entry — including N's OWN commit from the
+    failed attempt — so its first-seen docs flipped to is_dup_url=true
+    and the newly-seen commit was overwritten as empty, corrupting every
+    later batch sharing those canonical URLs. Here we drive the applier
+    directly: run batch 0, then replay it with its own commit already on
+    disk, and require byte-identical verdicts and a non-empty identical
+    newly-seen commit; batch 1 must still see batch 0's URLs as dups."""
+    import os
+
+    from mongodb_cdc_spark.operators.curation import (
+        _url_canon_ctes,
+        _url_wave_feed,
+        url_gate_batch_applier,
+        url_seen_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    seen_store = url_seen_store_path(spark, sf_dir, cut)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    target = str(tmp_path / "target")
+    seen_dir = str(tmp_path / "seen")
+    os.makedirs(seen_dir)
+    apply_batch = url_gate_batch_applier(seen_store, target, seen_dir)
+
+    def verdicts(i):
+        return sorted(
+            (r.doc_id, r.is_dup_url)
+            for r in spark.read.parquet(f"{target}/batch={i}").collect()
+        )
+
+    def committed(i):
+        return {
+            r.curl
+            for r in spark.read.parquet(f"{seen_dir}/batch={i}").collect()
+        }
+
+    b0 = spark.read.parquet(os.path.join(feed, "wave_0.parquet"))
+    apply_batch(b0, 0)
+    v_first, s_first = verdicts(0), committed(0)
+    assert s_first, "batch 0 must commit a non-empty newly-seen set"
+    assert any(not dup for _, dup in v_first)
+
+    # the failure-replay scenario: batch 0 runs again with its OWN
+    # batch=0 commit already present in seen_dir
+    apply_batch(b0, 0)
+    assert verdicts(0) == v_first, "replay changed batch-0 verdicts"
+    assert committed(0) == s_first, "replay changed batch-0 seen commit"
+
+    # batch 1 semantics, checked in full: dup iff canonical URL in
+    # (base store ∪ batch-0 commit) or a smaller-doc_id batch-1 doc
+    # carries it — i.e. batch 1 DOES read batch 0's commit, and ONLY
+    # strictly-earlier commits
+    b1 = spark.read.parquet(os.path.join(feed, "wave_1.parquet"))
+    apply_batch(b1, 1)
+    b1.createOrReplaceTempView("url_batch_t")
+    b1_curl = {
+        r.doc_id: r.curl
+        for r in spark.sql(
+            f"WITH {_url_canon_ctes('spark', 'url_batch_t')} "
+            "SELECT doc_id, curl FROM canon"
+        ).collect()
+    }
+    base_curls = {r.curl for r in spark.read.parquet(seen_store).collect()}
+    prior = base_curls | s_first
+    cmin: dict = {}
+    for doc_id, curl in b1_curl.items():
+        cmin[curl] = min(cmin.get(curl, doc_id), doc_id)
+    v1 = dict(verdicts(1))
+    assert set(v1) == set(b1_curl)
+    for doc_id, curl in b1_curl.items():
+        expect = curl in prior or doc_id > cmin[curl]
+        assert v1[doc_id] == expect, (doc_id, curl)
