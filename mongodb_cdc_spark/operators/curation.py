@@ -2544,7 +2544,9 @@ def url_seen_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
     from mongodb_cdc_spark.sources.changefeed import scratch_root
 
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
-    path = _os.path.join(scratch_root(), f"urlseen_{sf_name}_v1")
+    # keyed by cut so refresh rehearsals can hold the standing store
+    # (cut2) and the full store (cut) side by side
+    path = _os.path.join(scratch_root(), f"urlseen_{sf_name}_c{cut}_v2")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         register_views(spark, sf_dir)
         base_seen = spark.sql(
@@ -2705,4 +2707,122 @@ def stream_url_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(target)
         .select("doc_id", "is_dup_url")
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# maintenance_url_seen_refresh — the compaction arm of the URL-frontier
+# gate (round-10 VERDICT #1): fold committed wave-seen batches back into
+# the persisted seen store so a STANDING crawl's per-batch read set
+# stays bounded. Without it, `stream_url_dedup_ingest`'s committed-batch
+# list grows one entry per wave forever — O(B) directory opens per batch
+# and O(B^2) cumulative over B waves; with it, each completed wave folds
+# into the store and the next run's first batch reads exactly ONE path.
+# Same wave algebra as `maintenance_dedup_gate_refresh`: new entries are
+# an anti-join of wave canonical URLs against the standing store, the
+# merge is a blind union (seen sets are append-only — a URL never
+# un-sees), and the merged store must equal a from-scratch build over
+# the whole corpus slice row for row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_url_seen_refresh",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    cut2 AS MATERIALIZED (
+      SELECT ((SELECT c FROM cut) * 9) // 10 AS c2
+    ),
+    {_url_canon_ctes('duck')},
+    base2 AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c2 FROM cut2)
+    ),
+    wave_new AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id > (SELECT c2 FROM cut2)
+        AND doc_id <= (SELECT c FROM cut)
+        AND curl NOT IN (SELECT curl FROM base2)
+    ),
+    full_seen AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c FROM cut)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base2) AS n_store,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM wave_new) AS n_wave_new,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM full_seen) AS n_merged,
+      CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_url_seen_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental seen-store refresh, verified against the full build
+    (tier block above). The base slice splits again at ITS 90th
+    percentile: the cut2-level store stands in for the persisted
+    frontier store, the (cut2, cut] slice for a completed wave's
+    committed newly-seen batches (their union equals the wave's
+    distinct canonical URLs minus the store — per-batch commits already
+    exclude the store and earlier batches). The refresh anti-joins the
+    wave against the standing store and unions; the merged seen set
+    must equal the persisted FULL store built from scratch —
+    ``merge_mismatches`` is a REAL full-outer-join mismatch count on
+    the Spark side, hash-checked at 0 against DuckDB's recomputation.
+
+    Scale: steady-state refresh canonicalizes wave text only (the
+    standing store is read, never rebuilt); the union is append-shaped
+    (no wide shuffle — distinct keys are disjoint by construction of
+    the anti-join). With this arm, `stream_url_dedup_ingest`'s
+    committed-batch read path is bounded by the CURRENT run's batch
+    count; cross-run growth compacts here — per-batch cost is flat in
+    wave index (SCALING.md round-10 rehearsal)."""
+    from mongodb_cdc_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    cut2 = (cut * 9) // 10
+
+    # the standing frontier store (built once at cut2) and the full
+    # store the merge must reproduce (built once at cut)
+    store2 = spark.read.parquet(url_seen_store_path(spark, sf_dir, cut2))
+    full = spark.read.parquet(url_seen_store_path(spark, sf_dir, cut))
+
+    wave_canon = spark.sql(
+        f"""
+        WITH {_url_canon_ctes('spark')}
+        SELECT DISTINCT curl FROM canon
+        WHERE doc_id > {cut2} AND doc_id <= {cut}
+        """
+    )
+    wave_new = wave_canon.join(store2, "curl", "left_anti")
+    merged = store2.unionByName(wave_new)
+
+    mism = (
+        merged.withColumn("l_present", F.lit(1))
+        .join(full.withColumn("r_present", F.lit(1)), ["curl"], "full_outer")
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("merge_mismatches"))
+    )
+    return (
+        store2.agg(F.count(F.lit(1)).cast("bigint").alias("n_store"))
+        .crossJoin(
+            F.broadcast(
+                wave_new.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_wave_new")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_merged")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(mism))
+        .select("n_store", "n_wave_new", "n_merged", "merge_mismatches")
     )

@@ -645,3 +645,55 @@ def test_url_gate_replay_sees_pre_batch_state(spark, sf_dir, tmp_path):
     for doc_id, curl in b1_curl.items():
         expect = curl in prior or doc_id > cmin[curl]
         assert v1[doc_id] == expect, (doc_id, curl)
+
+
+def test_url_gate_seen_read_set_is_bounded(spark, sf_dir, tmp_path):
+    """The standing-frontier bound (round-10 VERDICT #1): a micro-batch's
+    seen set is exactly {persisted store} ∪ {strictly-earlier batches of
+    the CURRENT run} — nothing else on disk is read. Poison commits at
+    batch ids >= the current one (stale garbage from a dead run, or
+    future ids) must not change verdicts: we plant batch=1..4 commits
+    containing exactly batch 1's first-seen canonical URLs; if the
+    applier read ANY of them, those docs would flip to is_dup_url=true."""
+    import os
+
+    from mongodb_cdc_spark.operators.curation import (
+        _url_wave_feed,
+        url_gate_batch_applier,
+        url_seen_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    seen_store = url_seen_store_path(spark, sf_dir, cut)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+
+    # reference run: clean seen_dir
+    t_a, s_a = str(tmp_path / "ta"), str(tmp_path / "sa")
+    os.makedirs(s_a)
+    apply_a = url_gate_batch_applier(seen_store, t_a, s_a)
+    b0 = spark.read.parquet(os.path.join(feed, "wave_0.parquet"))
+    b1 = spark.read.parquet(os.path.join(feed, "wave_1.parquet"))
+    apply_a(b0, 0)
+    apply_a(b1, 1)
+    ref = sorted(
+        (r.doc_id, r.is_dup_url)
+        for r in spark.read.parquet(f"{t_a}/batch=1").collect()
+    )
+    b1_new = spark.read.parquet(f"{s_a}/batch=1")
+    assert b1_new.count() > 0
+
+    # poisoned run: batches 1..4 pre-seeded with batch 1's first-seen
+    # URLs before batch 1 executes
+    t_b, s_b = str(tmp_path / "tb"), str(tmp_path / "sb")
+    os.makedirs(s_b)
+    apply_b = url_gate_batch_applier(seen_store, t_b, s_b)
+    apply_b(b0, 0)
+    for i in (1, 2, 3, 4):
+        b1_new.write.mode("overwrite").parquet(f"{s_b}/batch={i}")
+    apply_b(b1, 1)
+    got = sorted(
+        (r.doc_id, r.is_dup_url)
+        for r in spark.read.parquet(f"{t_b}/batch=1").collect()
+    )
+    assert got == ref, "batch 1 read a commit with id >= its own"
