@@ -220,6 +220,8 @@ HEADLINE = [
     ("mm_blob_dedup_phash", None),
     ("cdc_ivm_distinct", None),
     ("stream_url_dedup_ingest", None),
+    # round-10 additions
+    ("maintenance_url_seen_refresh", None),
 ]
 
 
@@ -366,6 +368,14 @@ def main() -> None:
 
     timings["cdc_stream_pipeline"] = round(stream_secs, 3)
 
+    # Host-normalized CDC headline (round-10 VERDICT #3): the raw
+    # events/s number absorbs host decay (r8->r9's 57.7k->45.1k was the
+    # HOST, proven by bisect — SCALING.md round-9 attribution), so emit
+    # a drift-proof companion: events/s per effective core, dividing by
+    # the same-run mt_scale_32 calibration (how many core-equivalents
+    # 32 workers actually deliver on this host today).
+    eps_per_core = round(eps / host_mt32, 1) if host_mt32 else None
+
     total = round(sum(timings.values()), 3)
     rec = {
         "metric": "headline_suite_seconds",
@@ -374,6 +384,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cdc_stream_events_per_sec": round(eps, 1),
+        "cdc_stream_eps_per_effective_core": eps_per_core,
         "host_st_loop_ms": host_st_ms,
         "host_mt_scale_32": host_mt32,
     }
@@ -405,6 +416,7 @@ def main() -> None:
         "sf": SF_DIR,
         "n_queries": len(timings),
         "cdc_stream_events_per_sec": round(eps, 1),
+        "cdc_stream_eps_per_effective_core": eps_per_core,
         "host_st_loop_ms": host_st_ms,
         "host_mt_scale_32": host_mt32,
     }), flush=True)

@@ -111,6 +111,77 @@ def load_all_operators() -> None:
 # keys, then three fresh untouched canaries from distinct tiers at the
 # window's end.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
+    # --- ROUND-10 WINDOW (rotated at round start per the frozen rule):
+    #     no r9 gate misses (CORRECTNESS_r09 was 50/50); positions 1-2
+    #     the round-10 behavior-changed/new keys so far (the URL-gate
+    #     replay fix + its new compaction arm — additions insert here,
+    #     above the canaries, as they land); then the OLDEST-driver-row
+    #     keys (VERDICT r9 next #2): every key whose latest driver row
+    #     is round 1 — all 38 of them, predating the filters/scalars/
+    #     aggregates reorganizations — plus the oldest r2 rows as
+    #     filler while the addition budget is unspent; then three fresh
+    #     canaries from tiers never previously canaried (reshape /
+    #     subqueries / multimodal — r5 used agg/cdc/dedup, r6
+    #     win/stream/udf, r7 joins/agg/scalars, r8 filters/sorts/
+    #     setops), themselves r2-era rows so the canary slots also
+    #     refresh stale rows. Keys past the canaries are the ROUND-11
+    #     overflow. Duplicates further down the tuple are harmless
+    #     (driver_ordered's dict comprehension keeps first position).
+    "maintenance_url_seen_refresh",
+    "stream_url_dedup_ingest",
+    # --- round-10 additions insert here, above the r1-era block ---
+    # --- oldest driver rows: the full r1 cohort (38 keys) ---
+    "scan_parquet",
+    "project_select",
+    "filter_optype_isin",
+    "filter_time_range",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_self",
+    "join_cross",
+    "join_asof_latest",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_cdc_batch_stats",
+    "agg_argmax_struct",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_moving_agg",
+    "win_first_last",
+    "win_range_frame",
+    "topk_orders",
+    "set_union_all",
+    "set_union_distinct",
+    "set_except",
+    "fn_string",
+    "fn_string_regex",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_conditional",
+    "fn_cast_decimal",
+    "fn_bitwise",
+    "fn_hashes",
+    "fn_interval_arith",
+    # --- r2-era filler (evicted first as round-10 additions land) ---
+    "agg_approx_count_distinct",
+    "cdc_diff_missing",
+    "cdc_diff_fieldwise",
+    "cdc_window_audit",
+    "cdc_checkpoint_lag",
+    "ext_text_wordcount",
+    "udaf_grouped_weighted_avg",
+    # --- round-10 canaries (untouched; reshape/subqueries/multimodal
+    #     tiers, themselves r2-era rows) ---
+    "reshape_unpivot",
+    "sql_in_subquery",
+    "mm_decode_features",
     # --- ROUND-8 WINDOW (rotated at round start per the frozen rule
     #     below): position 1 the single r7 gate miss
     #     (ext_sim_ivfpq_recall_eval, oracle OOM — oracle hardened with
