@@ -222,6 +222,9 @@ HEADLINE = [
     ("stream_url_dedup_ingest", None),
     # round-10 additions
     ("maintenance_url_seen_refresh", None),
+    ("maintenance_phash_store", None),
+    ("maintenance_phash_refresh", None),
+    ("mm_blob_dedup_phash_from_store", None),
 ]
 
 

@@ -17,6 +17,8 @@ reason to keep bytes and metadata in separate columns of one table.
 
 from __future__ import annotations
 
+import math as _math
+import os as _os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import new_stage, publish_store
 from mongodb_cdc_spark.registry import query
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, modality string"
@@ -939,12 +942,40 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pigeonhole) — the banded engine arm provably equals the oracle's
 # brute-force all-pairs truth at ANY corpus, unlike a recall-measured
 # LSH. Verification is exact bit_count(xor).
+#
+# Signature (production shape, round 10): the classic pHash recipe —
+# raster the decoded thumbnail, 2D DCT-II, keep the lowest-frequency AC
+# coefficients, threshold to bits. Here the "thumbnail" is the blob's
+# first 256 bytes as a 16x16 grayscale raster (the stub decode; a real
+# deployment swaps in the image decoder and keeps everything after it),
+# the DCT basis is FIXED-POINT INTEGER (cos values scaled by 1e4 and
+# rounded once at module import, embedded as literals in the DuckDB
+# oracle), so every coefficient is exact int64 arithmetic — bit-identical
+# across engines, partial-agg orders, and hosts — and the 16 signature
+# bits are the SIGNS of the first 16 zigzag-order AC coefficients
+# (sign-of-DCT hashing; DC is skipped as always-positive). Magnitudes:
+# |coef| <= 1e4*1e4*255*256 ~ 6.5e15 < 2^63.
 
 _PH_WINDOW = 256
-_PH_BLOCK = 16
-_PH_BITS = _PH_WINDOW // _PH_BLOCK  # 16 signature bits
+_PH_N = 16  # 16x16 raster
+_PH_BITS = 16
 _PH_BANDS = 4
 _PH_TAU = 2
+_PH_SCALE = 10_000
+
+# first 16 AC coefficients of the 16x16 DCT in zigzag order (DC skipped)
+_PH_ZIGZAG: list[tuple[int, int]] = [
+    (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2), (2, 1),
+    (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5), (1, 4),
+]
+
+_PH_BASIS: list[list[int]] = [
+    [
+        round(_PH_SCALE * _math.cos(_math.pi * (2 * x + 1) * u / (2 * _PH_N)))
+        for x in range(_PH_N)
+    ]
+    for u in range(_PH_N)
+]
 
 PHASH_SCHEMA = "doc_id bigint, sig bigint"
 
@@ -952,9 +983,15 @@ PHASH_SCHEMA = "doc_id bigint, sig bigint"
 def phash_signatures(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Arrow-batched block-mean signature over (doc_id, content)."""
+    """Arrow-batched DCT-sign signature over (doc_id, content): zero-pad
+    the first 256 bytes to a 16x16 int64 raster A, T = C @ A @ C.T with
+    the fixed-point basis C, signature bit k = sign(T[zigzag_k]) > 0."""
     import numpy as np
 
+    C = np.array(_PH_BASIS, np.int64)
+    U = np.array([u for u, _ in _PH_ZIGZAG])
+    W = np.array([w for _, w in _PH_ZIGZAG])
+    K = np.arange(_PH_BITS)
     for pdf in batches:
         ids, sigs = [], []
         for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
@@ -965,77 +1002,74 @@ def phash_signatures(
             a = np.frombuffer(bytes(blob)[:_PH_WINDOW], np.uint8).astype(
                 np.int64
             )
-            n = len(a)
-            if n == 0:
+            if len(a) == 0:
                 continue
-            b = np.arange(n) // _PH_BLOCK
-            nblk = int(b[-1]) + 1
-            bs = np.bincount(b, weights=a, minlength=_PH_BITS)
-            bs = np.rint(bs).astype(np.int64)
-            bl = np.bincount(b, minlength=_PH_BITS).astype(np.int64)
-            ts = int(a.sum())
-            bits = (bs * n > ts * bl).astype(np.int64)
+            A = np.zeros(_PH_WINDOW, np.int64)
+            A[: len(a)] = a
+            T = C @ A.reshape(_PH_N, _PH_N) @ C.T
+            bits = (T[U, W] > 0).astype(np.int64)
             ids.append(doc_id)
-            sigs.append(int((bits << np.arange(_PH_BITS)).sum()))
+            sigs.append(int((bits << K).sum()))
         yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
 
-@query(
-    "mm_blob_dedup_phash",
-    oracle=f"""
-    WITH px AS MATERIALIZED (
-      SELECT doc_id, (p - 1) // {_PH_BLOCK} AS b,
+def _phash_sig_ctes() -> str:
+    """DuckDB CTE chain recomputing the DCT-sign signatures from raw
+    documents with the SAME fixed-point basis, embedded as literals —
+    shared by the pair oracle and the store-lifecycle oracles."""
+    used_u = sorted({u for u, _ in _PH_ZIGZAG} | {w for _, w in _PH_ZIGZAG})
+    basis_rows = ", ".join(
+        f"({u}, {i}, {_PH_BASIS[u][i]})" for u in used_u for i in range(_PH_N)
+    )
+    pair_rows = ", ".join(
+        f"({k}, {u}, {w})" for k, (u, w) in enumerate(_PH_ZIGZAG)
+    )
+    return f"""ph_basis AS MATERIALIZED (
+      SELECT * FROM (VALUES {basis_rows}) t(u, i, c)
+    ),
+    ph_pairs AS MATERIALIZED (
+      SELECT * FROM (VALUES {pair_rows}) t(k, u, w)
+    ),
+    ph_px AS MATERIALIZED (
+      SELECT doc_id, (p - 1) % {_PH_N} AS x, (p - 1) // {_PH_N} AS y,
              ascii(substring(text, p, 1)) AS v
       FROM documents,
            unnest(generate_series(1, least(length(text), {_PH_WINDOW})))
              AS t(p)
       WHERE length(text) > 0
     ),
-    tot AS MATERIALIZED (
-      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ts,
-             CAST(COUNT(*) AS BIGINT) AS l
-      FROM px GROUP BY doc_id
+    ph_coef AS MATERIALIZED (
+      SELECT px.doc_id, pr.k,
+             SUM(CAST(bu.c AS BIGINT) * bw.c * px.v) AS t
+      FROM ph_px px
+      CROSS JOIN ph_pairs pr
+      JOIN ph_basis bu ON bu.u = pr.u AND bu.i = px.y
+      JOIN ph_basis bw ON bw.u = pr.w AND bw.i = px.x
+      GROUP BY px.doc_id, pr.k
     ),
-    blk AS MATERIALIZED (
-      SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS bs,
-             CAST(COUNT(*) AS BIGINT) AS bl
-      FROM px GROUP BY doc_id, b
-    ),
-    sig AS MATERIALIZED (
-      SELECT blk.doc_id,
-             CAST(SUM(CASE WHEN bs * l > ts * bl THEN 1 ELSE 0 END
-                      * (1 << b)) AS BIGINT) AS sig
-      FROM blk JOIN tot USING (doc_id)
-      GROUP BY blk.doc_id
-    )
+    ph_sig AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN t > 0 THEN 1 ELSE 0 END
+                      * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS sig
+      FROM ph_coef GROUP BY doc_id
+    )"""
+
+
+_PH_PAIR_ORACLE = f"""
+    WITH {_phash_sig_ctes()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming_bits
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    FROM ph_sig a JOIN ph_sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {_PH_TAU}
     ORDER BY doc_a ASC, doc_b ASC
-    """,
-)
-def mm_blob_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup media pairs by perceptual-hash signature (tier block
-    above): signatures via one mapInPandas ingest pass, candidates via
-    the 4x4-bit banded equi-join, verification by exact
-    bit_count(sig_a XOR sig_b) <= 2 — hash-checked against
-    DuckDB's brute-force all-pairs truth, which the banded arm equals
-    BY CONSTRUCTION (pigeonhole over the band split).
+    """
 
-    Scale: signatures are 8 bytes/blob computed at ingest (persistable
-    exactly like the MinHash signature store); the candidate join is
-    keyed on (band, nibble) — work follows bucket occupancy, never
-    all-pairs; verification is one integer op per candidate. The
-    brute-force arm exists only in the oracle. A real deployment swaps
-    the block-mean stub for DCT-mean bits over decoded thumbnails and
-    keeps signature width, banding, and the verify predicate."""
-    sigs = (
-        binary_table(spark, sf_dir)
-        .select("doc_id", "content")
-        .mapInPandas(phash_signatures, PHASH_SCHEMA)
-        .localCheckpoint(eager=True)  # one ingest pass feeds 4 band views
-    )
+
+def phash_banded_pairs(sigs: DataFrame) -> DataFrame:
+    """Near-dup pairs from a (doc_id, sig) frame: 4x4-bit banded
+    candidate equi-join (pigeonhole-complete at tau = {_PH_TAU}), exact
+    bit_count(xor) verification. Shared by the from-blobs and from-store
+    arms so both provably run the identical pair algebra."""
     bands = None
     for k in range(_PH_BANDS):
         b = sigs.select(
@@ -1074,3 +1108,171 @@ def mm_blob_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming_bits")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("mm_blob_dedup_phash", oracle=_PH_PAIR_ORACLE)
+def mm_blob_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs by perceptual-hash signature (tier block
+    above): DCT-sign signatures via one mapInPandas ingest pass,
+    candidates via the 4x4-bit banded equi-join, verification by exact
+    bit_count(sig_a XOR sig_b) <= 2 — hash-checked against DuckDB's
+    brute-force all-pairs truth over the SAME integerized DCT (basis
+    literals shared), which the banded arm equals BY CONSTRUCTION
+    (pigeonhole over the band split).
+
+    Scale: signatures are 8 bytes/blob computed at ingest and PERSISTED
+    (`phash_store_path`, serving twin `mm_blob_dedup_phash_from_store`);
+    the candidate join is keyed on (band, nibble) — work follows bucket
+    occupancy, never all-pairs; verification is one integer op per
+    candidate. The brute-force arm exists only in the oracle. A real
+    deployment swaps the byte-raster stub for the decoded thumbnail and
+    keeps the DCT, zigzag-sign bits, banding, and verify predicate."""
+    sigs = (
+        binary_table(spark, sf_dir)
+        .select("doc_id", "content")
+        .mapInPandas(phash_signatures, PHASH_SCHEMA)
+        .localCheckpoint(eager=True)  # one ingest pass feeds 4 band views
+    )
+    return phash_banded_pairs(sigs)
+
+
+def phash_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) the persisted pHash signature
+    store beside the MinHash store: one (doc_id, sig BIGINT) row per
+    non-empty blob — 16 bytes/blob, the artifact a standing media-dedup
+    deployment keeps hot so serving never re-reads blob bytes."""
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"phash_store_{sf_name}_dct_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        sigs = (
+            binary_table(spark, sf_dir)
+            .select("doc_id", "content")
+            .mapInPandas(phash_signatures, PHASH_SCHEMA)
+        )
+        stage = new_stage(path)
+        sigs.write.mode("overwrite").parquet(stage)
+        publish_store(stage, path)
+    return path
+
+
+@query(
+    "maintenance_phash_store",
+    oracle=f"""
+    WITH {_phash_sig_ctes()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sigs,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_sigs,
+           CAST(SUM(sig) AS BIGINT) AS sig_checksum,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_checksum
+    FROM ph_sig
+    """,
+)
+def maintenance_phash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the pHash signature store (`phash_store_path`) and read
+    back a full-store audit row hash-checked against DuckDB's
+    from-scratch DCT recomputation over raw documents: row count,
+    distinct-signature count, the exact SUM of 16-bit signatures (one
+    flipped sign bit anywhere breaks it) and SUM(doc_id) (a dropped or
+    duplicated blob breaks it).
+
+    Scale: blobs are read once at build; the audit aggregates two
+    BIGINT store columns. Completes the persisted-store discipline for
+    the media tier — every expensive index in the engine (signatures,
+    postings, IVF, PQ, edges, dedup gate, URL seen, now pHash) has a
+    store + audit + refresh + from-store serving quartet."""
+    store = spark.read.parquet(phash_store_path(spark, sf_dir))
+    return store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sigs"),
+        F.countDistinct("sig").cast("bigint").alias("n_distinct_sigs"),
+        F.sum("sig").cast("bigint").alias("sig_checksum"),
+        F.sum("doc_id").cast("bigint").alias("docid_checksum"),
+    )
+
+
+@query(
+    "maintenance_phash_refresh",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_phash_sig_ctes()}
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ph_sig
+       WHERE doc_id <= (SELECT c FROM cut)) AS n_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ph_sig
+       WHERE doc_id > (SELECT c FROM cut)) AS n_wave,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ph_sig) AS n_merged,
+      CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_phash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh for the pHash store, verified against the
+    persisted full build: signatures are PER-DOC (no cross-doc state),
+    so the wave algebra is the simplest in the maintenance tier — encode
+    ONLY the arriving wave's blobs (top-decile doc_ids, the shared wave
+    stand-in), append to the standing base signatures, and prove
+    merged == persisted store row for row (``merge_mismatches`` counts
+    full-outer-join rows differing in (doc_id, sig) — hash-checked
+    at 0 against DuckDB's from-scratch recomputation).
+
+    Scale: steady-state refresh decodes wave blobs only — the store is
+    append-only like every per-doc artifact; no rebucketing, no
+    re-reads of previously ingested media."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    blobs = binary_table(spark, sf_dir).select("doc_id", "content")
+    base = blobs.filter(F.col("doc_id") <= cut).mapInPandas(
+        phash_signatures, PHASH_SCHEMA
+    )
+    wave = blobs.filter(F.col("doc_id") > cut).mapInPandas(
+        phash_signatures, PHASH_SCHEMA
+    )
+    merged = base.unionByName(wave)
+    full = spark.read.parquet(phash_store_path(spark, sf_dir))
+    mism = (
+        merged.withColumn("l_present", F.lit(1))
+        .join(
+            full.withColumn("r_present", F.lit(1)),
+            ["doc_id", "sig"],
+            "full_outer",
+        )
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("merge_mismatches"))
+    )
+    return (
+        base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+        .crossJoin(
+            F.broadcast(
+                wave.agg(F.count(F.lit(1)).cast("bigint").alias("n_wave"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_merged")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(mism))
+        .select("n_base", "n_wave", "n_merged", "merge_mismatches")
+    )
+
+
+@query("mm_blob_dedup_phash_from_store", oracle=_PH_PAIR_ORACLE)
+def mm_blob_dedup_phash_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pHash serving path: identical pair output to
+    `mm_blob_dedup_phash` (same oracle, same `phash_banded_pairs`
+    algebra) but computed ENTIRELY from the persisted signature store —
+    plan-pinned in tests/test_plans.py to zero documents-table scans and
+    zero Python evaluation: a standing media-dedup query reads 16
+    bytes/blob of store, never blob bytes.
+
+    Scale: this is the shape that matters at 100 TB of media — the
+    from-blobs arm is the ingest pass, this arm is every query after
+    it; the banded join's input is the narrow store, so candidate work
+    follows signature-bucket occupancy with no decode cost at all."""
+    store = spark.read.parquet(phash_store_path(spark, sf_dir))
+    return phash_banded_pairs(store)

@@ -130,6 +130,11 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_url_seen_refresh",
     "stream_url_dedup_ingest",
     # --- round-10 additions insert here, above the r1-era block ---
+    # DCT pHash rewrite (behavior-changed) + its store lifecycle
+    "mm_blob_dedup_phash",
+    "maintenance_phash_store",
+    "maintenance_phash_refresh",
+    "mm_blob_dedup_phash_from_store",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -169,14 +174,11 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_hashes",
     "fn_interval_arith",
-    # --- r2-era filler (evicted first as round-10 additions land) ---
+    # --- r2-era filler (evicted first as round-10 additions land;
+    #     4 evicted for the pHash quartet) ---
     "agg_approx_count_distinct",
     "cdc_diff_missing",
     "cdc_diff_fieldwise",
-    "cdc_window_audit",
-    "cdc_checkpoint_lag",
-    "ext_text_wordcount",
-    "udaf_grouped_weighted_avg",
     # --- round-10 canaries (untouched; reshape/subqueries/multimodal
     #     tiers, themselves r2-era rows) ---
     "reshape_unpivot",

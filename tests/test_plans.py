@@ -806,3 +806,31 @@ def test_matryoshka_bounded_scans(spark, sf_dir):
     assert _scan_count(plan, "embeddings") <= 4, plan
     assert _scan_count(plan, "documents") == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_phash_from_store_zero_blob_reads(spark, sf_dir):
+    """The pHash serving path must read ONLY the persisted signature
+    store: zero documents-table scans (no blob/text bytes) and zero
+    Python evaluation (the DCT ran once at ingest) — the 100 TB media
+    contract where every post-ingest dedup query touches 16 bytes/blob.
+    The from-store pair set must equal the from-blobs set exactly
+    (same banded algebra over the same persisted signatures)."""
+    from mongodb_cdc_spark.operators.multimodal import phash_store_path
+
+    phash_store_path(spark, sf_dir)  # ensure built (outside the pin)
+    q = QUERIES["mm_blob_dedup_phash_from_store"](spark, sf_dir)
+    plan = formatted_plan(q)
+    assert _scan_count(plan, "documents") == 0, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    loc = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip().startswith("Location")
+    ]
+    assert loc and all("phash_store_" in ln for ln in loc), loc
+    from_store = [tuple(r) for r in q.collect()]
+    from_blobs = [
+        tuple(r)
+        for r in QUERIES["mm_blob_dedup_phash"](spark, sf_dir).collect()
+    ]
+    assert from_store == from_blobs
