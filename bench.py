@@ -225,6 +225,7 @@ HEADLINE = [
     ("maintenance_phash_store", None),
     ("maintenance_phash_refresh", None),
     ("mm_blob_dedup_phash_from_store", None),
+    ("stream_corpus_pipeline", None),
 ]
 
 

@@ -2173,6 +2173,89 @@ def maintenance_dedup_gate_refresh(
     )
 
 
+def text_gate_verdicts(
+    bdf: DataFrame,
+    base_md5: DataFrame,
+    store_bands: DataFrame,
+    bsh: DataFrame,
+    bsz: DataFrame,
+) -> DataFrame:
+    """One micro-batch's text-dedup gate verdicts (doc_id, is_exact_dup,
+    is_near_dup) against the persisted base artifacts — module-level so
+    the standalone minhash gate and the unified corpus pipeline run the
+    IDENTICAL per-batch algebra: exact = md5 semi-join vs the store's
+    hash set; near = banded-LSH candidates vs the base signature store,
+    confirmed by exact integer bigram-Jaccard. Cost is batch-shingles +
+    one (band, h) equi-join with the batch side broadcastable; the
+    candidate verify touches candidate pairs only, never all-pairs."""
+    from mongodb_cdc_spark.operators.extensions import (
+        minhash_signatures_from_shingles,
+        signature_bands,
+    )
+
+    tok = bdf.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+    )
+    mins = minhash_signatures_from_shingles(tok)
+    wb = signature_bands(mins).select(
+        F.col("doc_id").alias("wid"), "band", "h"
+    )
+    sb = store_bands.select(F.col("doc_id").alias("bid"), "band", "h")
+    cand = wb.join(sb, ["band", "h"]).select("wid", "bid").distinct()
+    wsh = tok.select(
+        F.col("doc_id").alias("wid"),
+        F.substring(F.md5("tok"), 1, 16).alias("h"),
+    )
+    wsz = wsh.groupBy("wid").agg(F.count(F.lit(1)).alias("nw"))
+    # shared-shingle count per candidate pair: pair ⋈ wave-shingles
+    # on wid, then the base index on bid, equal hashes kept — cost is
+    # |candidates| x avg shingle overlap, never all-pairs
+    pc = (
+        cand.join(wsh, "wid")
+        .join(
+            bsh.withColumnRenamed("doc_id", "bid").withColumnRenamed(
+                "h", "hb"
+            ),
+            ["bid"],
+        )
+        .filter(F.col("h") == F.col("hb"))
+        .groupBy("wid", "bid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    near = (
+        pc.join(wsz, "wid")
+        .join(
+            bsz.withColumnRenamed("doc_id", "bid").withColumnRenamed(
+                "n", "nb"
+            ),
+            "bid",
+        )
+        .filter(
+            100 * F.col("c")
+            >= _VERIFY_TAU_E2 * (F.col("nw") + F.col("nb") - F.col("c"))
+        )
+        .select("wid")
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    exact = (
+        bdf.select("doc_id", F.md5("text").alias("mh"))
+        .join(base_md5, F.col("mh") == F.col("h"), "left_semi")
+        .select("doc_id")
+        .withColumn("exact", F.lit(True))
+    )
+    return (
+        bdf.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near.withColumnRenamed("wid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("near", F.lit(False)).alias("is_near_dup"),
+        )
+    )
+
+
 @query(
     "stream_dedup_minhash",
     oracle=f"""
@@ -2273,69 +2356,9 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = new_scratch_dir("dedup_gate_ckpt")
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        tok = bdf.select("doc_id", tokens("text").alias("toks")).select(
-            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
-        )
-        mins = minhash_signatures_from_shingles(tok)
-        wb = signature_bands(mins).select(
-            F.col("doc_id").alias("wid"), "band", "h"
-        )
-        sb = store_bands.select(F.col("doc_id").alias("bid"), "band", "h")
-        cand = wb.join(sb, ["band", "h"]).select("wid", "bid").distinct()
-        wsh = tok.select(
-            F.col("doc_id").alias("wid"),
-            F.substring(F.md5("tok"), 1, 16).alias("h"),
-        )
-        wsz = wsh.groupBy("wid").agg(F.count(F.lit(1)).alias("nw"))
-        # shared-shingle count per candidate pair: pair ⋈ wave-shingles
-        # on wid, then the base index on bid, equal hashes kept — cost is
-        # |candidates| x avg shingle overlap, never all-pairs
-        pc = (
-            cand.join(wsh, "wid")
-            .join(
-                bsh.withColumnRenamed("doc_id", "bid").withColumnRenamed(
-                    "h", "hb"
-                ),
-                ["bid"],
-            )
-            .filter(F.col("h") == F.col("hb"))
-            .groupBy("wid", "bid")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        near = (
-            pc.join(wsz, "wid")
-            .join(
-                bsz.withColumnRenamed("doc_id", "bid").withColumnRenamed(
-                    "n", "nb"
-                ),
-                "bid",
-            )
-            .filter(
-                100 * F.col("c")
-                >= _VERIFY_TAU_E2 * (F.col("nw") + F.col("nb") - F.col("c"))
-            )
-            .select("wid")
-            .distinct()
-            .withColumn("near", F.lit(True))
-        )
-        exact = (
-            bdf.select("doc_id", F.md5("text").alias("mh"))
-            .join(base_md5, F.col("mh") == F.col("h"), "left_semi")
-            .select("doc_id")
-            .withColumn("exact", F.lit(True))
-        )
-        (
-            bdf.select("doc_id")
-            .join(exact, "doc_id", "left")
-            .join(near.withColumnRenamed("wid", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("exact", F.lit(False)).alias("is_exact_dup"),
-                F.coalesce("near", F.lit(False)).alias("is_near_dup"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{target}/batch={batch_id}")
-        )
+        text_gate_verdicts(
+            bdf, base_md5, store_bands, bsh, bsz
+        ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
 
     def start_query():
         stream = (
@@ -2825,4 +2848,280 @@ def maintenance_url_seen_refresh(
         )
         .crossJoin(F.broadcast(mism))
         .select("n_store", "n_wave_new", "n_merged", "merge_mismatches")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_corpus_pipeline — the unified streaming corpus-prep ingest
+# pipeline (round-10 VERDICT #4): ONE foreachBatch pass per wave
+# micro-batch composing all three frontier gates the engine maintains —
+#   1. canonical-URL dedup (stateful across batches: persisted seen
+#      store ∪ strictly-earlier commits ∪ in-batch min-wins),
+#   2. text exact/near dedup (md5 set + banded MinHash vs the persisted
+#      gate/signature stores, exact-Jaccard verified),
+#   3. pHash media dedup (batch DCT signatures vs the persisted base
+#      signature slice, banded + exact-Hamming verified)
+# — the reference's R1→R7 dataflow shape (js:248 watch → js:190 bulk
+# apply) applied to the north-star curation tier: one stream in, one
+# idempotent verdict row per doc out. Hash-checked against DuckDB's
+# order-independent from-scratch recomputation of ALL THREE gates.
+# Exactly-once by idempotence: per-batch overwrite commits; the URL
+# gate's seen set reads strictly-earlier batches only, so a supervised
+# replay rewrites identical content (replay-twice pytest).
+# --------------------------------------------------------------------------
+
+
+def corpus_gate_batch_applier(
+    url_seen_store: str,
+    url_target: str,
+    url_seen_dir: str,
+    base_md5: DataFrame,
+    store_bands: DataFrame,
+    bsh: DataFrame,
+    bsz: DataFrame,
+    base_sig_bands: DataFrame,
+    target: str,
+):
+    """The unified pipeline's per-micro-batch function, module-level for
+    direct replay testing. Each gate's algebra is THE shared helper the
+    standalone key uses (`url_gate_batch_applier`, `text_gate_verdicts`,
+    the pHash band split), so pipeline and standalone verdicts can never
+    drift."""
+    from mongodb_cdc_spark.operators.multimodal import (
+        _PH_BANDS,
+        _PH_TAU,
+        PHASH_SCHEMA,
+        phash_signatures,
+    )
+
+    url_apply = url_gate_batch_applier(url_seen_store, url_target, url_seen_dir)
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        url_apply(bdf, batch_id)
+        url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
+        txt_v = text_gate_verdicts(bdf, base_md5, store_bands, bsh, bsz)
+        wsig = bdf.select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        ).mapInPandas(phash_signatures, PHASH_SCHEMA)
+        wb = None
+        for k in range(_PH_BANDS):
+            b = wsig.select(
+                F.col("doc_id").alias("wid"),
+                F.col("sig").alias("sig_w"),
+                F.lit(k).alias("band"),
+                F.shiftright("sig", k * 4)
+                .bitwiseAND(F.lit(15))
+                .alias("nib"),
+            )
+            wb = b if wb is None else wb.unionByName(b)
+        media = (
+            wb.join(base_sig_bands, ["band", "nib"])
+            .filter(
+                F.bit_count(F.col("sig_w").bitwiseXOR(F.col("sig_b")))
+                <= _PH_TAU
+            )
+            .select("wid")
+            .distinct()
+            .withColumnRenamed("wid", "doc_id")
+            .withColumn("mdup", F.lit(True))
+        )
+        (
+            bdf.select("doc_id")
+            .join(url_v, "doc_id")
+            .join(txt_v, "doc_id")
+            .join(media, "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_dup_url",
+                "is_exact_dup",
+                "is_near_dup",
+                F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    return apply_batch
+
+
+from mongodb_cdc_spark.operators.multimodal import (  # noqa: E402
+    _PH_TAU as _MEDIA_TAU,
+    _phash_sig_ctes,
+)
+
+
+@query(
+    "stream_corpus_pipeline",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_url_canon_ctes('duck')},
+    base_seen AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    uwave AS MATERIALIZED (
+      SELECT doc_id, curl FROM canon
+      WHERE doc_id > (SELECT c FROM cut)
+    ),
+    wmin AS MATERIALIZED (
+      SELECT curl, MIN(doc_id) AS m FROM uwave GROUP BY curl
+    ),
+    wave AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id > (SELECT c FROM cut)
+    ),
+    base_md5 AS MATERIALIZED (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    breps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS txt
+      FROM documents WHERE doc_id <= (SELECT c FROM cut)
+      GROUP BY md5(text)
+    ),
+    bsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('txt'), src='breps')}
+    ),
+    wsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('text'), src='wave')}
+    ),
+    bsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id
+    ),
+    wsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM wsh GROUP BY doc_id
+    ),
+    pc AS MATERIALIZED (
+      SELECT w.doc_id AS wid, b.doc_id AS bid, COUNT(*) AS c
+      FROM wsh w JOIN bsh b ON w.h = b.h GROUP BY 1, 2
+    ),
+    near AS MATERIALIZED (
+      SELECT DISTINCT pc.wid FROM pc
+      JOIN wsz ON wsz.doc_id = pc.wid
+      JOIN bsz ON bsz.doc_id = pc.bid
+      WHERE 100 * pc.c >= {_VERIFY_TAU_E2} * (wsz.n + bsz.n - pc.c)
+    ),
+    {_phash_sig_ctes()},
+    bsig AS MATERIALIZED (
+      SELECT doc_id, sig FROM ph_sig WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    wsig AS MATERIALIZED (
+      SELECT doc_id, sig FROM ph_sig WHERE doc_id > (SELECT c FROM cut)
+    ),
+    mediadup AS MATERIALIZED (
+      SELECT DISTINCT w.doc_id FROM wsig w
+      JOIN bsig b ON bit_count(xor(w.sig, b.sig)) <= {_MEDIA_TAU}
+    )
+    SELECT w.doc_id,
+           (u.curl IN (SELECT curl FROM base_seen)
+            OR u.doc_id > wm.m) AS is_dup_url,
+           (md5(w.text) IN (SELECT h FROM base_md5)) AS is_exact_dup,
+           (w.doc_id IN (SELECT wid FROM near)) AS is_near_dup,
+           (w.doc_id IN (SELECT doc_id FROM mediadup)) AS is_media_dup
+    FROM wave w
+    JOIN uwave u ON u.doc_id = w.doc_id
+    JOIN wmin wm ON u.curl = wm.curl
+    ORDER BY w.doc_id ASC
+    """,
+)
+def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified streaming corpus-prep pipeline (tier block above): drain
+    the doc_id-ordered wave feed once through foreachBatch; each
+    micro-batch runs all three gates — canonical-URL (stateful,
+    first-seen-wins), text exact/near dedup (persisted md5 + signature
+    + shingle stores), pHash media dedup (persisted DCT signature
+    store) — and commits one verdict row per doc. Hash-checked against
+    DuckDB's order-independent batch recomputation of all three gates.
+
+    Scale: per-batch cost is the SUM of the three gates' per-batch
+    costs, but the stream is read once and every base-side input is a
+    persisted store artifact — a standing frontier reads zero base
+    text/blob bytes per wave, and the only cross-batch state (seen
+    URLs) is bounded by the compaction arm
+    (`maintenance_url_seen_refresh`). This is the reference's
+    watch→batch→bulk-apply dataflow (js:248→js:190) with the curation
+    tier as the apply."""
+    from mongodb_cdc_spark.operators.extensions import signature_bands
+    from mongodb_cdc_spark.operators.multimodal import (
+        _PH_BANDS,
+        phash_store_path,
+    )
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+
+    # persisted base-side inputs, all store reads (zero base text/blob)
+    url_seen_store = url_seen_store_path(spark, sf_dir, cut)
+    store_bands = signature_bands(
+        spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+    ).localCheckpoint(eager=True)
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    base_md5_l, bsh_l, bsz_l = _gate_setup_frames(spark, gate)
+    base_md5 = base_md5_l.localCheckpoint(eager=True)
+    bsh = bsh_l.localCheckpoint(eager=True)
+    bsz = bsz_l.localCheckpoint(eager=True)
+    psig = spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
+        F.col("doc_id") <= cut
+    )
+    bb = None
+    for k in range(_PH_BANDS):
+        b = psig.select(
+            F.col("doc_id").alias("bid"),
+            F.col("sig").alias("sig_b"),
+            F.lit(k).alias("band"),
+            F.shiftright("sig", k * 4).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        bb = b if bb is None else bb.unionByName(b)
+    base_sig_bands = bb.localCheckpoint(eager=True)
+
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("corpus_pipe_target")
+    url_target = new_scratch_dir("corpus_pipe_urlv")
+    url_seen_dir = new_scratch_dir("corpus_pipe_seen")
+    ckpt = new_scratch_dir("corpus_pipe_ckpt")
+    apply_batch = corpus_gate_batch_applier(
+        url_seen_store,
+        url_target,
+        url_seen_dir,
+        base_md5,
+        store_bands,
+        bsh,
+        bsz,
+        base_sig_bands,
+        target,
+    )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "wave_*.parquet")
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select(
+            "doc_id",
+            "is_dup_url",
+            "is_exact_dup",
+            "is_near_dup",
+            "is_media_dup",
+        )
+        .orderBy("doc_id")
     )

@@ -135,6 +135,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_phash_store",
     "maintenance_phash_refresh",
     "mm_blob_dedup_phash_from_store",
+    # unified three-gate streaming corpus-prep pipeline
+    "stream_corpus_pipeline",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -175,10 +177,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_hashes",
     "fn_interval_arith",
     # --- r2-era filler (evicted first as round-10 additions land;
-    #     4 evicted for the pHash quartet) ---
+    #     5 evicted for the pHash quartet + corpus pipeline) ---
     "agg_approx_count_distinct",
     "cdc_diff_missing",
-    "cdc_diff_fieldwise",
     # --- round-10 canaries (untouched; reshape/subqueries/multimodal
     #     tiers, themselves r2-era rows) ---
     "reshape_unpivot",
