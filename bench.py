@@ -226,6 +226,7 @@ HEADLINE = [
     ("maintenance_phash_refresh", None),
     ("mm_blob_dedup_phash_from_store", None),
     ("stream_corpus_pipeline", None),
+    ("stream_semantic_dedup_ingest", None),
 ]
 
 

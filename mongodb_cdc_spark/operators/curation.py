@@ -3125,3 +3125,310 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_semantic_dedup_ingest — the SEMANTIC frontier gate (round-10
+# VERDICT next #8, first candidate): wave embeddings are gated against
+# the BASE corpus using the SemDeDup machinery above, served from a
+# persisted base rank store. Candidates come from the multi-projection
+# sorted-neighborhood scheme applied at INSERTION RANK: for each of the
+# four centroid projections, a wave vector's insertion position in the
+# base cluster's (s_k, vec_id) ordering is computed, and the W base
+# members on each side are the candidates (the streaming twin of the
+# batch W-window: a base partner within W ranks of where the wave
+# vector WOULD sort). Verification is the exact unrolled cosine at
+# tau = _SEM_TAU. Verdicts are order-independent (each wave vector is
+# judged against base only), so batching cannot change results — the
+# oracle recomputes everything from scratch.
+# --------------------------------------------------------------------------
+
+
+def sem_base_rank_store_path(
+    spark: SparkSession, sf_dir: str, cut: int
+) -> str:
+    """Build (once, stage-then-rename) the base-slice semantic rank
+    store: (vec_id, cluster, s0..s3, rn0..rn3) for base vectors — the
+    NARROW artifact (no embeddings) the streaming gate's candidate
+    search reads; embeddings are joined only at candidate cardinality."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"sembase_{sf_name}_c{cut}_k{_SEM_K}_v1"
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = e.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+        project = centroid_cosines_udf([r["embedding"] for r in cents])
+        base = (
+            e.filter(F.col("vec_id") <= cut)
+            .select("vec_id", project("embedding").alias("_s"))
+            .select(
+                "vec_id",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+            )
+            .withColumn("cluster", F.expr(_sem_assign_case()))
+        )
+        for k in range(_SEM_K):
+            base = base.withColumn(
+                f"rn{k}",
+                F.row_number().over(
+                    Window.partitionBy("cluster").orderBy(f"s{k}", "vec_id")
+                ),
+            )
+        stage = new_stage(path)
+        base.write.mode("overwrite").parquet(stage)
+        publish_store(stage, path)
+    return path
+
+
+def semantic_gate_batch_applier(
+    base_rank: DataFrame,
+    base_emb: DataFrame,
+    cents: list,
+    cut: int,
+    target: str,
+):
+    """The semantic gate's per-micro-batch function, module-level for
+    direct testing: project the wave batch onto the seed centroids
+    (bit-exact Arrow kernel), locate each wave vector's insertion rank
+    per projection in the base cluster ordering, take the W base
+    neighbors on each side as candidates, verify by exact unrolled
+    cosine. Per-batch cost: 4 narrow base-store scans (rank counting —
+    at 100 TB a range-partitioned store turns this into per-partition
+    binary search) + candidate-cardinality embedding joins; zero base
+    re-ranking, nothing reshuffles previously ingested vectors."""
+    from mongodb_cdc_spark.functions.vectors import (
+        centroid_cosines_udf,
+        cosine_unrolled_sql,
+    )
+
+    project = centroid_cosines_udf(cents)
+    W = _SEM_WINDOW
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        w = (
+            bdf.filter(F.col("vec_id") > cut)
+            .select("vec_id", "embedding", project("embedding").alias("_s"))
+            .select(
+                F.col("vec_id").alias("wid"),
+                F.col("embedding").alias("wemb"),
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+            )
+            .withColumn("wcluster", F.expr(_sem_assign_case()))
+            .localCheckpoint(eager=True)
+        )
+        cands = None
+        for k in range(_SEM_K):
+            bk = base_rank.select(
+                F.col("vec_id").alias("bid"),
+                "cluster",
+                F.col(f"s{k}").alias("bs"),
+                F.col(f"rn{k}").alias("brn"),
+            )
+            wk = w.select(
+                "wid",
+                F.col("wcluster").alias("cluster"),
+                F.col(f"s{k}").alias("ws"),
+            )
+            ins = (
+                wk.join(bk, "cluster")
+                .filter(
+                    (F.col("bs") < F.col("ws"))
+                    | (
+                        (F.col("bs") == F.col("ws"))
+                        & (F.col("bid") < F.col("wid"))
+                    )
+                )
+                .groupBy("wid")
+                .agg(F.count(F.lit(1)).alias("ins"))
+            )
+            ck = (
+                wk.join(ins, "wid", "left")
+                .fillna(0, ["ins"])
+                .join(bk, "cluster")
+                .filter(
+                    F.col("brn").between(
+                        F.col("ins") - W + 1, F.col("ins") + W
+                    )
+                )
+                .select("wid", "bid")
+            )
+            cands = ck if cands is None else cands.unionByName(ck)
+        dup = (
+            cands.distinct()
+            .join(w.select("wid", "wemb"), "wid")
+            .join(base_emb, "bid")
+            .filter(
+                F.expr(cosine_unrolled_sql("wemb", "bemb")) >= _SEM_TAU
+            )
+            .select("wid")
+            .distinct()
+            .withColumn("sdup", F.lit(True))
+        )
+        (
+            w.select("wid")
+            .join(dup, "wid", "left")
+            .select(
+                F.col("wid").alias("vec_id"),
+                F.coalesce("sdup", F.lit(False)).alias("is_semantic_dup"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    return apply_batch
+
+
+def _sem_gate_oracle() -> str:
+    cos = [
+        cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")
+        for k in range(_SEM_K)
+    ]
+    W = _SEM_WINDOW
+    ins_ctes = ",\n    ".join(
+        f"""ins{k} AS MATERIALIZED (
+      SELECT w.vec_id AS wid, COUNT(b.vec_id) AS ins
+      FROM wr w LEFT JOIN branked b
+        ON b.cluster = w.cluster
+       AND (b.s{k} < w.s{k}
+            OR (b.s{k} = w.s{k} AND b.vec_id < w.vec_id))
+      GROUP BY w.vec_id
+    )"""
+        for k in range(_SEM_K)
+    )
+    cand_arms = "\n      UNION ALL\n".join(
+        f"""      SELECT w.vec_id AS wid, b.vec_id AS bid
+      FROM wr w
+      JOIN ins{k} ON ins{k}.wid = w.vec_id
+      JOIN branked b
+        ON b.cluster = w.cluster
+       AND b.rn{k} BETWEEN ins{k}.ins - {W} + 1 AND ins{k}.ins + {W}"""
+        for k in range(_SEM_K)
+    )
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY cluster "
+        f"ORDER BY s{k}, vec_id) AS rn{k}"
+        for k in range(_SEM_K)
+    )
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(vec_id) * 9) // 10 AS c FROM embeddings
+    ),
+    c AS MATERIALIZED (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
+    ),
+    bsims AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
+      FROM embeddings e, c WHERE e.vec_id <= (SELECT c FROM cut)
+    ),
+    bcl AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM bsims
+    ),
+    branked AS MATERIALIZED (
+      SELECT vec_id, embedding, cluster, s0, s1, s2, s3,
+             {rns}
+      FROM bcl
+    ),
+    wsims AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
+      FROM embeddings e, c WHERE e.vec_id > (SELECT c FROM cut)
+    ),
+    wr AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM wsims
+    ),
+    {ins_ctes},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT wid, bid FROM (
+{cand_arms}
+      )
+    ),
+    dup AS MATERIALIZED (
+      SELECT DISTINCT cand.wid
+      FROM cand
+      JOIN wr x ON x.vec_id = cand.wid
+      JOIN branked y ON y.vec_id = cand.bid
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )
+    SELECT w.vec_id,
+           (w.vec_id IN (SELECT wid FROM dup)) AS is_semantic_dup
+    FROM wr w ORDER BY w.vec_id ASC
+    """
+
+
+@query("stream_semantic_dedup_ingest", oracle=_sem_gate_oracle())
+def stream_semantic_dedup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming semantic-dedup ingest gate (tier block above): drain
+    the vector feed through foreachBatch; each micro-batch's wave
+    vectors (vec_id > the 90th-percentile cut) are projected onto the
+    seed centroids, candidate base partners come from the W-rank
+    insertion window per projection against the PERSISTED base rank
+    store, and verdicts are exact-cosine-verified — hash-checked
+    against DuckDB's from-scratch recomputation of the identical
+    insertion-window semantics.
+
+    Scale: the base corpus is ranked ONCE at store build (the narrow
+    store is 9 numbers/vector, no embeddings); per batch the gate scans
+    the rank store's narrow columns (binary-searchable at 100 TB) and
+    joins embeddings only at candidate cardinality (<= 2WK per wave
+    vector). Exactly-once by idempotence: per-batch overwrite commits;
+    verdicts are base-only, so replay and batch order cannot change
+    them."""
+    from mongodb_cdc_spark.operators.extensions import write_vector_feed
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    base_rank = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut)
+    ).localCheckpoint(eager=True)
+    base_emb = (
+        e.filter(F.col("vec_id") <= cut)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
+        .localCheckpoint(eager=True)
+    )
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    ]
+    feed = write_vector_feed(spark, sf_dir)
+    target = new_scratch_dir("semgate_target")
+    ckpt = new_scratch_dir("semgate_ckpt")
+    apply_batch = semantic_gate_batch_applier(
+        base_rank, base_emb, cents, cut, target
+    )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select("vec_id", "is_semantic_dup")
+        .orderBy("vec_id")
+    )

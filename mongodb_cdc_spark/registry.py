@@ -137,6 +137,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "mm_blob_dedup_phash_from_store",
     # unified three-gate streaming corpus-prep pipeline
     "stream_corpus_pipeline",
+    # semantic frontier gate from the persisted base rank store
+    "stream_semantic_dedup_ingest",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -177,9 +179,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_hashes",
     "fn_interval_arith",
     # --- r2-era filler (evicted first as round-10 additions land;
-    #     5 evicted for the pHash quartet + corpus pipeline) ---
+    #     6 evicted for the pHash quartet + the two pipeline/gate keys)
     "agg_approx_count_distinct",
-    "cdc_diff_missing",
     # --- round-10 canaries (untouched; reshape/subqueries/multimodal
     #     tiers, themselves r2-era rows) ---
     "reshape_unpivot",

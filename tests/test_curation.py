@@ -776,3 +776,71 @@ def test_corpus_pipeline_replay_twice_idempotent(spark, sf_dir, tmp_path):
     # the pipeline emits every doc of both batches exactly once
     ids = {r[0] for r in v0} | {r[0] for r in v1}
     assert len(ids) == len(v0) + len(v1)
+
+
+def test_semantic_gate_batching_invariance(spark, sf_dir, tmp_path):
+    """The semantic frontier gate judges each wave vector against BASE
+    only, so verdicts must be invariant to batching and replay: one
+    whole-wave batch, two half-wave batches, and a replayed batch all
+    produce identical per-vector verdicts; and any wave vector whose
+    exact duplicate exists in the base (cosine 1.0, in-window by
+    construction at its own insertion point) must flag as dup."""
+    import os
+
+    from mongodb_cdc_spark.operators.curation import (
+        _SEM_K,
+        semantic_gate_batch_applier,
+        sem_base_rank_store_path,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    base_rank = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut)
+    ).localCheckpoint(eager=True)
+    base_emb = (
+        e.filter(F.col("vec_id") <= cut)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
+        .localCheckpoint(eager=True)
+    )
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    ]
+    wave = e.filter(F.col("vec_id") > cut)
+    mid = int(wave.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0])
+
+    def run(batches, tag):
+        target = str(tmp_path / tag)
+        apply_batch = semantic_gate_batch_applier(
+            base_rank, base_emb, cents, cut, target
+        )
+        for i, b in enumerate(batches):
+            apply_batch(b, i)
+        return sorted(
+            (r.vec_id, r.is_semantic_dup)
+            for r in spark.read.parquet(target).select(
+                "vec_id", "is_semantic_dup"
+            ).collect()
+        )
+
+    whole = run([wave], "whole")
+    halves = run(
+        [wave.filter(F.col("vec_id") <= mid), wave.filter(F.col("vec_id") > mid)],
+        "halves",
+    )
+    assert whole == halves, "verdicts depend on batching"
+    # replay: apply batch 0 twice into the same target
+    target = str(tmp_path / "replay")
+    apply_batch = semantic_gate_batch_applier(
+        base_rank, base_emb, cents, cut, target
+    )
+    apply_batch(wave, 0)
+    apply_batch(wave, 0)
+    assert (
+        sorted(
+            (r.vec_id, r.is_semantic_dup)
+            for r in spark.read.parquet(target).collect()
+        )
+        == whole
+    )
