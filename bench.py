@@ -227,6 +227,10 @@ HEADLINE = [
     ("mm_blob_dedup_phash_from_store", None),
     ("stream_corpus_pipeline", None),
     ("stream_semantic_dedup_ingest", None),
+    ("mm_ocr_block_features", None),
+    ("maintenance_bitext_store", None),
+    ("maintenance_bitext_refresh", None),
+    ("ext_bitext_mine_from_store", None),
 ]
 
 

@@ -1276,3 +1276,147 @@ def mm_blob_dedup_phash_from_store(
     follows signature-bucket occupancy with no decode cost at all."""
     store = spark.read.parquet(phash_store_path(spark, sf_dir))
     return phash_banded_pairs(store)
+
+
+# --------------------------------------------------------------------------
+# mm_ocr_block_features — OCR-shape text-BLOCK features over the binary
+# column (round-10 VERDICT next #8, third candidate): the document-
+# layout gap between blob features and text. The stub "page" is the
+# blob's first 1024 bytes rastered 32 bytes/line (the image-tier
+# geometry); "text blocks" are 1D connected components of ink
+# (non-space bytes) within a line — exactly the glyph-run/connected-
+# component primitive an OCR layout pass extracts before line/paragraph
+# grouping. Per doc: line count, block count, widest block, total ink,
+# the left-margin sum (indentation profile; an ink-free line
+# contributes its full width), and the exact SUM of squared block
+# widths (one mis-segmented run anywhere breaks the hash).
+# --------------------------------------------------------------------------
+
+_OCR_WINDOW = 1024
+_OCR_W = 32
+
+OCR_SCHEMA = (
+    "doc_id bigint, n_lines int, n_blocks int, max_block_w int, "
+    "total_ink bigint, left_margin_sum bigint, blockw_sq_checksum bigint"
+)
+
+
+def ocr_block_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched vectorized layout pass: ink mask -> run starts
+    (mask rising edges, force-broken at line boundaries) -> run lengths
+    via one bincount; margins via minimum.at — no per-byte Python."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_lines", "n_blocks", "max_block_w",
+            "total_ink", "left_margin_sum", "blockw_sq_checksum",
+        )}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            if blob is None:
+                raise NotImplementedError(
+                    "no blob: real decoder would fetch/skip"
+                )
+            a = np.frombuffer(bytes(blob)[:_OCR_WINDOW], np.uint8)
+            n = len(a)
+            if n == 0:
+                continue
+            p = np.arange(n)
+            y = p // _OCR_W
+            x = p % _OCR_W
+            mask = a != 32
+            prev = np.concatenate(([False], mask[:-1]))
+            run_start = mask & (~prev | (x == 0))
+            ids = np.cumsum(run_start)
+            lens = (
+                np.bincount(ids[mask])[1:]
+                if mask.any()
+                else np.array([], dtype=np.int64)
+            )
+            n_lines = int(y[-1]) + 1
+            present = np.bincount(y, minlength=n_lines)
+            lm = np.full(n_lines, _OCR_W, np.int64)
+            np.minimum.at(lm, y[mask], x[mask])
+            # an ink-free line contributes its PRESENT byte count (the
+            # partial last line is shorter than the full width)
+            ink_per_line = np.bincount(y[mask], minlength=n_lines)
+            lm = np.where(ink_per_line > 0, lm, present)
+            out["doc_id"].append(doc_id)
+            out["n_lines"].append(n_lines)
+            out["n_blocks"].append(int(len(lens)))
+            out["max_block_w"].append(int(lens.max()) if len(lens) else 0)
+            out["total_ink"].append(int(mask.sum()))
+            out["left_margin_sum"].append(int(lm.sum()))
+            out["blockw_sq_checksum"].append(
+                int((lens.astype(np.int64) ** 2).sum())
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_ocr_block_features",
+    oracle=f"""
+    WITH px AS MATERIALIZED (
+      SELECT doc_id, (p - 1) // {_OCR_W} AS y, (p - 1) % {_OCR_W} AS x,
+             (ascii(substring(text, p, 1)) != 32) AS ink
+      FROM documents,
+           unnest(generate_series(1, least(length(text), {_OCR_WINDOW})))
+             AS t(p)
+      WHERE length(text) > 0
+    ),
+    runs AS MATERIALIZED (
+      SELECT doc_id, y, x,
+             x - ROW_NUMBER() OVER (PARTITION BY doc_id, y ORDER BY x)
+               AS rid
+      FROM px WHERE ink
+    ),
+    blocks AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS w
+      FROM runs GROUP BY doc_id, y, rid
+    ),
+    lines AS MATERIALIZED (
+      SELECT doc_id, y, COUNT(*) AS present,
+             COUNT(*) FILTER (ink) AS ink_ct,
+             COALESCE(MIN(x) FILTER (ink), -1) AS lm
+      FROM px GROUP BY doc_id, y
+    ),
+    per_line AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_lines,
+             CAST(SUM(ink_ct) AS BIGINT) AS total_ink,
+             CAST(SUM(CASE WHEN ink_ct > 0 THEN lm ELSE present END)
+                  AS BIGINT) AS left_margin_sum
+      FROM lines GROUP BY doc_id
+    ),
+    per_block AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT) AS n_blocks,
+             CAST(MAX(w) AS INT) AS max_block_w,
+             CAST(SUM(w * w) AS BIGINT) AS blockw_sq_checksum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines,
+           COALESCE(b.n_blocks, 0) AS n_blocks,
+           COALESCE(b.max_block_w, 0) AS max_block_w,
+           l.total_ink, l.left_margin_sum,
+           COALESCE(b.blockw_sq_checksum, 0) AS blockw_sq_checksum
+    FROM per_line l LEFT JOIN per_block b ON b.doc_id = l.doc_id
+    """,
+)
+def mm_ocr_block_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OCR-layout block summary (tier block above): ink-run
+    connected components over the rastered blob, hash-checked against
+    DuckDB's relational recomputation of the same stub decode
+    (gaps-and-islands run segmentation + per-line margin aggregation).
+
+    Scale: one mapInPandas pass, no shuffle — per-blob work is a
+    handful of vectorized numpy sweeps over a 1 KB window, output one
+    summary row per doc (corpus cardinality, not pixel cardinality). A
+    real deployment swaps the byte raster for the binarized page image
+    (and the 1D runs for 2D connected components) and keeps the
+    run-start/bincount kernel shape and every aggregate."""
+    return binary_table(spark, sf_dir).select(
+        "doc_id", "content"
+    ).mapInPandas(ocr_block_features, OCR_SCHEMA)

@@ -139,6 +139,11 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_corpus_pipeline",
     # semantic frontier gate from the persisted base rank store
     "stream_semantic_dedup_ingest",
+    # OCR-layout block features + the bitext EN-candidate store tier
+    "mm_ocr_block_features",
+    "maintenance_bitext_store",
+    "maintenance_bitext_refresh",
+    "ext_bitext_mine_from_store",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -175,17 +180,17 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_map",
     "fn_conditional",
     "fn_cast_decimal",
-    "fn_bitwise",
-    "fn_hashes",
-    "fn_interval_arith",
-    # --- r2-era filler (evicted first as round-10 additions land;
-    #     6 evicted for the pHash quartet + the two pipeline/gate keys)
-    "agg_approx_count_distinct",
     # --- round-10 canaries (untouched; reshape/subqueries/multimodal
     #     tiers, themselves r2-era rows) ---
     "reshape_unpivot",
     "sql_in_subquery",
     "mm_decode_features",
+    # --- round-11 overflow head: the r1/r2-era keys the round-10
+    #     additions displaced from the live window ---
+    "fn_bitwise",
+    "fn_hashes",
+    "fn_interval_arith",
+    "agg_approx_count_distinct",
     # --- ROUND-8 WINDOW (rotated at round start per the frozen rule
     #     below): position 1 the single r7 gate miss
     #     (ext_sim_ivfpq_recall_eval, oracle OOM — oracle hardened with
