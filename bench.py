@@ -231,6 +231,9 @@ HEADLINE = [
     ("maintenance_bitext_store", None),
     ("maintenance_bitext_refresh", None),
     ("ext_bitext_mine_from_store", None),
+    ("maintenance_url_seen_store", None),
+    ("maintenance_sem_rank_store", None),
+    ("maintenance_sem_rank_refresh", None),
 ]
 
 

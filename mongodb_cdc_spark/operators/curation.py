@@ -3432,3 +3432,300 @@ def stream_semantic_dedup_ingest(
         .select("vec_id", "is_semantic_dup")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Store-quartet completion for the two round-10 stores: every persisted
+# index in the engine carries build + audit + refresh + serving; these
+# give the URL seen store and the semantic base rank store their audit
+# arms, and the rank store its refresh — a genuine incremental-view
+# piece: ranks are NOT append-only (an accepted wave vector shifts every
+# later rank in its cluster), so the refresh maintains them by exact
+# insertion counting and must reproduce the from-scratch rebuild
+# row for row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "maintenance_url_seen_store",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_url_canon_ctes('duck')},
+    seen AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c FROM cut)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_curls,
+           CAST(COUNT(DISTINCT regexp_extract(curl, '//([^/]+)', 1))
+                AS BIGINT) AS n_hosts,
+           MIN(curl) AS min_curl,
+           MAX(curl) AS max_curl,
+           CAST(SUM(length(curl)) AS BIGINT) AS len_sum
+    FROM seen
+    """,
+)
+def maintenance_url_seen_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persist the base seen-URL store (`url_seen_store_path`) and read
+    back a full-store audit row hash-checked against DuckDB's
+    from-scratch canonicalization: cardinality, distinct host count,
+    the lexicographic extremes (pin the canonical string format), and
+    the exact total byte length (one mis-canonicalized URL anywhere
+    breaks it). Completes the URL gate's quartet alongside
+    `maintenance_url_seen_refresh` and the streaming serving key."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    store = spark.read.parquet(url_seen_store_path(spark, sf_dir, cut))
+    return store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_curls"),
+        F.countDistinct(F.regexp_extract("curl", "//([^/]+)", 1))
+        .cast("bigint")
+        .alias("n_hosts"),
+        F.min("curl").alias("min_curl"),
+        F.max("curl").alias("max_curl"),
+        F.sum(F.length("curl")).cast("bigint").alias("len_sum"),
+    )
+
+
+def _sem_rank_audit_ctes() -> str:
+    """DuckDB from-scratch recomputation of the BASE-slice rank store
+    (cut = the 90th-percentile vec_id), shared by audit and refresh."""
+    cos = [
+        cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")
+        for k in range(_SEM_K)
+    ]
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY cluster "
+        f"ORDER BY s{k}, vec_id) AS rn{k}"
+        for k in range(_SEM_K)
+    )
+    return f"""cut AS MATERIALIZED (
+      SELECT (MAX(vec_id) * 9) // 10 AS c FROM embeddings
+    ),
+    c AS MATERIALIZED (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
+    ),
+    bsims AS MATERIALIZED (
+      SELECT e.vec_id,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
+      FROM embeddings e, c WHERE e.vec_id <= (SELECT c FROM cut)
+    ),
+    bcl AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM bsims
+    ),
+    branked AS MATERIALIZED (
+      SELECT vec_id, cluster, s0, s1, s2, s3,
+             {rns}
+      FROM bcl
+    )"""
+
+
+@query(
+    "maintenance_sem_rank_store",
+    oracle=f"""
+    WITH {_sem_rank_audit_ctes()}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id * rn0) AS BIGINT) AS rn0_checksum,
+           CAST(SUM(vec_id * rn3) AS BIGINT) AS rn3_checksum
+    FROM branked GROUP BY cluster ORDER BY cluster
+    """,
+)
+def maintenance_sem_rank_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persist the semantic base rank store (`sem_base_rank_store_path`)
+    and read back its per-cluster audit, hash-checked against DuckDB's
+    from-scratch recomputation of the bit-exact projections + ranks:
+    member count plus SUM(vec_id x rank) checksums on the first and
+    last projections — a single swapped rank anywhere breaks them
+    (plain rank sums would not: they are determined by counts alone)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    store = spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
+    return (
+        store.groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("vec_id") * F.col("rn0"))
+            .cast("bigint")
+            .alias("rn0_checksum"),
+            F.sum(F.col("vec_id") * F.col("rn3"))
+            .cast("bigint")
+            .alias("rn3_checksum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "maintenance_sem_rank_refresh",
+    oracle=f"""
+    WITH {_sem_rank_audit_ctes()},
+    cut2 AS MATERIALIZED (
+      SELECT ((SELECT c FROM cut) * 9) // 10 AS c2
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM branked
+       WHERE vec_id <= (SELECT c2 FROM cut2)) AS n_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM branked
+       WHERE vec_id > (SELECT c2 FROM cut2)) AS n_wave,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM branked) AS n_merged,
+      CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_sem_rank_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental rank-store maintenance, verified against the full
+    rebuild — the hardest refresh in the maintenance tier because ranks
+    are NOT append-only: accepting a wave vector shifts every base rank
+    behind it. The base slice splits again at ITS 90th percentile
+    (base2 = standing store, wave = newly accepted vectors); merged
+    ranks are maintained by EXACT insertion counting —
+
+      base member:  rn' = rn + |wave members sorting before it|
+      wave member:  rn' = |base2 before it| + |wave before it| + 1
+
+    (all comparisons on the bit-exact (s_k, vec_id) order) — and the
+    merged store must equal `sem_base_rank_store_path(cut)` built from
+    scratch, row for row across ALL FOUR rank columns
+    (``merge_mismatches`` is the full-outer-join mismatch count,
+    hash-checked at 0).
+
+    Scale: the refresh projects wave vectors only and counts
+    insertions with narrow-column joins (binary-searchable against the
+    sorted store at 100 TB); the store rewrite is the unavoidable cost
+    of rank maintenance and is still wave-proportional in compute."""
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    cut2 = (cut * 9) // 10
+
+    store2 = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut2)
+    ).localCheckpoint(eager=True)
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
+    ]
+    project = centroid_cosines_udf(cents)
+    wave = (
+        e.filter((F.col("vec_id") > cut2) & (F.col("vec_id") <= cut))
+        .select("vec_id", project("embedding").alias("_s"))
+        .select(
+            "vec_id",
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+        )
+        .withColumn("cluster", F.expr(_sem_assign_case()))
+        .localCheckpoint(eager=True)
+    )
+
+    def smaller(a_s, a_id, b_s, b_id):
+        return (F.col(b_s) < F.col(a_s)) | (
+            (F.col(b_s) == F.col(a_s)) & (F.col(b_id) < F.col(a_id))
+        )
+
+    base_new = store2
+    wave_new = wave
+    for k in range(_SEM_K):
+        # base member: rank shift = wave members sorting before it
+        shift = (
+            store2.select(
+                F.col("vec_id").alias("bvid"),
+                "cluster",
+                F.col(f"s{k}").alias("bs"),
+            )
+            .join(
+                wave.select(
+                    F.col("vec_id").alias("wvid"),
+                    "cluster",
+                    F.col(f"s{k}").alias("ws"),
+                ),
+                "cluster",
+            )
+            .filter(smaller("bs", "bvid", "ws", "wvid"))
+            .groupBy("bvid")
+            .agg(F.count(F.lit(1)).alias("shift"))
+        )
+        base_new = (
+            base_new.join(
+                shift, base_new["vec_id"] == shift["bvid"], "left"
+            )
+            .drop("bvid")
+            .withColumn(
+                f"rn{k}",
+                F.col(f"rn{k}") + F.coalesce(F.col("shift"), F.lit(0)),
+            )
+            .drop("shift")
+        )
+        # wave member: |base2 before| + |wave before| + 1
+        binc = (
+            wave.select(
+                F.col("vec_id").alias("wvid"),
+                "cluster",
+                F.col(f"s{k}").alias("ws"),
+            )
+            .join(
+                store2.select(
+                    F.col("vec_id").alias("bvid"),
+                    "cluster",
+                    F.col(f"s{k}").alias("bs"),
+                ),
+                "cluster",
+            )
+            .filter(smaller("ws", "wvid", "bs", "bvid"))
+            .groupBy("wvid")
+            .agg(F.count(F.lit(1)).alias("nb"))
+        )
+        from pyspark.sql.window import Window
+
+        wave_new = (
+            wave_new.join(
+                binc, wave_new["vec_id"] == binc["wvid"], "left"
+            )
+            .drop("wvid")
+            .withColumn(
+                f"rn{k}",
+                F.coalesce(F.col("nb"), F.lit(0))
+                + F.row_number().over(
+                    Window.partitionBy("cluster").orderBy(f"s{k}", "vec_id")
+                ),
+            )
+            .drop("nb")
+        )
+    cols = ["vec_id", "cluster"] + [f"rn{k}" for k in range(_SEM_K)]
+    merged = base_new.select(*cols).unionByName(wave_new.select(*cols))
+    full = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut)
+    ).select(*cols)
+    mism = (
+        merged.withColumn("l_present", F.lit(1))
+        .join(full.withColumn("r_present", F.lit(1)), cols, "full_outer")
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("merge_mismatches"))
+    )
+    return (
+        store2.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+        .crossJoin(
+            F.broadcast(
+                wave.agg(F.count(F.lit(1)).cast("bigint").alias("n_wave"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_merged")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(mism))
+        .select("n_base", "n_wave", "n_merged", "merge_mismatches")
+    )

@@ -144,6 +144,10 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_bitext_store",
     "maintenance_bitext_refresh",
     "ext_bitext_mine_from_store",
+    # store-quartet completion (URL seen audit; sem rank audit + IVM)
+    "maintenance_url_seen_store",
+    "maintenance_sem_rank_store",
+    "maintenance_sem_rank_refresh",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -162,7 +166,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_having",
     "agg_cdc_batch_stats",
-    "agg_argmax_struct",
     "win_rank_dense",
     "win_lag_lead",
     "win_moving_agg",
@@ -173,11 +176,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "set_union_distinct",
     "set_except",
     "fn_string",
-    "fn_string_regex",
     "fn_date",
     "fn_math",
     "fn_array",
-    "fn_map",
     "fn_conditional",
     "fn_cast_decimal",
     # --- round-10 canaries (untouched; reshape/subqueries/multimodal
@@ -187,6 +188,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "mm_decode_features",
     # --- round-11 overflow head: the r1/r2-era keys the round-10
     #     additions displaced from the live window ---
+    "fn_string_regex",
+    "fn_map",
+    "agg_argmax_struct",
     "fn_bitwise",
     "fn_hashes",
     "fn_interval_arith",
