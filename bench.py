@@ -234,6 +234,7 @@ HEADLINE = [
     ("maintenance_url_seen_store", None),
     ("maintenance_sem_rank_store", None),
     ("maintenance_sem_rank_refresh", None),
+    ("stream_phash_ingest", None),
 ]
 
 

@@ -1420,3 +1420,79 @@ def mm_ocr_block_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_table(spark, sf_dir).select(
         "doc_id", "content"
     ).mapInPandas(ocr_block_features, OCR_SCHEMA)
+
+
+@query(
+    "stream_phash_ingest",
+    oracle=f"""
+    WITH {_phash_sig_ctes()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sigs,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_sigs,
+           CAST(SUM(sig) AS BIGINT) AS sig_checksum,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_checksum
+    FROM ph_sig
+    """,
+)
+def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pHash signature ingest — the media store's 100 TB
+    ingest story: blobs arrive as an unbounded feed
+    (maxFilesPerTrigger=1 forces several micro-batches), each batch is
+    signed by the same Arrow DCT kernel the batch builder uses and
+    appended to a per-batch directory; the final ingested state must
+    equal the batch-built store — SAME audit oracle as
+    `maintenance_phash_store`, proving continuous ingest converges to
+    the batch build exactly.
+
+    Exactly-once by idempotence (engine sink contract): per-batch
+    overwrite directories; supervised run with a fixed checkpoint so a
+    foreachBatch retry replays into its own directory. Scale: per-batch
+    cost is one decode+DCT pass over batch blobs; nothing reshuffles or
+    re-reads previously ingested media."""
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    feed_src = load_table(spark, sf_dir, "documents")
+    # reuse the documents wave-file discipline: a 4-file feed of the
+    # full table (order irrelevant — signatures are per-doc)
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    feed = _os.path.join(scratch_root(), f"phashfeed_{sf_name}_4")
+    if not _os.path.exists(_os.path.join(feed, "_SUCCESS")):
+        feed_src.repartition(4).write.mode("overwrite").parquet(feed)
+    target = new_scratch_dir("phash_ingest_target")
+    ckpt = new_scratch_dir("phash_ingest_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select(
+                "doc_id", F.encode("text", "UTF-8").alias("content")
+            )
+            .mapInPandas(phash_signatures, PHASH_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(feed_src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    ingested = spark.read.parquet(target)
+    return ingested.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sigs"),
+        F.countDistinct("sig").cast("bigint").alias("n_distinct_sigs"),
+        F.sum("sig").cast("bigint").alias("sig_checksum"),
+        F.sum("doc_id").cast("bigint").alias("docid_checksum"),
+    )

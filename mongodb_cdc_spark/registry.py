@@ -148,6 +148,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_url_seen_store",
     "maintenance_sem_rank_store",
     "maintenance_sem_rank_refresh",
+    # streaming media-signature ingest (converges to the batch store)
+    "stream_phash_ingest",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -176,7 +178,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "set_union_distinct",
     "set_except",
     "fn_string",
-    "fn_date",
     "fn_math",
     "fn_array",
     "fn_conditional",
@@ -190,6 +191,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     #     additions displaced from the live window ---
     "fn_string_regex",
     "fn_map",
+    "fn_date",
     "agg_argmax_struct",
     "fn_bitwise",
     "fn_hashes",
