@@ -161,6 +161,12 @@ def main() -> int:
         keys = keys[:first]
     if only:
         keys = [k for k in keys if k in only]
+    if "--reverse" in sys.argv:
+        # key-order-independence probe (closing protocol): run the
+        # selected window back-to-front so any hidden cross-key state
+        # (cached stores, session confs, temp views) gets exercised in
+        # the opposite build order
+        keys = list(reversed(keys))
     failures = 0
     for i, key in enumerate(keys, 1):
         # Recycle the DuckDB connection every 40 keys: one connection
