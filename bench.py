@@ -235,6 +235,7 @@ HEADLINE = [
     ("maintenance_sem_rank_store", None),
     ("maintenance_sem_rank_refresh", None),
     ("stream_phash_ingest", None),
+    ("stream_bitext_ingest", None),
 ]
 
 

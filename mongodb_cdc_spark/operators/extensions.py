@@ -2491,3 +2491,94 @@ def ext_bitext_mine_from_store(
             "spark", "SELECT doc_id, bucket FROM bitext_en_store"
         )
     )
+
+
+@query(
+    "stream_bitext_ingest",
+    oracle=f"""
+    WITH {_btx_sims_sql('duck', 'TRUE')}
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_checksum
+    FROM enasg GROUP BY bucket ORDER BY bucket
+    """,
+)
+def stream_bitext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EN-candidate ingest for the bitext store: documents
+    arrive as an unbounded feed, each micro-batch's English docs are
+    projected and bucket-assigned against the FIXED seed centroids by
+    the same bit-exact Arrow kernel the batch builder uses, and
+    appended per-batch; the final per-bucket histogram must equal the
+    batch-built store's — SAME audit oracle as
+    `maintenance_bitext_store`, proving continuous candidate ingest
+    converges to the batch build exactly.
+
+    Exactly-once by idempotence (per-batch overwrite dirs, supervised
+    run with a fixed checkpoint). Scale: per-batch cost is batch x 4
+    centroid cosines + the embeddings join at batch cardinality;
+    nothing reshuffles previously ingested candidates."""
+    import os as _os
+
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _BTX_K).orderBy("vec_id").collect()
+    ]
+    project = centroid_cosines_udf(cents)
+    emb = e.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).localCheckpoint(eager=True)
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    feed = _os.path.join(scratch_root(), f"btxfeed_{sf_name}_4")
+    if not _os.path.exists(_os.path.join(feed, "_SUCCESS")):
+        d.repartition(4).write.mode("overwrite").parquet(feed)
+    target = new_scratch_dir("btx_ingest_target")
+    ckpt = new_scratch_dir("btx_ingest_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.filter(F.col("lang") == "en")
+            .select("doc_id")
+            .join(emb, "doc_id")
+            .select("doc_id", project("embedding").alias("_s"))
+            .select(
+                "doc_id",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+            )
+            .select("doc_id", F.expr(_btx_assign_case()).alias("bucket"))
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("docid_checksum"),
+        )
+        .orderBy("bucket")
+    )

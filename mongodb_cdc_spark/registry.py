@@ -150,6 +150,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_sem_rank_refresh",
     # streaming media-signature ingest (converges to the batch store)
     "stream_phash_ingest",
+    # streaming EN-candidate ingest (converges to the bitext store)
+    "stream_bitext_ingest",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -178,7 +180,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "set_union_distinct",
     "set_except",
     "fn_string",
-    "fn_math",
     "fn_array",
     "fn_conditional",
     "fn_cast_decimal",
@@ -192,6 +193,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_string_regex",
     "fn_map",
     "fn_date",
+    "fn_math",
     "agg_argmax_struct",
     "fn_bitwise",
     "fn_hashes",
