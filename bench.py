@@ -236,6 +236,8 @@ HEADLINE = [
     ("maintenance_sem_rank_refresh", None),
     ("stream_phash_ingest", None),
     ("stream_bitext_ingest", None),
+    ("ext_bitext_recall_eval", None),
+    ("ext_bitext_multiprobe_recall", None),
 ]
 
 

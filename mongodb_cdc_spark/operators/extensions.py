@@ -2582,3 +2582,291 @@ def stream_bitext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _btx_recall_sql(dialect: str) -> str:
+    """Exact recall certification of bucket-pruned bitext mining vs the
+    brute-force miner: per probe, does the bucket survivor's rank-1
+    equal the global rank-1, and how much cosine is lost when it does
+    not — all integers (e6 floors), both chains recomputed from the
+    same relations so the eval is engine-exact."""
+    cos = cosine_unrolled_sql("p.embedding", "en2.embedding", dialect=dialect)
+    bcos = cosine_unrolled_sql("p.embedding", "q.embedding", dialect=dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    return f"""
+    WITH {_btx_sims_sql(dialect, 'TRUE')},
+    probes0 AS {mat}(
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.lang <> 'en' AND d.doc_id < 64
+    ),
+    probes AS {mat}(
+      SELECT p.doc_id, p.embedding,
+             {cosine_unrolled_sql('p.embedding', 'c0', dialect=dialect)} AS s0,
+             {cosine_unrolled_sql('p.embedding', 'c1', dialect=dialect)} AS s1,
+             {cosine_unrolled_sql('p.embedding', 'c2', dialect=dialect)} AS s2,
+             {cosine_unrolled_sql('p.embedding', 'c3', dialect=dialect)} AS s3
+      FROM probes0 p, c
+    ),
+    pasg AS {mat}(
+      SELECT doc_id, embedding, {_btx_assign_case()} AS bucket FROM probes
+    ),
+    bru AS {mat}(
+      SELECT p.doc_id AS probe_id, q.doc_id AS cand_id, {bcos} AS cs,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY {bcos} DESC, q.doc_id ASC) AS rk
+      FROM pasg p JOIN en q ON TRUE
+    ),
+    bkt AS {mat}(
+      SELECT p.doc_id AS probe_id, en2.doc_id AS cand_id, {cos} AS cs,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY {cos} DESC, en2.doc_id ASC) AS rk
+      FROM pasg p
+      JOIN enasg a ON a.bucket = p.bucket
+      JOIN en en2 ON en2.doc_id = a.doc_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bru WHERE rk = 1) AS n_probes,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bkt WHERE rk = 1)
+        AS n_probes_bucketed,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM bru b JOIN bkt k
+         ON k.probe_id = b.probe_id AND b.rk = 1 AND k.rk = 1
+       WHERE b.cand_id = k.cand_id) AS n_top1_match,
+      (SELECT CAST(COALESCE(SUM(
+           CAST(FLOOR(b.cs * 1000000) AS BIGINT)
+           - CAST(FLOOR(k.cs * 1000000) AS BIGINT)), 0) AS BIGINT)
+       FROM bru b JOIN bkt k
+         ON k.probe_id = b.probe_id AND b.rk = 1 AND k.rk = 1)
+        AS recall_loss_e6_sum
+    """
+
+
+@query("ext_bitext_recall_eval", oracle=_btx_recall_sql("duck"))
+def ext_bitext_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification key for the bitext store's candidate-generation
+    trade (tier block above): for every probe, compare the
+    bucket-pruned rank-1 English partner against the brute-force
+    rank-1 — exact top-1 agreement count and the exact e6-floored
+    cosine loss summed over probes. Hash-checked end-to-end (one
+    cosine bit on either ranking moves a rank and breaks the hash).
+
+    This is the same certify-the-approximation discipline as the IVF
+    recall evals: the serving key (`ext_bitext_mine_from_store`) makes
+    a recall claim; this key MEASURES it, so the trade is a number in
+    the driver record, not a docstring assertion. The brute-force arm
+    exists only for the eval — serving stays bucket-pruned."""
+    register_views(spark, sf_dir)
+    return spark.sql(_btx_recall_sql("spark"))
+
+
+def _btx_multiprobe_sql(dialect: str) -> str:
+    """nprobe=2 recall: probes mine the TWO nearest centroid buckets
+    (rank over the probe's own 4 projection values — total order with
+    bucket-id tiebreak), compared against brute force."""
+    cos = cosine_unrolled_sql("p.embedding", "en2.embedding", dialect=dialect)
+    bcos = cosine_unrolled_sql("p.embedding", "q.embedding", dialect=dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, embedding, {k} AS bucket, s{k} AS s FROM probes"
+        for k in range(_BTX_K)
+    )
+    return f"""
+    WITH {_btx_sims_sql(dialect, 'TRUE')},
+    probes0 AS {mat}(
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.lang <> 'en' AND d.doc_id < 64
+    ),
+    probes AS {mat}(
+      SELECT p.doc_id, p.embedding,
+             {cosine_unrolled_sql('p.embedding', 'c0', dialect=dialect)} AS s0,
+             {cosine_unrolled_sql('p.embedding', 'c1', dialect=dialect)} AS s1,
+             {cosine_unrolled_sql('p.embedding', 'c2', dialect=dialect)} AS s2,
+             {cosine_unrolled_sql('p.embedding', 'c3', dialect=dialect)} AS s3
+      FROM probes0 p, c
+    ),
+    plong AS {mat}(
+{arms}
+    ),
+    ptop2 AS {mat}(
+      SELECT doc_id, embedding, bucket FROM (
+        SELECT doc_id, embedding, bucket,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, bucket ASC) AS rnk
+        FROM plong
+      ) WHERE rnk <= 2
+    ),
+    bru AS {mat}(
+      SELECT p.doc_id AS probe_id, q.doc_id AS cand_id,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY {bcos} DESC, q.doc_id ASC) AS rk
+      FROM probes p JOIN en q ON TRUE
+    ),
+    bkt AS {mat}(
+      SELECT probe_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cs DESC, cand_id ASC) AS rk
+      FROM (
+        SELECT DISTINCT p.doc_id AS probe_id, en2.doc_id AS cand_id,
+               {cos} AS cs
+        FROM ptop2 p
+        JOIN enasg a ON a.bucket = p.bucket
+        JOIN en en2 ON en2.doc_id = a.doc_id
+      )
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bru WHERE rk = 1) AS n_probes,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM bru b JOIN bkt k
+         ON k.probe_id = b.probe_id AND b.rk = 1 AND k.rk = 1
+       WHERE b.cand_id = k.cand_id) AS n_top1_match_nprobe2
+    """
+
+
+@query("ext_bitext_multiprobe_recall", oracle=_btx_multiprobe_sql("duck"))
+def ext_bitext_multiprobe_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiprobe extension of `ext_bitext_recall_eval`: mining the TWO
+    nearest centroid buckets per probe (rank over the probe's own
+    projection values), exact top-1 agreement vs brute force —
+    measured 17/43 -> 31/43 at sf0.01 and 13/37 -> 24/37 at sf0.1
+    going nprobe 1 -> 2, the same recall lever the IVF tier certified
+    (23% -> 57% at nprobe=3). Candidate work doubles; it stays
+    bucket-bounded, never corpus-bounded.
+
+    The Spark arm is STAGED DataFrames (Arrow centroid kernel +
+    checkpointed intermediates), not one nested SQL: Spark inlines
+    CTEs, and the oracle's chain re-expands the 4 unrolled 32-dim
+    cosines combinatorially through plong -> ptop2 -> bkt — the first
+    cut OOM'd the driver during OPTIMIZATION on 43 probe rows. DuckDB
+    keeps the shared chain via AS MATERIALIZED. Cosines stay bit-exact
+    on both arms (the certified kernel + single unrolled pair
+    expressions)."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _BTX_K).orderBy("vec_id").collect()
+    ]
+    project = centroid_cosines_udf(cents)
+
+    en = (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "embedding", project("embedding").alias("_s"))
+        .select(
+            "doc_id",
+            "embedding",
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+        )
+        .withColumn("bucket", F.expr(_btx_assign_case()))
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64))
+        .select("doc_id")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "embedding", project("embedding").alias("_s"))
+        .select(
+            "doc_id",
+            "embedding",
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    plong = None
+    for k in range(_BTX_K):
+        arm = probes.select(
+            "doc_id",
+            "embedding",
+            F.lit(k).alias("bucket"),
+            F.col(f"s{k}").alias("s"),
+        )
+        plong = arm if plong is None else plong.unionByName(arm)
+    ptop2 = (
+        plong.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("s"), F.asc("bucket")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 2)
+        .select("doc_id", "embedding", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    pc = cosine_unrolled_sql("pemb", "cemb")
+    bru = (
+        probes.select(
+            F.col("doc_id").alias("probe_id"), F.col("embedding").alias("pemb")
+        )
+        .crossJoin(
+            en.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("embedding").alias("cemb"),
+            )
+        )
+        .withColumn("cs", F.expr(pc))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("cs"), F.asc("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    bkt = (
+        ptop2.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("embedding").alias("pemb"),
+            "bucket",
+        )
+        .join(
+            en.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("embedding").alias("cemb"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("cs"), F.asc("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("probe_id").alias("kpid"), F.col("cand_id").alias("kcid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_probes = bru.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    n_match = (
+        bru.join(bkt, (F.col("probe_id") == F.col("kpid")))
+        .filter(F.col("cand_id") == F.col("kcid"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top1_match_nprobe2")
+        )
+    )
+    return n_probes.crossJoin(F.broadcast(n_match)).select(
+        "n_probes", "n_top1_match_nprobe2"
+    )

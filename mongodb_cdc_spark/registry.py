@@ -152,6 +152,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_phash_ingest",
     # streaming EN-candidate ingest (converges to the bitext store)
     "stream_bitext_ingest",
+    # bitext recall certification (nprobe=1 and the multiprobe lever)
+    "ext_bitext_recall_eval",
+    "ext_bitext_multiprobe_recall",
     # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
@@ -163,10 +166,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "join_left_semi",
     "join_left_anti",
     "join_theta_self",
-    "join_cross",
     "join_asof_latest",
     "agg_count_distinct",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_having",
     "agg_cdc_batch_stats",
@@ -194,6 +195,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_map",
     "fn_date",
     "fn_math",
+    "agg_cube",
+    "join_cross",
     "agg_argmax_struct",
     "fn_bitwise",
     "fn_hashes",
