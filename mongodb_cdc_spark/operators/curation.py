@@ -3186,6 +3186,57 @@ def sem_base_rank_store_path(
     return path
 
 
+def sem_window_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster candidate enumeration, one vectorized pass: the
+    base side arrives sorted-able by each (s_k, vec_id); every wave
+    member's insertion rank is a numpy searchsorted (with an exact
+    vec_id tiebreak inside equal-s runs), and its candidates are
+    the W sorted positions on each side — emitted directly, so the
+    per-batch cost is a LINEAR scan of the cluster's narrow columns
+    plus |wave| x 2W x K output rows, never a |wave| x |cluster|
+    join intermediate (the count-join shape this kernel replaced
+    materialized exactly that)."""
+    import numpy as np
+    import pandas as pd
+
+    base = pdf[~pdf["is_wave"]]
+    wv = pdf[pdf["is_wave"]]
+    if not len(base) or not len(wv):
+        return pd.DataFrame(
+            {"wid": np.array([], np.int64), "bid": np.array([], np.int64)}
+        )
+    wids, bids = [], []
+    bid_all = base["vec_id"].to_numpy()
+    for k in range(_SEM_K):
+        order = np.lexsort((bid_all, base[f"s{k}"].to_numpy()))
+        bs = base[f"s{k}"].to_numpy()[order]
+        bi = bid_all[order]
+        ws = wv[f"s{k}"].to_numpy()
+        wi = wv["vec_id"].to_numpy()
+        lo = np.searchsorted(bs, ws, side="left")
+        hi = np.searchsorted(bs, ws, side="right")
+        ins = lo.copy()
+        ties = np.flatnonzero(hi > lo)
+        for t in ties:  # equal-s runs are rare; ids sorted in-run
+            ins[t] = lo[t] + np.searchsorted(
+                bi[lo[t] : hi[t]], wi[t], side="left"
+            )
+        # candidates = sorted base positions [ins-W, ins+W-1]
+        start = np.maximum(ins - _SEM_WINDOW, 0)
+        stop = np.minimum(ins + _SEM_WINDOW, len(bi))
+        for j in range(len(wi)):
+            cand = bi[start[j] : stop[j]]
+            wids.append(np.full(len(cand), wi[j], np.int64))
+            bids.append(cand.astype(np.int64))
+    if not wids:
+        return pd.DataFrame(
+            {"wid": np.array([], np.int64), "bid": np.array([], np.int64)}
+        )
+    return pd.DataFrame(
+        {"wid": np.concatenate(wids), "bid": np.concatenate(bids)}
+    )
+
+
 def semantic_gate_batch_applier(
     base_rank: DataFrame,
     base_emb: DataFrame,
@@ -3208,57 +3259,6 @@ def semantic_gate_batch_applier(
     )
 
     project = centroid_cosines_udf(cents)
-    W = _SEM_WINDOW
-
-    def window_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Per-cluster candidate enumeration, one vectorized pass: the
-        base side arrives sorted-able by each (s_k, vec_id); every wave
-        member's insertion rank is a numpy searchsorted (with an exact
-        vec_id tiebreak inside equal-s runs), and its candidates are
-        the W sorted positions on each side — emitted directly, so the
-        per-batch cost is a LINEAR scan of the cluster's narrow columns
-        plus |wave| x 2W x K output rows, never a |wave| x |cluster|
-        join intermediate (the count-join shape this kernel replaced
-        materialized exactly that)."""
-        import numpy as np
-        import pandas as pd
-
-        base = pdf[~pdf["is_wave"]]
-        wv = pdf[pdf["is_wave"]]
-        if not len(base) or not len(wv):
-            return pd.DataFrame(
-                {"wid": np.array([], np.int64), "bid": np.array([], np.int64)}
-            )
-        wids, bids = [], []
-        bid_all = base["vec_id"].to_numpy()
-        for k in range(_SEM_K):
-            order = np.lexsort((bid_all, base[f"s{k}"].to_numpy()))
-            bs = base[f"s{k}"].to_numpy()[order]
-            bi = bid_all[order]
-            ws = wv[f"s{k}"].to_numpy()
-            wi = wv["vec_id"].to_numpy()
-            lo = np.searchsorted(bs, ws, side="left")
-            hi = np.searchsorted(bs, ws, side="right")
-            ins = lo.copy()
-            ties = np.flatnonzero(hi > lo)
-            for t in ties:  # equal-s runs are rare; ids sorted in-run
-                ins[t] = lo[t] + np.searchsorted(
-                    bi[lo[t] : hi[t]], wi[t], side="left"
-                )
-            # candidates = sorted base positions [ins-W, ins+W-1]
-            start = np.maximum(ins - W, 0)
-            stop = np.minimum(ins + W, len(bi))
-            for j in range(len(wi)):
-                cand = bi[start[j] : stop[j]]
-                wids.append(np.full(len(cand), wi[j], np.int64))
-                bids.append(cand.astype(np.int64))
-        if not wids:
-            return pd.DataFrame(
-                {"wid": np.array([], np.int64), "bid": np.array([], np.int64)}
-            )
-        return pd.DataFrame(
-            {"wid": np.concatenate(wids), "bid": np.concatenate(bids)}
-        )
 
     base_narrow = base_rank.select(
         "vec_id",
@@ -3288,7 +3288,7 @@ def semantic_gate_batch_applier(
         cands = (
             base_narrow.unionByName(wave_narrow)
             .groupBy("cluster")
-            .applyInPandas(window_candidates, "wid bigint, bid bigint")
+            .applyInPandas(sem_window_candidates, "wid bigint, bid bigint")
         )
         dup = (
             cands.distinct()

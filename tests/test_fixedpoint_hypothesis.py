@@ -269,3 +269,104 @@ def test_phash_banding_full_recall_at_tau2(sig: int, flipped: set[int]):
         for k in range(4)
     )
     assert bands_equal >= 2  # tau=2 damages at most 2 of 4 bands
+
+
+# ---------------------------------------------------------------------------
+# Round-10 semantic-gate searchsorted kernel (sem_window_candidates):
+# for ANY base/wave value lists, the kernel's candidate set must equal
+# the brute-force definition — base members whose (s, vec_id)-sorted
+# rank lies within W positions of the wave member's insertion rank —
+# including ties in s (the vec_id tiebreak inside equal-s runs).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # coarse s -> many ties
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_sem_window_kernel_equals_bruteforce(rows, data):
+    import pandas as pd
+
+    from mongodb_cdc_spark.operators.curation import (
+        _SEM_K,
+        _SEM_WINDOW,
+        sem_window_candidates,
+    )
+
+    n_wave = data.draw(
+        st.integers(min_value=1, max_value=max(1, len(rows) - 1))
+    )
+    wave, base = rows[:n_wave], rows[n_wave:]
+    if not base:
+        return
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [vid for _, vid in base + wave],
+            "cluster": 0,
+            **{
+                f"s{k}": [float(s) for s, _ in base + wave]
+                for k in range(_SEM_K)
+            },
+            "is_wave": [False] * len(base) + [True] * len(wave),
+        }
+    )
+    got = set(zip(*(sem_window_candidates(pdf)[c] for c in ("wid", "bid"))))
+    # brute force: sorted base order by (s, vec_id); insertion rank =
+    # count of base strictly before the wave key; window both sides
+    bsorted = sorted(base, key=lambda t: (t[0], t[1]))
+    expect = set()
+    for s_w, wid in wave:
+        ins = sum(1 for s_b, bid in bsorted if (s_b, bid) < (s_w, wid))
+        for pos in range(max(ins - _SEM_WINDOW, 0),
+                         min(ins + _SEM_WINDOW, len(bsorted))):
+            expect.add((wid, bsorted[pos][1]))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rank-IVM merge algebra (maintenance_sem_rank_refresh): for
+# ANY base2/wave split, maintained ranks — base rank + #wave-before,
+# wave rank = #base2-before + #wave-before + 1 — must equal the ranks
+# of a from-scratch sort of the union.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=500, deadline=None)
+def test_rank_ivm_merge_equals_rebuild(rows, k):
+    k = min(k, len(rows))
+    base, wave = rows[:k], rows[k:]
+    merged = {}
+    for s_b, bid in base:
+        old_rn = 1 + sum(1 for t in base if (t[0], t[1]) < (s_b, bid))
+        shift = sum(1 for t in wave if (t[0], t[1]) < (s_b, bid))
+        merged[bid] = old_rn + shift
+    for s_w, wid in wave:
+        nb = sum(1 for t in base if (t[0], t[1]) < (s_w, wid))
+        nw = sum(1 for t in wave if (t[0], t[1]) < (s_w, wid))
+        merged[wid] = nb + nw + 1
+    rebuilt = {
+        vid: i + 1
+        for i, (s, vid) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert merged == rebuilt
