@@ -3595,6 +3595,70 @@ def maintenance_sem_rank_store(
     )
 
 
+def sem_rank_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster rank maintenance, one vectorized pass (the refresh
+    sibling of `sem_window_candidates`): base members' new ranks are
+    old rank + (wave members sorting before them, via searchsorted with
+    the exact vec_id tiebreak inside equal-s runs); wave members' ranks
+    are (base2 before) + (wave before) + 1, the latter read off the
+    wave's own sorted position. Linear in cluster size over narrow
+    columns — the count-join first cut materialized |wave| x |cluster|
+    rows instead. Algebra property-tested in
+    tests/test_fixedpoint_hypothesis.py (merge == rebuild for any
+    split)."""
+    import numpy as np
+    import pandas as pd
+
+    base = pdf[~pdf["is_wave"]]
+    wv = pdf[pdf["is_wave"]]
+    out = {
+        "vec_id": np.concatenate(
+            [base["vec_id"].to_numpy(), wv["vec_id"].to_numpy()]
+        ).astype(np.int64),
+        "cluster": np.concatenate(
+            [base["cluster"].to_numpy(), wv["cluster"].to_numpy()]
+        ).astype(np.int32),
+    }
+
+    def _count_before(sorted_s, sorted_id, qs, qid):
+        """#(sorted (s,id) pairs) strictly before each query (qs,qid)."""
+        lo = np.searchsorted(sorted_s, qs, side="left")
+        hi = np.searchsorted(sorted_s, qs, side="right")
+        cnt = lo.copy()
+        for t in np.flatnonzero(hi > lo):
+            cnt[t] = lo[t] + np.searchsorted(
+                sorted_id[lo[t] : hi[t]], qid[t], side="left"
+            )
+        return cnt
+
+    bid = base["vec_id"].to_numpy()
+    wid = wv["vec_id"].to_numpy()
+    for k in range(_SEM_K):
+        bs_raw = base[f"s{k}"].to_numpy()
+        ws_raw = wv[f"s{k}"].to_numpy()
+        worder = np.lexsort((wid, ws_raw))
+        ws, wi = ws_raw[worder], wid[worder]
+        border = np.lexsort((bid, bs_raw))
+        bs, bi = bs_raw[border], bid[border]
+        shift = (
+            _count_before(ws, wi, bs_raw, bid)
+            if len(wv)
+            else np.zeros(len(base), np.int64)
+        )
+        new_base_rn = base[f"rn{k}"].to_numpy() + shift
+        nb = (
+            _count_before(bs, bi, ws_raw, wid)
+            if len(base)
+            else np.zeros(len(wv), np.int64)
+        )
+        nw = np.empty(len(wv), np.int64)
+        nw[worder] = np.arange(len(wv))
+        out[f"rn{k}"] = np.concatenate(
+            [new_base_rn, nb + nw + 1]
+        ).astype(np.int32)
+    return pd.DataFrame(out)
+
+
 @query(
     "maintenance_sem_rank_refresh",
     oracle=f"""
@@ -3630,10 +3694,13 @@ def maintenance_sem_rank_refresh(
     (``merge_mismatches`` is the full-outer-join mismatch count,
     hash-checked at 0).
 
-    Scale: the refresh projects wave vectors only and counts
-    insertions with narrow-column joins (binary-searchable against the
-    sorted store at 100 TB); the store rewrite is the unavoidable cost
-    of rank maintenance and is still wave-proportional in compute."""
+    Scale: the refresh projects wave vectors only; insertion counts
+    run in ONE grouped searchsorted pass per cluster
+    (`sem_rank_merge`, the sibling of the gate's candidate kernel) —
+    linear in cluster size over narrow columns, never the
+    |wave| x |cluster| join intermediate of the first cut; the store
+    rewrite is the unavoidable cost of rank maintenance and is still
+    wave-proportional in compute."""
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3659,81 +3726,27 @@ def maintenance_sem_rank_refresh(
         .localCheckpoint(eager=True)
     )
 
-    def smaller(a_s, a_id, b_s, b_id):
-        return (F.col(b_s) < F.col(a_s)) | (
-            (F.col(b_s) == F.col(a_s)) & (F.col(b_id) < F.col(a_id))
-        )
-
-    base_new = store2
-    wave_new = wave
-    for k in range(_SEM_K):
-        # base member: rank shift = wave members sorting before it
-        shift = (
-            store2.select(
-                F.col("vec_id").alias("bvid"),
-                "cluster",
-                F.col(f"s{k}").alias("bs"),
-            )
-            .join(
-                wave.select(
-                    F.col("vec_id").alias("wvid"),
-                    "cluster",
-                    F.col(f"s{k}").alias("ws"),
-                ),
-                "cluster",
-            )
-            .filter(smaller("bs", "bvid", "ws", "wvid"))
-            .groupBy("bvid")
-            .agg(F.count(F.lit(1)).alias("shift"))
-        )
-        base_new = (
-            base_new.join(
-                shift, base_new["vec_id"] == shift["bvid"], "left"
-            )
-            .drop("bvid")
-            .withColumn(
-                f"rn{k}",
-                F.col(f"rn{k}") + F.coalesce(F.col("shift"), F.lit(0)),
-            )
-            .drop("shift")
-        )
-        # wave member: |base2 before| + |wave before| + 1
-        binc = (
-            wave.select(
-                F.col("vec_id").alias("wvid"),
-                "cluster",
-                F.col(f"s{k}").alias("ws"),
-            )
-            .join(
-                store2.select(
-                    F.col("vec_id").alias("bvid"),
-                    "cluster",
-                    F.col(f"s{k}").alias("bs"),
-                ),
-                "cluster",
-            )
-            .filter(smaller("ws", "wvid", "bs", "bvid"))
-            .groupBy("wvid")
-            .agg(F.count(F.lit(1)).alias("nb"))
-        )
-        from pyspark.sql.window import Window
-
-        wave_new = (
-            wave_new.join(
-                binc, wave_new["vec_id"] == binc["wvid"], "left"
-            )
-            .drop("wvid")
-            .withColumn(
-                f"rn{k}",
-                F.coalesce(F.col("nb"), F.lit(0))
-                + F.row_number().over(
-                    Window.partitionBy("cluster").orderBy(f"s{k}", "vec_id")
-                ),
-            )
-            .drop("nb")
-        )
     cols = ["vec_id", "cluster"] + [f"rn{k}" for k in range(_SEM_K)]
-    merged = base_new.select(*cols).unionByName(wave_new.select(*cols))
+    both = store2.select(
+        "vec_id",
+        "cluster",
+        *[f"s{k}" for k in range(_SEM_K)],
+        *[f"rn{k}" for k in range(_SEM_K)],
+        F.lit(False).alias("is_wave"),
+    ).unionByName(
+        wave.select(
+            "vec_id",
+            "cluster",
+            *[f"s{k}" for k in range(_SEM_K)],
+            *[F.lit(0).alias(f"rn{k}") for k in range(_SEM_K)],
+            F.lit(True).alias("is_wave"),
+        )
+    )
+    merged = both.groupBy("cluster").applyInPandas(
+        sem_rank_merge,
+        "vec_id bigint, cluster int, "
+        + ", ".join(f"rn{k} int" for k in range(_SEM_K)),
+    )
     full = spark.read.parquet(
         sem_base_rank_store_path(spark, sf_dir, cut)
     ).select(*cols)
