@@ -2851,16 +2851,94 @@ def maintenance_url_seen_refresh(
     )
 
 
+def _sem_gate_chain() -> str:
+    cos = [
+        cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")
+        for k in range(_SEM_K)
+    ]
+    W = _SEM_WINDOW
+    ins_ctes = ",\n    ".join(
+        f"""ins{k} AS MATERIALIZED (
+      SELECT w.vec_id AS wid, COUNT(b.vec_id) AS ins
+      FROM wr w LEFT JOIN branked b
+        ON b.cluster = w.cluster
+       AND (b.s{k} < w.s{k}
+            OR (b.s{k} = w.s{k} AND b.vec_id < w.vec_id))
+      GROUP BY w.vec_id
+    )"""
+        for k in range(_SEM_K)
+    )
+    cand_arms = "\n      UNION ALL\n".join(
+        f"""      SELECT w.vec_id AS wid, b.vec_id AS bid
+      FROM wr w
+      JOIN ins{k} ON ins{k}.wid = w.vec_id
+      JOIN branked b
+        ON b.cluster = w.cluster
+       AND b.rn{k} BETWEEN ins{k}.ins - {W} + 1 AND ins{k}.ins + {W}"""
+        for k in range(_SEM_K)
+    )
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY cluster "
+        f"ORDER BY s{k}, vec_id) AS rn{k}"
+        for k in range(_SEM_K)
+    )
+    chain = f"""c AS MATERIALIZED (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
+    ),
+    bsims AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
+      FROM embeddings e, c WHERE e.vec_id <= (SELECT c FROM cut)
+    ),
+    bcl AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM bsims
+    ),
+    branked AS MATERIALIZED (
+      SELECT vec_id, embedding, cluster, s0, s1, s2, s3,
+             {rns}
+      FROM bcl
+    ),
+    wsims AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
+      FROM embeddings e, c WHERE e.vec_id > (SELECT c FROM cut)
+    ),
+    wr AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM wsims
+    ),
+    {ins_ctes},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT wid, bid FROM (
+{cand_arms}
+      )
+    ),
+    dup AS MATERIALIZED (
+      SELECT DISTINCT cand.wid
+      FROM cand
+      JOIN wr x ON x.vec_id = cand.wid
+      JOIN branked y ON y.vec_id = cand.bid
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )"""
+    return chain
+
+
 # --------------------------------------------------------------------------
 # stream_corpus_pipeline — the unified streaming corpus-prep ingest
 # pipeline (round-10 VERDICT #4): ONE foreachBatch pass per wave
-# micro-batch composing all three frontier gates the engine maintains —
+# micro-batch composing all FOUR frontier gates the engine maintains —
 #   1. canonical-URL dedup (stateful across batches: persisted seen
 #      store ∪ strictly-earlier commits ∪ in-batch min-wins),
 #   2. text exact/near dedup (md5 set + banded MinHash vs the persisted
 #      gate/signature stores, exact-Jaccard verified),
 #   3. pHash media dedup (batch DCT signatures vs the persisted base
-#      signature slice, banded + exact-Hamming verified)
+#      signature slice, banded + exact-Hamming verified),
+#   4. semantic dedup (insertion-window candidates vs the persisted
+#      base rank store, exact-cosine verified; docs without a vector
+#      pass the gate)
 # — the reference's R1→R7 dataflow shape (js:248 watch → js:190 bulk
 # apply) applied to the north-star curation tier: one stream in, one
 # idempotent verdict row per doc out. Hash-checked against DuckDB's
@@ -2881,12 +2959,19 @@ def corpus_gate_batch_applier(
     bsz: DataFrame,
     base_sig_bands: DataFrame,
     target: str,
+    sem_base_narrow: DataFrame | None = None,
+    sem_base_emb: DataFrame | None = None,
+    sem_project=None,
+    emb: DataFrame | None = None,
 ):
     """The unified pipeline's per-micro-batch function, module-level for
     direct replay testing. Each gate's algebra is THE shared helper the
     standalone key uses (`url_gate_batch_applier`, `text_gate_verdicts`,
-    the pHash band split), so pipeline and standalone verdicts can never
-    drift."""
+    `semantic_gate_verdicts`, the pHash band split), so pipeline and
+    standalone verdicts can never drift. The semantic gate runs when
+    its assets are supplied; wave docs WITHOUT a vector pass it
+    (is_semantic_dup = false) — the honest semantics when vector
+    coverage lags the crawl."""
     from mongodb_cdc_spark.operators.multimodal import (
         _PH_BANDS,
         _PH_TAU,
@@ -2926,7 +3011,7 @@ def corpus_gate_batch_applier(
             .withColumnRenamed("wid", "doc_id")
             .withColumn("mdup", F.lit(True))
         )
-        (
+        out = (
             bdf.select("doc_id")
             .join(url_v, "doc_id")
             .join(txt_v, "doc_id")
@@ -2938,9 +3023,25 @@ def corpus_gate_batch_applier(
                 "is_near_dup",
                 F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
             )
-            .write.mode("overwrite")
-            .parquet(f"{target}/batch={batch_id}")
         )
+        if sem_base_narrow is not None:
+            wave_emb = bdf.select("doc_id").join(
+                emb, F.col("doc_id") == F.col("vec_id")
+            ).select("vec_id", "embedding")
+            sem_v = semantic_gate_verdicts(
+                wave_emb, sem_base_narrow, sem_base_emb, sem_project
+            ).withColumnRenamed("vec_id", "doc_id")
+            out = out.join(sem_v, "doc_id", "left").select(
+                "doc_id",
+                "is_dup_url",
+                "is_exact_dup",
+                "is_near_dup",
+                "is_media_dup",
+                F.coalesce("is_semantic_dup", F.lit(False)).alias(
+                    "is_semantic_dup"
+                ),
+            )
+        out.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
 
     return apply_batch
 
@@ -3014,13 +3115,15 @@ from mongodb_cdc_spark.operators.multimodal import (  # noqa: E402
     mediadup AS MATERIALIZED (
       SELECT DISTINCT w.doc_id FROM wsig w
       JOIN bsig b ON bit_count(xor(w.sig, b.sig)) <= {_MEDIA_TAU}
-    )
+    ),
+    {_sem_gate_chain()}
     SELECT w.doc_id,
            (u.curl IN (SELECT curl FROM base_seen)
             OR u.doc_id > wm.m) AS is_dup_url,
            (md5(w.text) IN (SELECT h FROM base_md5)) AS is_exact_dup,
            (w.doc_id IN (SELECT wid FROM near)) AS is_near_dup,
-           (w.doc_id IN (SELECT doc_id FROM mediadup)) AS is_media_dup
+           (w.doc_id IN (SELECT doc_id FROM mediadup)) AS is_media_dup,
+           (w.doc_id IN (SELECT wid FROM dup)) AS is_semantic_dup
     FROM wave w
     JOIN uwave u ON u.doc_id = w.doc_id
     JOIN wmin wm ON u.curl = wm.curl
@@ -3030,11 +3133,13 @@ from mongodb_cdc_spark.operators.multimodal import (  # noqa: E402
 def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified streaming corpus-prep pipeline (tier block above): drain
     the doc_id-ordered wave feed once through foreachBatch; each
-    micro-batch runs all three gates — canonical-URL (stateful,
+    micro-batch runs all FOUR gates — canonical-URL (stateful,
     first-seen-wins), text exact/near dedup (persisted md5 + signature
     + shingle stores), pHash media dedup (persisted DCT signature
-    store) — and commits one verdict row per doc. Hash-checked against
-    DuckDB's order-independent batch recomputation of all three gates.
+    store), semantic dedup (persisted base rank store + insertion-
+    window kernel; wave docs without a vector pass it) — and commits
+    one verdict row per doc. Hash-checked against DuckDB's
+    order-independent batch recomputation of all four gates.
 
     Scale: per-batch cost is the SUM of the three gates' per-batch
     costs, but the stream is read once and every base-side input is a
@@ -3081,6 +3186,36 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bb = b if bb is None else bb.unionByName(b)
     base_sig_bands = bb.localCheckpoint(eager=True)
 
+    # semantic gate assets at the PIPELINE's doc-id cut (doc_id ==
+    # vec_id in this schema; wave docs without a vector pass the gate)
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sem_base_narrow = (
+        spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
+        .select(
+            "vec_id",
+            "cluster",
+            *[f"s{k}" for k in range(_SEM_K)],
+            F.lit(False).alias("is_wave"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sem_base_emb = (
+        e.filter(F.col("vec_id") <= cut)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
+        .localCheckpoint(eager=True)
+    )
+    sem_project = centroid_cosines_udf(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < _SEM_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+
     feed = _url_wave_feed(spark, sf_dir, cut)
     wave_schema = d.schema
     target = new_scratch_dir("corpus_pipe_target")
@@ -3097,6 +3232,10 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bsz,
         base_sig_bands,
         target,
+        sem_base_narrow=sem_base_narrow,
+        sem_base_emb=sem_base_emb,
+        sem_project=sem_project,
+        emb=emb,
     )
 
     def start_query():
@@ -3122,6 +3261,7 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_exact_dup",
             "is_near_dup",
             "is_media_dup",
+            "is_semantic_dup",
         )
         .orderBy("doc_id")
     )
@@ -3268,129 +3408,78 @@ def semantic_gate_batch_applier(
     )
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        w = (
-            bdf.filter(F.col("vec_id") > cut)
-            .select("vec_id", "embedding", project("embedding").alias("_s"))
-            .select(
-                F.col("vec_id").alias("wid"),
-                F.col("embedding").alias("wemb"),
-                *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
-            )
-            .withColumn("wcluster", F.expr(_sem_assign_case()))
-            .localCheckpoint(eager=True)
-        )
-        wave_narrow = w.select(
-            F.col("wid").alias("vec_id"),
-            F.col("wcluster").alias("cluster"),
-            *[f"s{k}" for k in range(_SEM_K)],
-            F.lit(True).alias("is_wave"),
-        )
-        cands = (
-            base_narrow.unionByName(wave_narrow)
-            .groupBy("cluster")
-            .applyInPandas(sem_window_candidates, "wid bigint, bid bigint")
-        )
-        dup = (
-            cands.distinct()
-            .join(w.select("wid", "wemb"), "wid")
-            .join(base_emb, "bid")
-            .filter(
-                F.expr(cosine_unrolled_sql("wemb", "bemb")) >= _SEM_TAU
-            )
-            .select("wid")
-            .distinct()
-            .withColumn("sdup", F.lit(True))
-        )
-        (
-            w.select("wid")
-            .join(dup, "wid", "left")
-            .select(
-                F.col("wid").alias("vec_id"),
-                F.coalesce("sdup", F.lit(False)).alias("is_semantic_dup"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{target}/batch={batch_id}")
-        )
+        semantic_gate_verdicts(
+            bdf.filter(F.col("vec_id") > cut).select("vec_id", "embedding"),
+            base_narrow,
+            base_emb,
+            project,
+        ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
 
     return apply_batch
 
 
+def semantic_gate_verdicts(
+    wave_emb: DataFrame,
+    base_narrow: DataFrame,
+    base_emb: DataFrame,
+    project,
+) -> DataFrame:
+    """(vec_id, is_semantic_dup) for a frame of wave (vec_id, embedding)
+    — module-level so the standalone semantic gate and the unified
+    corpus pipeline run the IDENTICAL per-batch algebra: bit-exact
+    centroid projection, insertion-window candidates via the grouped
+    searchsorted kernel, exact unrolled-cosine verification."""
+    from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+
+    w = (
+        wave_emb.select(
+            "vec_id", "embedding", project("embedding").alias("_s")
+        )
+        .select(
+            F.col("vec_id").alias("wid"),
+            F.col("embedding").alias("wemb"),
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+        )
+        .withColumn("wcluster", F.expr(_sem_assign_case()))
+        .localCheckpoint(eager=True)
+    )
+    wave_narrow = w.select(
+        F.col("wid").alias("vec_id"),
+        F.col("wcluster").alias("cluster"),
+        *[f"s{k}" for k in range(_SEM_K)],
+        F.lit(True).alias("is_wave"),
+    )
+    cands = (
+        base_narrow.unionByName(wave_narrow)
+        .groupBy("cluster")
+        .applyInPandas(sem_window_candidates, "wid bigint, bid bigint")
+    )
+    dup = (
+        cands.distinct()
+        .join(w.select("wid", "wemb"), "wid")
+        .join(base_emb, "bid")
+        .filter(F.expr(cosine_unrolled_sql("wemb", "bemb")) >= _SEM_TAU)
+        .select("wid")
+        .distinct()
+        .withColumn("sdup", F.lit(True))
+    )
+    return (
+        w.select("wid")
+        .join(dup, "wid", "left")
+        .select(
+            F.col("wid").alias("vec_id"),
+            F.coalesce("sdup", F.lit(False)).alias("is_semantic_dup"),
+        )
+    )
+
+
 def _sem_gate_oracle() -> str:
-    cos = [
-        cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")
-        for k in range(_SEM_K)
-    ]
-    W = _SEM_WINDOW
-    ins_ctes = ",\n    ".join(
-        f"""ins{k} AS MATERIALIZED (
-      SELECT w.vec_id AS wid, COUNT(b.vec_id) AS ins
-      FROM wr w LEFT JOIN branked b
-        ON b.cluster = w.cluster
-       AND (b.s{k} < w.s{k}
-            OR (b.s{k} = w.s{k} AND b.vec_id < w.vec_id))
-      GROUP BY w.vec_id
-    )"""
-        for k in range(_SEM_K)
-    )
-    cand_arms = "\n      UNION ALL\n".join(
-        f"""      SELECT w.vec_id AS wid, b.vec_id AS bid
-      FROM wr w
-      JOIN ins{k} ON ins{k}.wid = w.vec_id
-      JOIN branked b
-        ON b.cluster = w.cluster
-       AND b.rn{k} BETWEEN ins{k}.ins - {W} + 1 AND ins{k}.ins + {W}"""
-        for k in range(_SEM_K)
-    )
-    rns = ",\n             ".join(
-        f"ROW_NUMBER() OVER (PARTITION BY cluster "
-        f"ORDER BY s{k}, vec_id) AS rn{k}"
-        for k in range(_SEM_K)
-    )
+    """Standalone gate oracle: the shared chain under the VECTOR cut."""
     return f"""
     WITH cut AS MATERIALIZED (
       SELECT (MAX(vec_id) * 9) // 10 AS c FROM embeddings
     ),
-    c AS MATERIALIZED (
-      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
-             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
-             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
-             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
-    ),
-    bsims AS MATERIALIZED (
-      SELECT e.vec_id, e.embedding,
-             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
-      FROM embeddings e, c WHERE e.vec_id <= (SELECT c FROM cut)
-    ),
-    bcl AS MATERIALIZED (
-      SELECT *, {_sem_assign_case()} AS cluster FROM bsims
-    ),
-    branked AS MATERIALIZED (
-      SELECT vec_id, embedding, cluster, s0, s1, s2, s3,
-             {rns}
-      FROM bcl
-    ),
-    wsims AS MATERIALIZED (
-      SELECT e.vec_id, e.embedding,
-             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3
-      FROM embeddings e, c WHERE e.vec_id > (SELECT c FROM cut)
-    ),
-    wr AS MATERIALIZED (
-      SELECT *, {_sem_assign_case()} AS cluster FROM wsims
-    ),
-    {ins_ctes},
-    cand AS MATERIALIZED (
-      SELECT DISTINCT wid, bid FROM (
-{cand_arms}
-      )
-    ),
-    dup AS MATERIALIZED (
-      SELECT DISTINCT cand.wid
-      FROM cand
-      JOIN wr x ON x.vec_id = cand.wid
-      JOIN branked y ON y.vec_id = cand.bid
-      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
-            >= {_SEM_TAU}
-    )
+    {_sem_gate_chain()}
     SELECT w.vec_id,
            (w.vec_id IN (SELECT wid FROM dup)) AS is_semantic_dup
     FROM wr w ORDER BY w.vec_id ASC

@@ -766,7 +766,7 @@ def test_corpus_pipeline_replay_twice_idempotent(spark, sf_dir, tmp_path):
     b1 = spark.read.parquet(os.path.join(feed, "wave_1.parquet"))
     apply_batch(b0, 0)
     v0 = rows(0)
-    assert v0 and len(v0[0]) == 5
+    assert v0 and len(v0[0]) == 5  # url applier target: 5-col combined
     apply_batch(b0, 0)  # replay with own commits present
     assert rows(0) == v0, "replay changed batch-0 pipeline verdicts"
     apply_batch(b1, 1)
