@@ -27,14 +27,19 @@ accumulators.
 
 from __future__ import annotations
 
+import glob as _glob
 import os as _os
 import shutil as _shutil
+import time as _time
 import uuid as _uuid
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCALE = 10000  # 4 implicit fractional digits of working precision
+
+
+_STAGE_STALE_S = 3600  # a live concurrent build is minutes old, not hours
 
 
 def new_stage(path: str) -> str:
@@ -44,7 +49,19 @@ def new_stage(path: str) -> str:
     store interleave their overwrite writes inside the stage before
     either renames, so the rename winner can publish a mixed/partial
     store; the uuid suffix keeps each session's stage private while
-    :func:`publish_store` keeps final-path atomicity."""
+    :func:`publish_store` keeps final-path atomicity.
+
+    A build that crashes between write and publish leaks its uuid stage
+    dir; retries never reuse the name, so scratch would grow unboundedly
+    across crashed sessions. Reclaim here: any ``path.stage-*`` sibling
+    whose mtime is older than an hour cannot be a live concurrent build
+    and is removed before this build starts."""
+    for old in _glob.glob(f"{path}.stage-*"):
+        try:
+            if _time.time() - _os.path.getmtime(old) > _STAGE_STALE_S:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # concurrent janitor already removed it
     return f"{path}.stage-{_uuid.uuid4().hex[:8]}"
 
 
@@ -52,11 +69,16 @@ def publish_store(stage: str, path: str) -> None:
     """Atomically publish ``stage`` as ``path`` via rename. On a lost
     race the winner's store has identical content (stores are pure
     functions of the fixture), so drop our stage dir instead of leaving
-    it on disk permanently."""
+    it on disk permanently. A rename failure with NO winner on disk
+    (permissions, stale mount) is a genuine error — swallowing it would
+    hand the caller a path that does not exist and surface later as a
+    confusing parquet-read failure — so it re-raises."""
     try:
         _os.rename(stage, path)
     except OSError:
         _shutil.rmtree(stage, ignore_errors=True)
+        if not _os.path.exists(path):
+            raise
 
 
 def _round_cents(S: str, div: str) -> str:

@@ -3692,9 +3692,11 @@ def sem_rank_merge(pdf: pd.DataFrame) -> pd.DataFrame:
     are (base2 before) + (wave before) + 1, the latter read off the
     wave's own sorted position. Linear in cluster size over narrow
     columns — the count-join first cut materialized |wave| x |cluster|
-    rows instead. Algebra property-tested in
-    tests/test_fixedpoint_hypothesis.py (merge == rebuild for any
-    split)."""
+    rows instead. Property-tested in tests/test_fixedpoint_hypothesis.py
+    twice over: the merge ALGEBRA (pure-Python restatement, merge ==
+    rebuild for any split) and THIS KERNEL directly
+    (test_sem_rank_merge_kernel_equals_rebuild feeds hypothesis frames
+    through it, exercising the searchsorted tie loop)."""
     import numpy as np
     import pandas as pd
 

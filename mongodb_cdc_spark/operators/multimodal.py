@@ -1461,7 +1461,12 @@ def stream_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     feed = _os.path.join(scratch_root(), f"phashfeed_{sf_name}_4")
     if not _os.path.exists(_os.path.join(feed, "_SUCCESS")):
-        feed_src.repartition(4).write.mode("overwrite").parquet(feed)
+        # stage-then-publish like every store build: two sessions racing
+        # a direct overwrite of the final path can interleave into a
+        # mixed/duplicated feed the stream then reads
+        stage = new_stage(feed)
+        feed_src.repartition(4).write.mode("overwrite").parquet(stage)
+        publish_store(stage, feed)
     target = new_scratch_dir("phash_ingest_target")
     ckpt = new_scratch_dir("phash_ingest_ckpt")
 

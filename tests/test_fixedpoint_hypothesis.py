@@ -370,3 +370,56 @@ def test_rank_ivm_merge_equals_rebuild(rows, k):
         for i, (s, vid) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
     }
     assert merged == rebuilt
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_sem_rank_merge_kernel_equals_rebuild(rows, k):
+    """Drive the NUMPY KERNEL itself (not a Python re-statement of its
+    algebra — the sibling test above): hypothesis base/wave rows through
+    `sem_rank_merge` on a pandas frame must reproduce the from-scratch
+    rebuilt ranks, exercising `_count_before`'s searchsorted tie loop
+    (s drawn from 0..9 so equal-s runs are common)."""
+    import pandas as pd
+
+    from mongodb_cdc_spark.operators.curation import _SEM_K, sem_rank_merge
+
+    k = min(k, len(rows))
+    base, wave = rows[:k], rows[k:]
+    bsorted = sorted(base, key=lambda t: (t[0], t[1]))
+    base_rn = {vid: i + 1 for i, (_, vid) in enumerate(bsorted)}
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [vid for _, vid in base + wave],
+            "cluster": 0,
+            **{
+                f"s{j}": [float(s) for s, _ in base + wave]
+                for j in range(_SEM_K)
+            },
+            **{
+                f"rn{j}": [base_rn[vid] for _, vid in base]
+                + [0] * len(wave)
+                for j in range(_SEM_K)
+            },
+            "is_wave": [False] * len(base) + [True] * len(wave),
+        }
+    )
+    out = sem_rank_merge(pdf)
+    rebuilt = {
+        vid: i + 1
+        for i, (s, vid) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    for j in range(_SEM_K):
+        got = dict(zip(out["vec_id"], out[f"rn{j}"]))
+        assert got == rebuilt
