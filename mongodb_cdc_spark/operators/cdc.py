@@ -1199,6 +1199,29 @@ _IVM_TOPK = 10
 _IVM_TOPK_BUFFER = 50
 
 
+def ivm_rank_top(view: DataFrame, k: int = _IVM_TOPK) -> DataFrame:
+    """Top-K leaderboard rows of a (user_id, n_events, value_cents) view
+    WITHOUT a view-sized global window: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition heaps merged at the driver — no
+    single-task sort of the whole view, which is user-cardinality and
+    unbounded at 100 TB); ``row_number`` then ranks the k-row result
+    only, so the unpartitioned window never sees more than k rows. Same
+    output as rank-then-filter (the order is total: n_events desc,
+    user_id asc unique). Module-level so both IVM top-k maintainers
+    share it and tests/test_plans.py can pin its physical shape."""
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        view.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).alias("rk"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 @query(
     "cdc_ivm_topk",
     oracle=f"""
@@ -1236,8 +1259,6 @@ def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded candidate frame. The full recompute here exists only as
     the certification arm — production runs the incremental arm and
     alarms on the buffer-underflow condition instead."""
-    from pyspark.sql.window import Window
-
     from mongodb_cdc_spark.sources.changefeed import derive_change_log
 
     feed = derive_change_log(spark, sf_dir).filter(
@@ -1294,28 +1315,9 @@ def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1.join(cand_keys, "user_id", "left_semi"),
         d2.join(cand_keys, "user_id", "left_semi"),
     )
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    ivm_top = (
-        v_cand.select(
-            F.row_number().over(w).alias("rk"),
-            "user_id",
-            "n_events",
-            "value_cents",
-        )
-        .filter(F.col("rk") <= _IVM_TOPK)
-        .localCheckpoint(eager=True)
-    )
+    ivm_top = ivm_rank_top(v_cand).localCheckpoint(eager=True)
     # certification arm: full recompute, set-compared
-    full_top = (
-        merge(v1, d2)
-        .select(
-            F.row_number().over(w).alias("rk"),
-            "user_id",
-            "n_events",
-            "value_cents",
-        )
-        .filter(F.col("rk") <= _IVM_TOPK)
-    )
+    full_top = ivm_rank_top(merge(v1, d2))
     # full_outer on ALL columns with presence markers (the join keys
     # themselves coalesce in a named-column full outer, so nullness of a
     # key column can NOT detect one-sided rows): any cell difference
@@ -1412,12 +1414,11 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-delta state is one map-combinable aggregate + one keyed
     self-join on user_id (tombstone positions); the merge is a keyed
     full-outer on the delta's touched keys against the stored view at
-    100 TB. The recompute arm costs one view-sized rank — the price of
-    correctness under non-monotone deltas, paid ONLY on batches whose
-    delta contains a tombstone (the flag is the alarm the production
-    pipeline keys compaction on)."""
-    from pyspark.sql.window import Window
-
+    100 TB. The recompute arm's rank is TakeOrderedAndProject + a
+    K-row window (`ivm_rank_top`) — even the correctness fallback under
+    non-monotone deltas never pays a view-sized single-task sort; it is
+    paid ONLY on batches whose delta contains a tombstone (the flag is
+    the alarm the production pipeline keys compaction on)."""
     from mongodb_cdc_spark.sources.changefeed import derive_change_log
 
     feed = derive_change_log(spark, sf_dir)
@@ -1493,19 +1494,10 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
 
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-
     def rank_top(view: DataFrame) -> DataFrame:
-        return (
-            view.filter(F.col("n_events") > 0)
-            .select(
-                F.row_number().over(w).alias("rk"),
-                "user_id",
-                "n_events",
-                "value_cents",
-            )
-            .filter(F.col("rk") <= _IVM_TOPK)
-        )
+        # the shared TakeOrdered-first ranker; dead keys (support 0
+        # since the last tombstone) leave the leaderboard first
+        return ivm_rank_top(view.filter(F.col("n_events") > 0))
 
     full_top = rank_top(merge(s1, s2)).localCheckpoint(eager=True)
     if recompute_triggered:

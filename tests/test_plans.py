@@ -131,6 +131,37 @@ def test_cosine_topk_uses_partial_topk_not_global_window(spark, sf_dir):
     assert_in_plan(df, "TakeOrderedAndProject")
 
 
+def test_ivm_topk_rank_is_take_ordered(spark, sf_dir):
+    """The IVM leaderboard ranker (shared by cdc_ivm_topk and
+    cdc_ivm_topk_tombstone, BOTH arms) must heap-select the top K
+    first (TakeOrderedAndProject) and only then rank — the window may
+    exist, but as a PARENT of the K-row limit, never directly over the
+    user-cardinality view (the single-task sort that dies at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.operators.cdc import ivm_rank_top
+
+    view = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.lit(0).cast("bigint").alias("value_cents"),
+        )
+    )
+    df = ivm_rank_top(view)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    w_at = next(i for i, l in enumerate(lines) if "Window" in l)
+    t_at = next(
+        i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l
+    )
+    # parents print above children: the window consumes the limited
+    # frame, not the view
+    assert w_at < t_at, plan
+
+
 def test_ntile_pctrank_has_no_global_window(spark, sf_dir):
     """The global-quartile operator must never plan an UNPARTITIONED
     WindowExec over the fact-sized input (the single-task sort that dies
