@@ -2585,6 +2585,61 @@ def url_seen_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
     return path
 
 
+_STATE_FOLD_EVERY = 2  # consolidate per-run gate state every N batches
+
+
+def fold_state_paths(
+    state_dir: str, batch_id: int, *, for_fold_build: bool = False
+) -> list[str]:
+    """Paths holding exactly the committed per-run state of batches
+    STRICTLY earlier than ``batch_id``: the newest eligible ``fold=F``
+    consolidation (which contains batches < F) plus the per-batch
+    commits F <= i < batch_id after it. With `maybe_fold_state` run at
+    each batch start, the list length is bounded by
+    ``_STATE_FOLD_EVERY`` regardless of how many batches the run has
+    processed — O(1) paths per gate per batch, not O(waves).
+
+    ``for_fold_build`` excludes ``fold=batch_id`` itself so the fold
+    writer never reads the path it is about to overwrite (a replayed
+    fold batch would otherwise feed the fold its own previous output)."""
+    if not _os.path.isdir(state_dir):
+        return []
+    names = _os.listdir(state_dir)
+    bound = batch_id - 1 if for_fold_build else batch_id
+    folds = [
+        int(n.split("=")[1])
+        for n in names
+        if n.startswith("fold=") and int(n.split("=")[1]) <= bound
+    ]
+    fb = max(folds, default=0)
+    out = []
+    if fb > 0:
+        out.append(_os.path.join(state_dir, f"fold={fb}"))
+    out.extend(
+        _os.path.join(state_dir, n)
+        for n in sorted(names)
+        if n.startswith("batch=") and fb <= int(n.split("=")[1]) < batch_id
+    )
+    return out
+
+
+def maybe_fold_state(s: SparkSession, state_dir: str, batch_id: int) -> None:
+    """At the START of every ``_STATE_FOLD_EVERY``-th micro-batch,
+    consolidate all strictly-earlier committed state into ONE
+    ``fold=batch_id`` path. The fold is a pure function of commits
+    < batch_id (a replayed batch's own failed-attempt commit is never
+    included), so a supervised replay rewrites identical content —
+    the same idempotence discipline as the verdict commits."""
+    if batch_id == 0 or batch_id % _STATE_FOLD_EVERY != 0:
+        return
+    src = fold_state_paths(state_dir, batch_id, for_fold_build=True)
+    if not src:
+        return
+    s.read.parquet(*src).write.mode("overwrite").parquet(
+        _os.path.join(state_dir, f"fold={batch_id}")
+    )
+
+
 def url_gate_batch_applier(seen_store: str, target: str, seen_dir: str):
     """The URL gate's per-micro-batch function, module-level so the
     restart/replay contract is directly testable: canonicalize the
@@ -2607,15 +2662,12 @@ def url_gate_batch_applier(seen_store: str, target: str, seen_dir: str):
         # (possibly partial) commit from the failed attempt would flip
         # its first-seen docs to duplicates and overwrite its
         # newly-seen commit as empty, corrupting every later batch that
-        # shares those canonical URLs. The bound also keeps the read
-        # set BOUNDED: one store path + at most (batch_id) current-run
-        # commits; cross-run growth folds back into the store via
-        # `maintenance_url_seen_refresh`.
-        committed = [
-            _os.path.join(seen_dir, n)
-            for n in sorted(_os.listdir(seen_dir))
-            if n.startswith("batch=") and int(n.split("=")[1]) < batch_id
-        ]
+        # shares those canonical URLs. The periodic in-run fold keeps
+        # the read set O(1) paths (store + fold + <_STATE_FOLD_EVERY
+        # recent commits) however long the run; cross-run growth folds
+        # back into the store via `maintenance_url_seen_refresh`.
+        maybe_fold_state(s, seen_dir, batch_id)
+        committed = fold_state_paths(seen_dir, batch_id)
         if committed:
             seen = seen.unionByName(
                 s.read.parquet(*committed).select("curl")

@@ -844,3 +844,89 @@ def test_semantic_gate_batching_invariance(spark, sf_dir, tmp_path):
         )
         == whole
     )
+
+
+def test_fold_state_paths_is_o1(tmp_path):
+    """The per-run state fold (round-10 VERDICT #4): with folds written
+    every _STATE_FOLD_EVERY batches, a standing batch's read set is
+    bounded paths — never O(waves) — and the fold builder never reads
+    the fold path it is about to overwrite."""
+    import os
+
+    from mongodb_cdc_spark.operators.curation import (
+        _STATE_FOLD_EVERY,
+        fold_state_paths,
+    )
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    for i in range(7):
+        os.makedirs(os.path.join(d, f"batch={i}"))
+    # no folds yet: batch 7 would read all 7 commits
+    assert len(fold_state_paths(d, 7)) == 7
+    # folds as maybe_fold_state would have written them (every 2nd)
+    for f in (2, 4, 6):
+        os.makedirs(os.path.join(d, f"fold={f}"))
+    for b in range(8):
+        paths = fold_state_paths(d, b)
+        assert len(paths) <= _STATE_FOLD_EVERY, (b, paths)
+        # strictly-earlier only: no batch=i with i >= b
+        for p in paths:
+            name = os.path.basename(p)
+            if name.startswith("batch="):
+                assert int(name.split("=")[1]) < b
+            else:
+                assert int(name.split("=")[1]) <= b
+    # the fold-build read set at batch 6 must exclude fold=6 itself
+    build = fold_state_paths(d, 6, for_fold_build=True)
+    assert os.path.join(d, "fold=6") not in build
+    assert os.path.join(d, "fold=4") in build
+    assert os.path.join(d, "batch=4") in build and os.path.join(
+        d, "batch=5"
+    ) in build
+
+
+def test_url_gate_fold_equals_unfolded_reads(spark, sf_dir, tmp_path):
+    """Folding is a READ-PATH optimization only: batch N's verdicts
+    computed through the fold must be byte-identical to the same batch
+    recomputed with the folds deleted (falling back to every per-batch
+    commit). Also pins that a fold dir actually appears mid-run."""
+    import os
+    import shutil
+
+    from mongodb_cdc_spark.operators.curation import (
+        _url_wave_feed,
+        url_gate_batch_applier,
+        url_seen_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    seen_store = url_seen_store_path(spark, sf_dir, cut)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    target = str(tmp_path / "target")
+    seen_dir = str(tmp_path / "seen")
+    os.makedirs(seen_dir)
+    apply_batch = url_gate_batch_applier(seen_store, target, seen_dir)
+    for i in range(4):
+        b = spark.read.parquet(os.path.join(feed, f"wave_{i}.parquet"))
+        apply_batch(b, i)
+    assert os.path.isdir(os.path.join(seen_dir, "fold=2")), (
+        "in-run fold never materialized"
+    )
+
+    def verdicts(i):
+        return sorted(
+            (r.doc_id, r.is_dup_url)
+            for r in spark.read.parquet(f"{target}/batch={i}").collect()
+        )
+
+    v3 = verdicts(3)
+    # delete every fold and replay batch 3: the read path falls back to
+    # the raw commits; verdicts must not change
+    for n in os.listdir(seen_dir):
+        if n.startswith("fold="):
+            shutil.rmtree(os.path.join(seen_dir, n))
+    b3 = spark.read.parquet(os.path.join(feed, "wave_3.parquet"))
+    apply_batch(b3, 3)
+    assert verdicts(3) == v3
