@@ -3916,3 +3916,546 @@ def maintenance_sem_rank_refresh(
         .crossJoin(F.broadcast(mism))
         .select("n_base", "n_wave", "n_merged", "merge_mismatches")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_corpus_pipeline_xwave — CROSS-WAVE state for every gate
+# (round-10 VERDICT top-next): the unified pipeline above checks each
+# wave batch's text/media/semantic gates against the persisted BASE
+# stores only, so a document whose duplicate arrived in an EARLIER WAVE
+# of the same run (under a different URL) passes all three. This
+# operator closes that hole: after each micro-batch commits its
+# verdicts, its md5 hashes, MinHash signature bands, rep shingles +
+# sizes, pHash signatures, and semantic projections + embeddings are
+# folded into per-run state directories the NEXT batch reads — the URL
+# gate's seen_dir pattern (strictly-earlier commits, idempotent
+# overwrites, periodic in-run folds keeping reads O(1) paths) applied
+# to all four gate families. This is the reference's resume-state
+# discipline (js:93-117) carried from the offset tier into curation.
+#
+# Semantics (and the oracle's exact recomputation): a wave doc in
+# micro-batch N is a duplicate iff a partner exists in
+# base ∪ {docs of batches < N}. Batch membership is DETERMINISTIC:
+# the wave feed is doc_id-range files replayed in range order
+# (`_url_wave_feed`), so batch(doc) = (doc_id - cut - 1) div span with
+# span = (max_id - cut + 4) div 4 — the oracle reconstructs the batch
+# assignment from doc_id alone and recomputes all four gates from
+# scratch, order-independently, in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _phash_band_rows(sig_df: DataFrame) -> DataFrame:
+    """Banded LSH rows (bid, sig_b, band, nib) from a (doc_id, sig)
+    pHash frame — the one banding the media gate joins on (16-bit sig,
+    4 nibble bands: Hamming <= tau=2 pairs share a band by pigeonhole,
+    property-tested in test_fixedpoint_hypothesis)."""
+    from mongodb_cdc_spark.operators.multimodal import _PH_BANDS
+
+    bb = None
+    for k in range(_PH_BANDS):
+        b = sig_df.select(
+            F.col("doc_id").alias("bid"),
+            F.col("sig").alias("sig_b"),
+            F.lit(k).alias("band"),
+            F.shiftright("sig", k * 4).bitwiseAND(F.lit(15)).alias("nib"),
+        )
+        bb = b if bb is None else bb.unionByName(b)
+    return bb
+
+
+_XWAVE_STATE_NAMES = (
+    "md5", "bands", "shingles", "sizes", "phash", "semn", "seme",
+)
+
+
+def corpus_gate_xwave_applier(
+    url_seen_store: str,
+    url_target: str,
+    url_seen_dir: str,
+    base_md5: DataFrame,
+    store_bands: DataFrame,
+    bsh: DataFrame,
+    bsz: DataFrame,
+    base_sig_bands: DataFrame,
+    sem_base_narrow: DataFrame,
+    sem_base_emb: DataFrame,
+    sem_project,
+    emb: DataFrame,
+    target: str,
+    state_root: str,
+):
+    """The cross-wave pipeline's per-micro-batch function, module-level
+    for direct replay testing. Per batch: read each gate family's
+    per-run state (strictly-earlier commits via `fold_state_paths`,
+    folded every `_STATE_FOLD_EVERY` batches), union it with the
+    persisted base artifacts, run the IDENTICAL shared gate algebra
+    (`url_gate_batch_applier`, `text_gate_verdicts`, the pHash band
+    join, `semantic_gate_verdicts`), commit one verdict row per doc,
+    then commit THIS batch's state contributions — every write an
+    idempotent per-batch overwrite, so a supervised replay of batch N
+    sees exactly the pre-N state and rewrites identical content.
+
+    Scale: per-batch cost adds |earlier waves| narrow state rows to
+    each gate's probe side — bounded by the fold arm in path count and
+    by the standing maintenance refreshes (`maintenance_dedup_gate_
+    refresh` / `maintenance_phash_refresh` / `maintenance_sem_rank_
+    refresh`) in volume, which fold completed runs back into the base
+    stores so per-run state restarts empty."""
+    from mongodb_cdc_spark.operators.multimodal import (
+        _PH_TAU,
+        PHASH_SCHEMA,
+        phash_signatures,
+    )
+
+    url_apply = url_gate_batch_applier(url_seen_store, url_target, url_seen_dir)
+    dirs = {n: _os.path.join(state_root, n) for n in _XWAVE_STATE_NAMES}
+    for p in dirs.values():
+        _os.makedirs(p, exist_ok=True)
+
+    def read_state(s: SparkSession, name: str, batch_id: int):
+        maybe_fold_state(s, dirs[name], batch_id)
+        paths = fold_state_paths(dirs[name], batch_id)
+        return s.read.parquet(*paths) if paths else None
+
+    def with_state(base: DataFrame, state: DataFrame | None) -> DataFrame:
+        return base if state is None else base.unionByName(state)
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        url_apply(bdf, batch_id)
+        url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
+        # --- text gates against base ∪ earlier waves ---
+        txt_v = text_gate_verdicts(
+            bdf,
+            with_state(base_md5, read_state(s, "md5", batch_id)),
+            with_state(store_bands, read_state(s, "bands", batch_id)),
+            with_state(bsh, read_state(s, "shingles", batch_id)),
+            with_state(bsz, read_state(s, "sizes", batch_id)),
+        )
+        # --- media gate ---
+        wsig = (
+            bdf.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+            .mapInPandas(phash_signatures, PHASH_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        st_ph = read_state(s, "phash", batch_id)
+        eff_ph = (
+            base_sig_bands
+            if st_ph is None
+            else base_sig_bands.unionByName(_phash_band_rows(st_ph))
+        )
+        wb = _phash_band_rows(wsig).select(
+            F.col("bid").alias("wid"),
+            F.col("sig_b").alias("sig_w"),
+            "band",
+            "nib",
+        )
+        media = (
+            wb.join(eff_ph, ["band", "nib"])
+            .filter(
+                F.bit_count(F.col("sig_w").bitwiseXOR(F.col("sig_b")))
+                <= _PH_TAU
+            )
+            .select("wid")
+            .distinct()
+            .withColumnRenamed("wid", "doc_id")
+            .withColumn("mdup", F.lit(True))
+        )
+        # --- semantic gate (docs without a vector pass it) ---
+        wave_emb = (
+            bdf.select("doc_id")
+            .join(emb, F.col("doc_id") == F.col("vec_id"))
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        st_n = read_state(s, "semn", batch_id)
+        eff_narrow = (
+            sem_base_narrow
+            if st_n is None
+            else sem_base_narrow.unionByName(
+                st_n.withColumn("is_wave", F.lit(False))
+            )
+        )
+        eff_emb = with_state(sem_base_emb, read_state(s, "seme", batch_id))
+        sem_v = semantic_gate_verdicts(
+            wave_emb, eff_narrow, eff_emb, sem_project
+        ).withColumnRenamed("vec_id", "doc_id")
+        out = (
+            bdf.select("doc_id")
+            .join(url_v, "doc_id")
+            .join(txt_v, "doc_id")
+            .join(media, "doc_id", "left")
+            .join(sem_v, "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_dup_url",
+                "is_exact_dup",
+                "is_near_dup",
+                F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
+                F.coalesce("is_semantic_dup", F.lit(False)).alias(
+                    "is_semantic_dup"
+                ),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+        # --- commit this batch's state for the NEXT batch to read ---
+        bdf.select(F.md5("text").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{dirs['md5']}/batch={batch_id}")
+        reps = bdf.groupBy(F.md5("text").alias("mh")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("text").alias("text"),
+        )
+        from mongodb_cdc_spark.operators.extensions import signature_bands
+
+        signature_bands(_sign_reps(reps)).write.mode("overwrite").parquet(
+            f"{dirs['bands']}/batch={batch_id}"
+        )
+        rsh = (
+            reps.select("doc_id", tokens("text").alias("toks"))
+            .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+            .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        rsh.write.mode("overwrite").parquet(
+            f"{dirs['shingles']}/batch={batch_id}"
+        )
+        rsh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).write.mode("overwrite").parquet(f"{dirs['sizes']}/batch={batch_id}")
+        wsig.write.mode("overwrite").parquet(
+            f"{dirs['phash']}/batch={batch_id}"
+        )
+        (
+            wave_emb.select(
+                "vec_id", sem_project("embedding").alias("_s")
+            )
+            .select(
+                "vec_id",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+            )
+            .withColumn("cluster", F.expr(_sem_assign_case()))
+            .select("vec_id", "cluster", *[f"s{k}" for k in range(_SEM_K)])
+            .write.mode("overwrite")
+            .parquet(f"{dirs['semn']}/batch={batch_id}")
+        )
+        wave_emb.select(
+            F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+        ).write.mode("overwrite").parquet(f"{dirs['seme']}/batch={batch_id}")
+
+    return apply_batch
+
+
+def _xwave_sem_chain() -> str:
+    """DuckDB recomputation of the CROSS-WAVE semantic gate: for each
+    wave batch n, the partner set is base ∪ {wave vectors of batches
+    < n}; candidates are the W-rank insertion window per projection in
+    THAT partner set's per-cluster ordering, verified by exact cosine.
+    Partner sets are nested, so they are ranked once per distinct wave
+    batch (<= 4 rankings of narrow columns)."""
+    cos = [
+        cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")
+        for k in range(_SEM_K)
+    ]
+    W = _SEM_WINDOW
+    rns = ",\n             ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY pb, cluster "
+        f"ORDER BY s{k}, vec_id) AS rn{k}"
+        for k in range(_SEM_K)
+    )
+    ins_ctes = ",\n    ".join(
+        f"""xins{k} AS MATERIALIZED (
+      SELECT w.vec_id AS wid, COUNT(p.vec_id) AS ins
+      FROM wvv w LEFT JOIN pranked p
+        ON p.pb = w.b AND p.cluster = w.cluster
+       AND (p.s{k} < w.s{k}
+            OR (p.s{k} = w.s{k} AND p.vec_id < w.vec_id))
+      GROUP BY w.vec_id
+    )"""
+        for k in range(_SEM_K)
+    )
+    cand_arms = "\n      UNION ALL\n".join(
+        f"""      SELECT w.vec_id AS wid, p.vec_id AS bid
+      FROM wvv w
+      JOIN xins{k} ON xins{k}.wid = w.vec_id
+      JOIN pranked p
+        ON p.pb = w.b AND p.cluster = w.cluster
+       AND p.rn{k} BETWEEN xins{k}.ins - {W} + 1 AND xins{k}.ins + {W}"""
+        for k in range(_SEM_K)
+    )
+    return f"""c AS MATERIALIZED (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1,
+             (SELECT embedding FROM embeddings WHERE vec_id = 2) AS c2,
+             (SELECT embedding FROM embeddings WHERE vec_id = 3) AS c3
+    ),
+    asims AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             {cos[0]} AS s0, {cos[1]} AS s1, {cos[2]} AS s2, {cos[3]} AS s3,
+             CASE WHEN e.vec_id <= (SELECT c FROM cut) THEN -1
+                  ELSE (e.vec_id - (SELECT c FROM cut) - 1)
+                       // (SELECT s FROM sp) END AS b
+      FROM embeddings e, c
+    ),
+    acl AS MATERIALIZED (
+      SELECT *, {_sem_assign_case()} AS cluster FROM asims
+    ),
+    wvv AS MATERIALIZED (SELECT * FROM acl WHERE b >= 0),
+    prt AS MATERIALIZED (
+      SELECT wb.b AS pb, a.vec_id, a.cluster, a.s0, a.s1, a.s2, a.s3
+      FROM (SELECT DISTINCT b FROM wvv) wb
+      JOIN acl a ON a.b < wb.b
+    ),
+    pranked AS MATERIALIZED (
+      SELECT pb, vec_id, cluster, s0, s1, s2, s3,
+             {rns}
+      FROM prt
+    ),
+    {ins_ctes},
+    xcand AS MATERIALIZED (
+      SELECT DISTINCT wid, bid FROM (
+{cand_arms}
+      )
+    ),
+    xdup AS MATERIALIZED (
+      SELECT DISTINCT xcand.wid
+      FROM xcand
+      JOIN wvv x ON x.vec_id = xcand.wid
+      JOIN acl y ON y.vec_id = xcand.bid
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
+    )"""
+
+
+@query(
+    "stream_corpus_pipeline_xwave",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    sp AS MATERIALIZED (
+      SELECT (MAX(doc_id) - (SELECT c FROM cut) + {_URL_FEED_FILES})
+             // {_URL_FEED_FILES} AS s
+      FROM documents
+    ),
+    {_url_canon_ctes('duck')},
+    base_seen AS MATERIALIZED (
+      SELECT DISTINCT curl FROM canon
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    uwave AS MATERIALIZED (
+      SELECT doc_id, curl FROM canon
+      WHERE doc_id > (SELECT c FROM cut)
+    ),
+    wmin AS MATERIALIZED (
+      SELECT curl, MIN(doc_id) AS m FROM uwave GROUP BY curl
+    ),
+    wave AS MATERIALIZED (
+      SELECT doc_id, text,
+             (doc_id - (SELECT c FROM cut) - 1) // (SELECT s FROM sp) AS b
+      FROM documents
+      WHERE doc_id > (SELECT c FROM cut)
+    ),
+    base_md5 AS MATERIALIZED (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id <= (SELECT c FROM cut)
+    ),
+    breps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, MIN(text) AS txt
+      FROM documents WHERE doc_id <= (SELECT c FROM cut)
+      GROUP BY md5(text)
+    ),
+    bsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('txt'), src='breps')}
+    ),
+    wsh AS MATERIALIZED (
+      {_GATE_SHINGLE_DUCK.format(toks=tokens_sql('text'), src='wave')}
+    ),
+    bsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id
+    ),
+    wsz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM wsh GROUP BY doc_id
+    ),
+    pc AS MATERIALIZED (
+      SELECT w.doc_id AS wid, b.doc_id AS bid, COUNT(*) AS c
+      FROM wsh w JOIN bsh b ON w.h = b.h GROUP BY 1, 2
+    ),
+    near AS MATERIALIZED (
+      SELECT DISTINCT pc.wid FROM pc
+      JOIN wsz ON wsz.doc_id = pc.wid
+      JOIN bsz ON bsz.doc_id = pc.bid
+      WHERE 100 * pc.c >= {_VERIFY_TAU_E2} * (wsz.n + bsz.n - pc.c)
+    ),
+    pcw AS MATERIALIZED (
+      SELECT w.doc_id AS wid, b.doc_id AS bid, COUNT(*) AS c
+      FROM wsh w
+      JOIN wsh b ON w.h = b.h
+      JOIN wave ww ON ww.doc_id = w.doc_id
+      JOIN wave wb ON wb.doc_id = b.doc_id
+      WHERE wb.b < ww.b
+      GROUP BY 1, 2
+    ),
+    nearw AS MATERIALIZED (
+      SELECT DISTINCT pcw.wid FROM pcw
+      JOIN wsz wz ON wz.doc_id = pcw.wid
+      JOIN wsz bz ON bz.doc_id = pcw.bid
+      WHERE 100 * pcw.c >= {_VERIFY_TAU_E2} * (wz.n + bz.n - pcw.c)
+    ),
+    {_phash_sig_ctes()},
+    sigb AS MATERIALIZED (
+      SELECT p.doc_id, p.sig,
+             CASE WHEN p.doc_id <= (SELECT c FROM cut) THEN -1
+                  ELSE (p.doc_id - (SELECT c FROM cut) - 1)
+                       // (SELECT s FROM sp) END AS b
+      FROM ph_sig p
+    ),
+    mediadup AS MATERIALIZED (
+      SELECT DISTINCT w.doc_id FROM sigb w
+      JOIN sigb p
+        ON p.b < w.b
+       AND bit_count(xor(w.sig, p.sig)) <= {_MEDIA_TAU}
+      WHERE w.b >= 0
+    ),
+    {_xwave_sem_chain()}
+    SELECT w.doc_id,
+           (u.curl IN (SELECT curl FROM base_seen)
+            OR u.doc_id > wm.m) AS is_dup_url,
+           (md5(w.text) IN (SELECT h FROM base_md5)
+            OR EXISTS (SELECT 1 FROM wave w2
+                       WHERE w2.b < w.b
+                         AND md5(w2.text) = md5(w.text))) AS is_exact_dup,
+           (w.doc_id IN (SELECT wid FROM near)
+            OR w.doc_id IN (SELECT wid FROM nearw)) AS is_near_dup,
+           (w.doc_id IN (SELECT doc_id FROM mediadup)) AS is_media_dup,
+           (w.doc_id IN (SELECT wid FROM xdup)) AS is_semantic_dup
+    FROM wave w
+    JOIN uwave u ON u.doc_id = w.doc_id
+    JOIN wmin wm ON u.curl = wm.curl
+    ORDER BY w.doc_id ASC
+    """,
+)
+def stream_corpus_pipeline_xwave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-wave streaming corpus-prep pipeline (tier block above):
+    like `stream_corpus_pipeline`, but every gate — not just the URL
+    gate — carries per-run state, so a wave doc is judged against
+    base ∪ ALL earlier micro-batches of the run. Hash-checked against
+    DuckDB's order-independent from-scratch recomputation of all four
+    gate families under the batch assignment the doc_id-range feed
+    makes deterministic (batch = (doc_id - cut - 1) div span).
+
+    Exactly-once by idempotence: verdicts AND state commits are
+    per-batch overwrites; every state read takes STRICTLY-earlier
+    commits only (the r9 URL-gate replay lesson, now for all four gate
+    families), so a supervised replay of batch N sees exactly the pre-N
+    state — pinned by the replay-twice pytest. Per-batch read paths
+    stay O(1) per gate via the in-run fold arm.
+
+    Scale: identical per-batch shape to the base pipeline plus narrow
+    state unions (hashes, bands, 16-bit sigs, 9-number projections —
+    never wave text); a standing deployment folds completed runs back
+    into the persisted base stores with the maintenance refresh arms,
+    so per-run state stays wave-sized."""
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators.extensions import signature_bands
+    from mongodb_cdc_spark.operators.multimodal import phash_store_path
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+
+    url_seen_store = url_seen_store_path(spark, sf_dir, cut)
+    store_bands = signature_bands(
+        spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+    ).localCheckpoint(eager=True)
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    base_md5_l, bsh_l, bsz_l = _gate_setup_frames(spark, gate)
+    base_md5 = base_md5_l.localCheckpoint(eager=True)
+    bsh = bsh_l.localCheckpoint(eager=True)
+    bsz = bsz_l.localCheckpoint(eager=True)
+    base_sig_bands = _phash_band_rows(
+        spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
+            F.col("doc_id") <= cut
+        )
+    ).localCheckpoint(eager=True)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sem_base_narrow = (
+        spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
+        .select(
+            "vec_id",
+            "cluster",
+            *[f"s{k}" for k in range(_SEM_K)],
+            F.lit(False).alias("is_wave"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sem_base_emb = (
+        e.filter(F.col("vec_id") <= cut)
+        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
+        .localCheckpoint(eager=True)
+    )
+    sem_project = centroid_cosines_udf(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < _SEM_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("corpus_xwave_target")
+    url_target = new_scratch_dir("corpus_xwave_urlv")
+    url_seen_dir = new_scratch_dir("corpus_xwave_seen")
+    state_root = new_scratch_dir("corpus_xwave_state")
+    ckpt = new_scratch_dir("corpus_xwave_ckpt")
+    apply_batch = corpus_gate_xwave_applier(
+        url_seen_store,
+        url_target,
+        url_seen_dir,
+        base_md5,
+        store_bands,
+        bsh,
+        bsz,
+        base_sig_bands,
+        sem_base_narrow,
+        sem_base_emb,
+        sem_project,
+        emb,
+        target,
+        state_root,
+    )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "wave_*.parquet")
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select(
+            "doc_id",
+            "is_dup_url",
+            "is_exact_dup",
+            "is_near_dup",
+            "is_media_dup",
+            "is_semantic_dup",
+        )
+        .orderBy("doc_id")
+    )

@@ -930,3 +930,244 @@ def test_url_gate_fold_equals_unfolded_reads(spark, sf_dir, tmp_path):
     b3 = spark.read.parquet(os.path.join(feed, "wave_3.parquet"))
     apply_batch(b3, 3)
     assert verdicts(3) == v3
+
+
+def _xwave_fixture(spark, tmp_path):
+    """Synthetic fixtures for driving corpus_gate_xwave_applier
+    directly: a one-doc base corpus plus helper frames, and two wave
+    batches engineered so batch 1 contains an exact, a near, a media,
+    and a semantic duplicate of batch-0 docs that have NO base partner
+    — the cross-wave detections the sf fixtures barely exercise."""
+    import os
+
+    from pyspark.sql import Row
+
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators.curation import (
+        _SEM_K,
+        _sem_assign_case,
+        _phash_band_rows,
+        _sign_reps,
+    )
+    from mongodb_cdc_spark.operators.extensions import signature_bands
+    from mongodb_cdc_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        phash_signatures,
+    )
+    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text=base_text)], "doc_id bigint, text string"
+    )
+    base_md5 = base.select(F.md5("text").alias("h")).distinct()
+    reps = base.select("doc_id", "text")
+    store_bands = signature_bands(_sign_reps(reps))
+    bsh = (
+        reps.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+    )
+    bsz = bsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    base_sig_bands = _phash_band_rows(
+        base.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+        .mapInPandas(phash_signatures, PHASH_SCHEMA)
+    )
+    # embeddings: 4 orthogonal centroids (vec 0..3), one base vector (1),
+    # wave vectors 100.. near-parallel to doc 10's vector
+    dim = 64  # cosine_unrolled_sql is unrolled to the production dim
+
+    def v(i, scale=1.0):
+        e = [0.0] * dim
+        e[i % 4] = scale
+        return e
+
+    def v2(scale):  # docs 10 and 20 share a direction: cosine = 1.0
+        e = [0.0] * dim
+        e[0] = e[1] = scale
+        return e
+
+    emb_rows = [Row(vec_id=k, embedding=v(k)) for k in range(4)]
+    emb_rows += [
+        Row(vec_id=10, embedding=v2(1.0)),
+        Row(vec_id=20, embedding=v2(2.0)),
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    sem_project = centroid_cosines_udf(cents)
+    # base semantic store: the base vector is one of the centroids (vec 1)
+    sem_base_narrow = (
+        emb.filter(F.col("vec_id") == 1)
+        .select("vec_id", sem_project("embedding").alias("_s"))
+        .select(
+            "vec_id",
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_SEM_K)],
+        )
+        .withColumn("cluster", F.expr(_sem_assign_case()))
+        .select("vec_id", "cluster", "s0", "s1", "s2", "s3")
+        .withColumn("is_wave", F.lit(False))
+    )
+    sem_base_emb = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+    )
+
+    # wave batches: batch 0 docs 10,11; batch 1 docs 20,21
+    #  - doc 20: SAME text as doc 10 (cross-wave exact+near+media dup)
+    #    and same embedding direction (cross-wave semantic dup)
+    #  - doc 21: unique text, no vector
+    t10 = "completely novel wave content alpha beta gamma delta epsilon"
+    t11 = "unrelated filler text one two three four five six seven"
+    t21 = "another unique wave document zeta eta theta iota kappa"
+    # documents-shaped frames: the canonical URL is SYNTHESIZED from
+    # (source, lang, doc_id) by _url_canon_ctes, and all four doc_ids
+    # differ mod 211, so every wave doc gets a distinct fresh URL
+    b0 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=t10, lang="en", source="webx"),
+            Row(doc_id=11, text=t11, lang="en", source="webx"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=20, text=t10, lang="en", source="webx"),
+            Row(doc_id=21, text=t21, lang="en", source="webx"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    # base URL store: none of the wave URLs
+    seen_store = str(tmp_path / "seen_store")
+    spark.createDataFrame(
+        [Row(curl="http://base.example/")], "curl string"
+    ).write.parquet(seen_store)
+    dirs = {
+        "url_target": str(tmp_path / "urlv"),
+        "url_seen": str(tmp_path / "urlseen"),
+        "target": str(tmp_path / "target"),
+        "state": str(tmp_path / "state"),
+    }
+    os.makedirs(dirs["url_seen"])
+    return {
+        "base_md5": base_md5,
+        "store_bands": store_bands,
+        "bsh": bsh,
+        "bsz": bsz,
+        "base_sig_bands": base_sig_bands,
+        "sem_base_narrow": sem_base_narrow,
+        "sem_base_emb": sem_base_emb,
+        "sem_project": sem_project,
+        "emb": emb.select("vec_id", "embedding"),
+        "seen_store": seen_store,
+        "b0": b0,
+        "b1": b1,
+        **dirs,
+    }
+
+
+def test_xwave_applier_detects_cross_wave_dups(spark, tmp_path):
+    """A batch-1 doc duplicating a batch-0 doc (no base partner) must
+    trip ALL FOUR text/media/sem gates — the exact hole round-10's
+    VERDICT flagged (wave-vs-base-only gates pass it). Also pins that
+    batch 0 itself does NOT flip (its state is not its own input)."""
+    from mongodb_cdc_spark.operators.curation import (
+        corpus_gate_xwave_applier,
+    )
+
+    fx = _xwave_fixture(spark, tmp_path)
+    apply_batch = corpus_gate_xwave_applier(
+        fx["seen_store"],
+        fx["url_target"],
+        fx["url_seen"],
+        fx["base_md5"],
+        fx["store_bands"],
+        fx["bsh"],
+        fx["bsz"],
+        fx["base_sig_bands"],
+        fx["sem_base_narrow"],
+        fx["sem_base_emb"],
+        fx["sem_project"],
+        fx["emb"],
+        fx["target"],
+        fx["state"],
+    )
+    apply_batch(fx["b0"], 0)
+    apply_batch(fx["b1"], 1)
+
+    def verdicts(i):
+        return {
+            r.doc_id: r.asDict()
+            for r in spark.read.parquet(
+                f"{fx['target']}/batch={i}"
+            ).collect()
+        }
+
+    v0, v1 = verdicts(0), verdicts(1)
+    # batch 0: doc 10 is fresh everywhere (no base partner)
+    assert not v0[10]["is_exact_dup"]
+    assert not v0[10]["is_near_dup"]
+    assert not v0[10]["is_semantic_dup"]
+    assert not v0[10]["is_dup_url"]
+    # batch 1: doc 20 duplicates doc 10 across the wave boundary
+    assert v1[20]["is_exact_dup"], "cross-wave exact dup missed"
+    assert v1[20]["is_near_dup"], "cross-wave near dup missed"
+    assert v1[20]["is_media_dup"], "cross-wave media dup missed"
+    assert v1[20]["is_semantic_dup"], "cross-wave semantic dup missed"
+    assert not v1[20]["is_dup_url"], "distinct URL must not be a URL dup"
+    # doc 21 is unique: only gates with a genuine partner may fire
+    assert not v1[21]["is_exact_dup"]
+    assert not v1[21]["is_semantic_dup"]
+
+
+def test_xwave_applier_replay_sees_pre_batch_state(spark, tmp_path):
+    """The exactly-once contract for the four NEW state families (the
+    r9 URL-gate lesson generalized): replaying batch 1 with its own
+    verdict AND state commits already on disk must rewrite identical
+    verdicts — its own md5/band/shingle/phash/sem commits are never in
+    its read set (doc 20 would otherwise flip nothing here, but a
+    SELF-match would poison doc 21 in a corpus where 21 duplicated
+    20)."""
+    from mongodb_cdc_spark.operators.curation import (
+        corpus_gate_xwave_applier,
+    )
+
+    fx = _xwave_fixture(spark, tmp_path)
+    apply_batch = corpus_gate_xwave_applier(
+        fx["seen_store"],
+        fx["url_target"],
+        fx["url_seen"],
+        fx["base_md5"],
+        fx["store_bands"],
+        fx["bsh"],
+        fx["bsz"],
+        fx["base_sig_bands"],
+        fx["sem_base_narrow"],
+        fx["sem_base_emb"],
+        fx["sem_project"],
+        fx["emb"],
+        fx["target"],
+        fx["state"],
+    )
+    apply_batch(fx["b0"], 0)
+    apply_batch(fx["b1"], 1)
+
+    def verdicts(i):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(
+                f"{fx['target']}/batch={i}"
+            ).collect()
+        )
+
+    v0, v1 = verdicts(0), verdicts(1)
+    # replay batch 1 (state/verdict commits for batch 1 already exist)
+    apply_batch(fx["b1"], 1)
+    assert verdicts(1) == v1, "replay changed batch-1 verdicts"
+    # replay batch 0: batch 1's commits are LATER state — must be unread
+    apply_batch(fx["b0"], 0)
+    assert verdicts(0) == v0, "batch 0 read later-batch state on replay"
