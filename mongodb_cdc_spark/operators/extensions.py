@@ -554,6 +554,166 @@ def ext_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_REPLICAS = 10_000  # exact-copy arm: the k^2/2 blowup the collapse kills
+_SKEW_VARIANTS = 96  # distinct-text arm: > _MAX_BUCKET, trips the bucket cap
+
+
+def _capped_pairs_of(docs: DataFrame) -> DataFrame:
+    """The full collapse -> shingle -> sign -> capped-band-join pipeline
+    over an arbitrary (doc_id, text) frame — the same shared helpers the
+    sf-table path composes, parameterized so the skew-stress key can run
+    it over a synthetically skewed corpus."""
+    reps = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    tok = reps.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+    )
+    return candidate_pairs_from_signatures(
+        minhash_signatures_from_shingles(tok)
+    )
+
+
+@query(
+    "ext_dedup_skew_stress",
+    oracle=f"""
+    SELECT CAST({_SKEW_REPLICAS} AS BIGINT) AS n_exact_replicas,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents)
+                + {_SKEW_VARIANTS} AS BIGINT) AS n_reps_skew,
+           TRUE AS replica_rep_is_original,
+           CAST(0 AS BIGINT) AS variant_pairs,
+           TRUE AS variant_buckets_evicted,
+           CAST(0 AS BIGINT) AS base_pair_mismatches
+    """,
+)
+def ext_dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological-skew stress of the near-dup gate's two scale guards
+    (round-10 VERDICT next #5) — the boilerplate-page distribution no sf
+    fixture carries, synthesized INSIDE the query:
+
+    * **exact-copy arm**: one real document's text replicated
+      {_SKEW_REPLICAS}x under fresh doc_ids. Collapse-before-sign must
+      fold the whole group into its ORIGINAL representative
+      (`replica_rep_is_original`), so the LSH stage's input grows by
+      ZERO rows — the oracle recomputes the rep count independently
+      from md5 groups (`n_reps_skew`).
+    * **cap arm**: {_SKEW_VARIANTS} DISTINCT texts ("phrase" repeated
+      i+2 times) engineered to share one bigram-shingle SET — identical
+      minhash signatures, one LSH bucket per band of > _MAX_BUCKET
+      members. The bucket cap must evict those buckets
+      (`variant_buckets_evicted`), so the variants emit ZERO candidate
+      pairs (`variant_pairs`) instead of {_SKEW_VARIANTS}^2/2 — the
+      documented eviction semantics, stated by the oracle, not silently
+      sampled.
+    * **isolation**: the skewed corpus's real-real candidate pairs must
+      equal the unskewed corpus's pairs row for row
+      (`base_pair_mismatches` = a REAL full-outer mismatch count) —
+      10k replicas + 96 degenerate variants change NOTHING for everyone
+      else.
+
+    Scale: the replica arm costs one map-side-combinable md5 groupBy
+    over the skewed frame; the variant arm's eviction is the existing
+    `_MAX_BUCKET` filter doing its job. Pair cost stays
+    candidate-shaped throughout — the key exists to prove the k^2/2
+    blowup CANNOT come back silently."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    row = d.orderBy("doc_id").limit(1).collect()[0]
+    seed_id, seed_text = int(row["doc_id"]), row["text"]
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+
+    replicas = spark.range(_SKEW_REPLICAS).select(
+        (F.lit(max_id + 1) + F.col("id")).alias("doc_id"),
+        F.lit(seed_text).alias("text"),
+    )
+    phrase = "skewed boilerplate page"
+    variants = spark.range(_SKEW_VARIANTS).select(
+        (F.lit(max_id + 1 + _SKEW_REPLICAS) + F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_repeat(F.lit(phrase), (F.col("id") + 2).cast("int")),
+        ).alias("text"),
+    )
+    first_variant_id = max_id + 1 + _SKEW_REPLICAS
+    skewed = d.unionByName(replicas).unionByName(variants)
+
+    pairs_skew = _capped_pairs_of(skewed).localCheckpoint(eager=True)
+    pairs_base = _capped_pairs_of(d).localCheckpoint(eager=True)
+
+    n_reps_skew = int(
+        skewed.agg(F.countDistinct(F.md5("text"))).collect()[0][0]
+    )
+    rep_of_seed_group = int(
+        skewed.filter(F.md5("text") == F.md5(F.lit(seed_text)))
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    variant_pairs = int(
+        pairs_skew.filter(
+            (F.col("doc_a") >= first_variant_id)
+            & (F.col("doc_b") >= first_variant_id)
+        ).count()
+    )
+    # every band bucket holding a variant must exceed the cap (that is
+    # WHY variant_pairs is 0 — eviction, not luck): recompute the band
+    # table over the skewed reps and measure variant buckets directly
+    sreps = skewed.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
+    )
+    sbands = signature_bands(
+        minhash_signatures_from_shingles(
+            sreps.select("doc_id", tokens("text").alias("toks")).select(
+                "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+            )
+        )
+    )
+    vb = (
+        sbands.groupBy("band", "h")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.max(
+                (F.col("doc_id") >= first_variant_id).cast("int")
+            ).alias("has_variant"),
+        )
+        .filter(F.col("has_variant") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.min("sz"), F.lit(0)).alias("min_sz"),
+        )
+        .collect()[0]
+    )
+    variant_buckets_evicted = (
+        int(vb["n_buckets"]) > 0 and int(vb["min_sz"]) > _MAX_BUCKET
+    )
+    real_skew_pairs = pairs_skew.filter(
+        (F.col("doc_a") <= max_id) & (F.col("doc_b") <= max_id)
+    )
+    base_pair_mismatches = int(
+        real_skew_pairs.withColumn("l_present", F.lit(1))
+        .join(
+            pairs_base.withColumn("r_present", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                _SKEW_REPLICAS,
+                n_reps_skew,
+                rep_of_seed_group == seed_id,
+                variant_pairs,
+                variant_buckets_evicted,
+                base_pair_mismatches,
+            )
+        ],
+        "n_exact_replicas bigint, n_reps_skew bigint, "
+        "replica_rep_is_original boolean, variant_pairs bigint, "
+        "variant_buckets_evicted boolean, base_pair_mismatches bigint",
+    )
+
+
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature per doc (bit-wise majority vote
     over token hashes, computed as 64 conditional-sum aggregates — one

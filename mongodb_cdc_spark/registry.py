@@ -111,51 +111,89 @@ def load_all_operators() -> None:
 # keys, then three fresh untouched canaries from distinct tiers at the
 # window's end.
 DRIVER_KEY_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-10 WINDOW (rotated at round start per the frozen rule):
-    #     no r9 gate misses (CORRECTNESS_r09 was 50/50); positions 1-2
-    #     the round-10 behavior-changed/new keys so far (the URL-gate
-    #     replay fix + its new compaction arm — additions insert here,
-    #     above the canaries, as they land); then the OLDEST-driver-row
-    #     keys (VERDICT r9 next #2): every key whose latest driver row
-    #     is round 1 — all 38 of them, predating the filters/scalars/
-    #     aggregates reorganizations — plus the oldest r2 rows as
-    #     filler while the addition budget is unspent; then three fresh
-    #     canaries from tiers never previously canaried (reshape /
-    #     subqueries / multimodal — r5 used agg/cdc/dedup, r6
+    # --- ROUND-11 WINDOW (rotated per the frozen rule): no r10 gate
+    #     misses (CORRECTNESS_r10 was 50/50); positions 1-8 the
+    #     round-11 additions/behavior-changed keys (the cross-wave
+    #     pipeline + skew-stress key, the IVM top-k TakeOrdered rank
+    #     rewrite, the fold-read-path change shared by the URL gate and
+    #     both pipelines, and the staged feed builds); then the entire
+    #     r1-era cohort (10 keys) and the oldest r2-era rows with the
+    #     VERDICT-r10-named stale keys first (cdc_* composites, batch
+    #     stream_* windows, sinks/source, ext_text_*, the UDF trio,
+    #     cosine top-k, multimodal join); then three fresh canaries
+    #     from tiers never previously canaried (maintenance / lateral
+    #     SQL / regression stats — r5 used agg/cdc/dedup, r6
     #     win/stream/udf, r7 joins/agg/scalars, r8 filters/sorts/
-    #     setops), themselves r2-era rows so the canary slots also
-    #     refresh stale rows. Keys past the canaries are the ROUND-11
-    #     overflow. Duplicates further down the tuple are harmless
-    #     (driver_ordered's dict comprehension keeps first position).
-    "maintenance_url_seen_refresh",
+    #     setops, r10 reshape/subqueries/multimodal), themselves
+    #     r3-era rows so the canary slots also refresh stale rows.
+    #     Keys past the canaries are the ROUND-12 overflow (the
+    #     remaining r2-era rows lead it by construction of the r10
+    #     front, which this rotation preserves order-wise).
+    "stream_corpus_pipeline_xwave",
+    "ext_dedup_skew_stress",
+    "cdc_ivm_topk",
+    "cdc_ivm_topk_tombstone",
     "stream_url_dedup_ingest",
-    # --- round-10 additions insert here, above the r1-era block ---
-    # DCT pHash rewrite (behavior-changed) + its store lifecycle
+    "stream_corpus_pipeline",
+    "stream_phash_ingest",
+    "stream_bitext_ingest",
+    "agg_argmax_struct",
+    "agg_cube",
+    "fn_bitwise",
+    "fn_date",
+    "fn_hashes",
+    "fn_interval_arith",
+    "fn_map",
+    "fn_math",
+    "fn_string_regex",
+    "join_cross",
+    "source_changefeed",
+    "sink_upsert_foreachbatch",
+    "sink_append_parquet",
+    "cdc_checkpoint_lag",
+    "cdc_diff_fieldwise",
+    "cdc_diff_missing",
+    "cdc_window_audit",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_stateful_upsert",
+    "ext_text_wordcount",
+    "ext_text_lang_stats",
+    "ext_sim_cosine_topk",
+    "ext_multimodal_join",
+    "udf_python_scalar",
+    "udaf_grouped_weighted_avg",
+    "udtf_explode_range",
+    "ext_text_langid",
+    "ext_text_ngrams",
+    "ext_text_quality",
+    "ext_text_tokens",
+    "ext_text_fingerprint",
+    "agg_approx_count_distinct",
+    "agg_approx_quantiles",
+    "agg_collect_sorted",
+    "agg_median_disc",
+    "agg_pivot",
+    "maintenance_compact",
+    "sql_lateral_topn",
+    "agg_corr_regression",
+    "maintenance_url_seen_refresh",
     "mm_blob_dedup_phash",
     "maintenance_phash_store",
     "maintenance_phash_refresh",
     "mm_blob_dedup_phash_from_store",
-    # unified three-gate streaming corpus-prep pipeline
-    "stream_corpus_pipeline",
-    # semantic frontier gate from the persisted base rank store
     "stream_semantic_dedup_ingest",
-    # OCR-layout block features + the bitext EN-candidate store tier
     "mm_ocr_block_features",
     "maintenance_bitext_store",
     "maintenance_bitext_refresh",
     "ext_bitext_mine_from_store",
-    # store-quartet completion (URL seen audit; sem rank audit + IVM)
     "maintenance_url_seen_store",
     "maintenance_sem_rank_store",
     "maintenance_sem_rank_refresh",
-    # streaming media-signature ingest (converges to the batch store)
-    "stream_phash_ingest",
-    # streaming EN-candidate ingest (converges to the bitext store)
-    "stream_bitext_ingest",
-    # bitext recall certification (nprobe=1 and the multiprobe lever)
     "ext_bitext_recall_eval",
     "ext_bitext_multiprobe_recall",
-    # --- oldest driver rows: the full r1 cohort (38 keys) ---
     "scan_parquet",
     "project_select",
     "filter_optype_isin",
@@ -184,40 +222,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_array",
     "fn_conditional",
     "fn_cast_decimal",
-    # --- round-10 canaries (untouched; reshape/subqueries/multimodal
-    #     tiers, themselves r2-era rows) ---
     "reshape_unpivot",
     "sql_in_subquery",
     "mm_decode_features",
-    # --- round-11 overflow head: the r1/r2-era keys the round-10
-    #     additions displaced from the live window ---
-    "fn_string_regex",
-    "fn_map",
-    "fn_date",
-    "fn_math",
-    "agg_cube",
-    "join_cross",
-    "agg_argmax_struct",
-    "fn_bitwise",
-    "fn_hashes",
-    "fn_interval_arith",
-    "agg_approx_count_distinct",
-    # --- ROUND-8 WINDOW (rotated at round start per the frozen rule
-    #     below): position 1 the single r7 gate miss
-    #     (ext_sim_ivfpq_recall_eval, oracle OOM — oracle hardened with
-    #     AS MATERIALIZED this round); positions 2-15 the 14 keys whose
-    #     oracles/plans changed this round (the MATERIALIZED-CTE audit
-    #     sweep, tools/audit_oracle_ctes.py, + stat_bootstrap_ci's
-    #     sign-robust shifted division); then three fresh cross-round
-    #     canaries from tiers never previously canaried
-    #     (filters / sorts / setops — r5 used agg/cdc/dedup, r6
-    #     win/stream/udf, r7 joins/agg/scalars). Round-8 ADDITIONS
-    #     insert BEFORE the canaries as they land (window stays <= 50);
-    #     overflow past the canaries becomes the ROUND-9 WINDOW: round 9
-    #     fronts any round-8 gate misses, then round-8 additions /
-    #     behavior-changed keys, then three fresh canaries at the
-    #     window end. The driver budget (~50 rows) re-covers the
-    #     already-green keys behind the live window.
     "ext_sim_ivfpq_recall_eval",
     "ext_sim_ivfpq_rerank",
     "ext_sim_ann_from_store",
@@ -233,7 +240,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_semantic_window_recall",
     "ml_kmeans_refine",
     "stat_bootstrap_ci",
-    # --- round-8 additions (insert new keys here, above the canaries) ---
     "maintenance_postings_store",
     "ext_rank_bm25_from_store",
     "stream_dedup_minhash",
@@ -245,27 +251,19 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_quantile_partials",
     "ext_embed_quantize_int8",
     "mm_audio_window_features",
-    "cdc_ivm_topk",
     "maintenance_rebucket",
     "graph_link_predict_from_store",
     "win_time_range_frame",
     "stat_permutation_test",
-    # --- round-9 additions (frozen rule: insert BEFORE the canaries;
-    #     the round-8 window above is intentionally NOT rotated out —
-    #     CORRECTNESS_r08 came back empty, so every r8 key above still
-    #     awaits its first real driver row; window stays <= 50) ---
     "maintenance_dedup_gate_store",
     "stream_postings_ingest",
-    "cdc_ivm_topk_tombstone",
     "mm_image_window_features",
     "ext_dedup_url_canonical",
     "ext_rerank_hard_pair_mine",
     "maintenance_dedup_gate_refresh",
     "mm_video_scene_cut",
     "ext_embed_matryoshka_eval",
-    "mm_blob_dedup_phash",
     "cdc_ivm_distinct",
-    "stream_url_dedup_ingest",
     "filter_compound_pred",
     "sort_multikey",
     "set_intersect",

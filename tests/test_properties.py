@@ -1374,3 +1374,47 @@ def test_url_ingest_gate_min_wins(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_skew_variant_bucket_eviction_counts(spark):
+    """Pin the bucket-cap eviction arithmetic the skew-stress key relies
+    on: the _SKEW_VARIANTS repeat-texts share ONE bigram-shingle set, so
+    the band table must hold EXACTLY _MINHASH_BANDS variant buckets
+    (one per band — identical signatures), every one of size
+    _SKEW_VARIANTS > _MAX_BUCKET, and the capped pair join must emit
+    zero pairs among them."""
+    from pyspark.sql import functions as F
+
+    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
+    from mongodb_cdc_spark.operators.extensions import (
+        _MAX_BUCKET,
+        _MINHASH_BANDS,
+        _SKEW_VARIANTS,
+        candidate_pairs_from_signatures,
+        minhash_signatures_from_shingles,
+        signature_bands,
+    )
+
+    phrase = "skewed boilerplate page"
+    variants = spark.range(_SKEW_VARIANTS).select(
+        (F.lit(1000) + F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_repeat(F.lit(phrase), (F.col("id") + 2).cast("int")),
+        ).alias("text"),
+    )
+    mins = minhash_signatures_from_shingles(
+        variants.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+        )
+    )
+    buckets = (
+        signature_bands(mins)
+        .groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .collect()
+    )
+    assert len(buckets) == _MINHASH_BANDS, buckets
+    assert all(b.sz == _SKEW_VARIANTS for b in buckets), buckets
+    assert _SKEW_VARIANTS > _MAX_BUCKET
+    assert candidate_pairs_from_signatures(mins).count() == 0
