@@ -865,3 +865,18 @@ def test_phash_from_store_zero_blob_reads(spark, sf_dir):
         for r in QUERIES["mm_blob_dedup_phash"](spark, sf_dir).collect()
     ]
     assert from_store == from_blobs
+
+
+def test_sort_multikey_input_is_dimension_scale(spark, sf_dir):
+    """sort_multikey's global (unpartitioned) rank window is acceptable
+    ONLY because its input is the supplier DIMENSION (docstring
+    contract). Pin that contract in the plan: the scan under the window
+    must read supplier, and no fact-table scan (lineitem / orders /
+    events / documents) may appear anywhere in the plan — a refactor
+    pointing this operator at a fact table would reintroduce the
+    single-task global sort the docstring forbids."""
+    df = QUERIES["sort_multikey"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "supplier" in plan, plan
+    for fact in ("lineitem", "orders", "events", "documents"):
+        assert fact not in plan, f"fact scan {fact} under a global window"

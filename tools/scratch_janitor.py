@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mongodb_cdc_spark.sources.changefeed import scratch_root  # noqa: E402
 
 UUID_DIR = re.compile(r"^.+_[0-9a-f]{12}$")
+# a store build that crashed between write and publish leaves its
+# private stage dir behind (`<store>.stage-<8-hex>`); new_stage reclaims
+# stale siblings of the SAME store on the next build, but a store never
+# rebuilt again would keep its orphan forever — sweep them here too
+STAGE_DIR = re.compile(r"^.+\.stage-[0-9a-f]{8}$")
 
 
 def main() -> None:
@@ -45,7 +50,7 @@ def main() -> None:
     cutoff = time.time() - age_h * 3600
     n, freed = 0, 0
     for name in os.listdir(root):
-        if not UUID_DIR.match(name):
+        if not (UUID_DIR.match(name) or STAGE_DIR.match(name)):
             continue
         path = os.path.join(root, name)
         if not os.path.isdir(path):
