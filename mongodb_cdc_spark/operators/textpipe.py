@@ -167,6 +167,269 @@ def ext_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Decontamination gate tier (round 11): the STREAMING arm of the
+# contamination check above. `ext_split_contamination` audits a static
+# corpus after the fact; a production pretraining pipeline instead gates
+# every INCOMING train-split document against a persisted eval-set
+# shingle store before it can enter the corpus — same 24-char/stride-8
+# gram geometry (detector, decontaminator, and gate MUST agree), served
+# as a store quartet: build+audit / refresh / streaming serve.
+# --------------------------------------------------------------------------
+
+
+def eval_gram_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, stage-then-rename) the eval-split gram store: the
+    DISTINCT 16-hex strided shingles of held-out docs (bucket >= 95) —
+    the artifact a standing ingest keeps hot. 16 bytes per distinct
+    eval shingle; the eval split is ~5% of the corpus, so the store is
+    benchmark-sized, not corpus-sized."""
+    import os as _os
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"evalgrams_{sf_name}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", _split_bucket().alias("bucket")
+        )
+        grams = (
+            _shingle_grams(d)
+            .filter(F.col("bucket") >= 95)
+            .select("gram")
+            .distinct()
+        )
+        stage = new_stage(path)
+        grams.write.mode("overwrite").parquet(stage)
+        publish_store(stage, path)
+    return path
+
+
+@query(
+    "maintenance_evalgram_store",
+    oracle=f"""
+    WITH {_grams_cte()},
+    eg AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams WHERE bucket >= 95
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM eg) AS n_grams,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM docs WHERE bucket >= 95)
+        AS n_eval_docs,
+      (SELECT CAST(SUM(CAST(('0x' || substring(gram, 1, 8)) AS BIGINT))
+              AS BIGINT) FROM eg) AS gram_checksum
+    """,
+)
+def maintenance_evalgram_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persist the eval-split gram store (`eval_gram_store_path`) and
+    read back a full-store audit row hash-checked against DuckDB's
+    from-scratch shingling of the held-out docs: distinct-gram
+    cardinality, eval-doc count, and an exact 32-bit-prefix SUM
+    checksum over the distinct grams (a single drifted shingle anywhere
+    breaks it). Scale: the audit aggregates the narrow store column
+    only — eval text is read once at build."""
+    store = spark.read.parquet(eval_gram_store_path(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _split_bucket().alias("bucket")
+    )
+    a_g = store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.conv(F.substring("gram", 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("gram_checksum"),
+    )
+    a_d = d.filter(F.col("bucket") >= 95).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_docs")
+    )
+    return a_g.crossJoin(F.broadcast(a_d)).select(
+        "n_grams", "n_eval_docs", "gram_checksum"
+    )
+
+
+@query(
+    "maintenance_evalgram_refresh",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_grams_cte()},
+    store2 AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams
+      WHERE bucket >= 95 AND doc_id <= (SELECT c FROM cut)
+    ),
+    wave_new AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams
+      WHERE bucket >= 95 AND doc_id > (SELECT c FROM cut)
+        AND gram NOT IN (SELECT gram FROM store2)
+    ),
+    full_eg AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams WHERE bucket >= 95
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM store2) AS n_store,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM wave_new) AS n_wave_new,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM full_eg) AS n_merged,
+      CAST(0 AS BIGINT) AS merge_mismatches
+    """,
+)
+def maintenance_evalgram_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental eval-gram-store refresh, verified against the full
+    build — the `maintenance_url_seen_refresh` wave algebra applied to
+    the decontamination tier: a NEW benchmark's docs (the eval-split
+    slice above the 90th-percentile doc_id standing in for it) refresh
+    the store by anti-join + blind union (gram sets are append-only —
+    a benchmark shingle never un-publishes), and the merged store must
+    equal the from-scratch build over the whole eval split row for
+    row — ``merge_mismatches`` is a REAL full-outer mismatch count,
+    hash-checked at 0.
+
+    Scale: steady-state refresh shingles NEW benchmark text only; the
+    union is append-shaped (keys disjoint by the anti-join)."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    g = _shingle_grams(
+        d.select("doc_id", "lang", "text", _split_bucket().alias("bucket"))
+    ).filter(F.col("bucket") >= 95)
+    store2 = (
+        g.filter(F.col("doc_id") <= cut).select("gram").distinct()
+    )
+    wave_new = (
+        g.filter(F.col("doc_id") > cut)
+        .select("gram")
+        .distinct()
+        .join(store2, "gram", "left_anti")
+    )
+    merged = store2.unionByName(wave_new)
+    full = spark.read.parquet(eval_gram_store_path(spark, sf_dir))
+    mism = (
+        merged.withColumn("l_present", F.lit(1))
+        .join(full.withColumn("r_present", F.lit(1)), ["gram"], "full_outer")
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("merge_mismatches"))
+    )
+    return (
+        store2.agg(F.count(F.lit(1)).cast("bigint").alias("n_store"))
+        .crossJoin(
+            F.broadcast(
+                wave_new.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_wave_new")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(F.count(F.lit(1)).cast("bigint").alias("n_merged"))
+            )
+        )
+        .crossJoin(F.broadcast(mism))
+        .select("n_store", "n_wave_new", "n_merged", "merge_mismatches")
+    )
+
+
+@query(
+    "stream_decontam_ingest",
+    oracle=f"""
+    WITH cut AS MATERIALIZED (
+      SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+    ),
+    {_grams_cte()},
+    eval_grams AS MATERIALIZED (
+      SELECT DISTINCT gram FROM grams WHERE bucket >= 95
+    ),
+    wave_train AS MATERIALIZED (
+      SELECT doc_id FROM docs
+      WHERE doc_id > (SELECT c FROM cut) AND bucket < 90
+    ),
+    hits AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id > (SELECT c FROM cut) AND bucket < 90
+        AND gram IN (SELECT gram FROM eval_grams)
+    )
+    SELECT w.doc_id,
+           (w.doc_id IN (SELECT doc_id FROM hits)) AS is_contaminated
+    FROM wave_train w ORDER BY w.doc_id ASC
+    """,
+)
+def stream_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination ingest gate (tier block above): drain
+    the doc_id-ordered wave feed through foreachBatch; each micro-batch
+    keeps its TRAIN-split docs (bucket < 90 — eval docs never enter the
+    training corpus, so they are not gated against themselves), shingles
+    them with the shared 24/8 gram geometry, and flags any doc sharing a
+    shingle with the persisted eval gram store. Hash-checked against
+    DuckDB's from-scratch recomputation. Verdicts are store-only (no
+    cross-batch state), so batching and replay cannot change them —
+    exactly-once by idempotent per-batch overwrites.
+
+    Scale: per batch, one codegen shingle pass over batch text + one
+    left-semi join against the benchmark-sized gram store (broadcastable
+    at any corpus scale: the store grows with BENCHMARKS, not the
+    corpus); zero eval text read per wave once the store exists."""
+    from mongodb_cdc_spark.operators.curation import _url_wave_feed
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    store = spark.read.parquet(
+        eval_gram_store_path(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    wave_schema = d.schema
+    target = new_scratch_dir("decontam_target")
+    ckpt = new_scratch_dir("decontam_ckpt")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        bt = bdf.select(
+            "doc_id", "lang", "text", _split_bucket().alias("bucket")
+        ).filter(F.col("bucket") < 90)
+        hits = (
+            _shingle_grams(bt)
+            .join(store, "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        (
+            bt.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("hit", F.lit(False)).alias("is_contaminated"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(wave_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "wave_*.parquet")
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select("doc_id", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
 # Per-language sampling rates in basis points (of 10_000). A real pipeline
 # would load these from config; the operator's point is the deterministic
 # threshold mechanism, with the rate table joined as a broadcast dim.

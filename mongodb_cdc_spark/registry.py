@@ -173,12 +173,18 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_text_fingerprint",
     "agg_approx_count_distinct",
     "agg_approx_quantiles",
-    "agg_collect_sorted",
-    "agg_median_disc",
-    "agg_pivot",
+    # round-11 additions (decontamination gate tier), inserted above
+    # the canaries per the frozen rule; the three displaced r2-era
+    # filler keys move just past the canaries into the round-12 front
+    "maintenance_evalgram_store",
+    "maintenance_evalgram_refresh",
+    "stream_decontam_ingest",
     "maintenance_compact",
     "sql_lateral_topn",
     "agg_corr_regression",
+    "agg_collect_sorted",
+    "agg_median_disc",
+    "agg_pivot",
     "maintenance_url_seen_refresh",
     "mm_blob_dedup_phash",
     "maintenance_phash_store",
