@@ -238,6 +238,12 @@ HEADLINE = [
     ("stream_bitext_ingest", None),
     ("ext_bitext_recall_eval", None),
     ("ext_bitext_multiprobe_recall", None),
+    # round-11 additions
+    ("stream_corpus_pipeline_xwave", None),
+    ("ext_dedup_skew_stress", None),
+    ("maintenance_evalgram_store", None),
+    ("maintenance_evalgram_refresh", None),
+    ("stream_decontam_ingest", None),
 ]
 
 
