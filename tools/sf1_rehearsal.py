@@ -260,6 +260,13 @@ HEAVY = [
     "mm_blob_dedup_phash",
     "cdc_ivm_distinct",
     "stream_url_dedup_ingest",
+    # round-11 tier
+    "stream_corpus_pipeline_xwave",
+    "ext_dedup_skew_stress",
+    "maintenance_evalgram_store",
+    "maintenance_evalgram_refresh",
+    "stream_decontam_ingest",
+    "cdc_ivm_topk",
 ]
 
 
