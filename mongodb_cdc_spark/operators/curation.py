@@ -3933,14 +3933,21 @@ def maintenance_sem_rank_refresh(
 # to all four gate families. This is the reference's resume-state
 # discipline (js:93-117) carried from the offset tier into curation.
 #
-# Semantics (and the oracle's exact recomputation): a wave doc in
-# micro-batch N is a duplicate iff a partner exists in
-# base ∪ {docs of batches < N}. Batch membership is DETERMINISTIC:
-# the wave feed is doc_id-range files replayed in range order
-# (`_url_wave_feed`), so batch(doc) = (doc_id - cut - 1) div span with
-# span = (max_id - cut + 4) div 4 — the oracle reconstructs the batch
-# assignment from doc_id alone and recomputes all four gates from
-# scratch, order-independently, in DuckDB.
+# Semantics (and the oracle's exact recomputation): pure
+# FIRST-SEEN-WINS for the exact/near/media gates — a wave doc is a
+# duplicate iff a partner exists with a strictly smaller doc_id
+# (base, an earlier batch, or the SAME batch: in-batch arms give
+# same-batch smaller-id partners the identical treatment, matching the
+# URL gate's min-wins window), which makes those three verdicts
+# independent of how the stream batches. The SEMANTIC gate alone is
+# batch-granular (partners = base ∪ batches < N): its insertion-window
+# candidate scheme is defined against a FIXED ranking, so same-batch
+# vectors join the ranking at the next batch boundary. Batch
+# membership is DETERMINISTIC: the wave feed is doc_id-range files
+# replayed in range order (`_url_wave_feed`), so batch(doc) =
+# (doc_id - cut - 1) div span with span = (max_id - cut + 4) div 4 —
+# the oracle reconstructs it from doc_id alone and recomputes all four
+# gates from scratch in DuckDB.
 # --------------------------------------------------------------------------
 
 
@@ -4021,9 +4028,32 @@ def corpus_gate_xwave_applier(
         return base if state is None else base.unionByName(state)
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        from mongodb_cdc_spark.operators.extensions import (
+            candidate_pairs_from_signatures,
+            signature_bands,
+        )
+
         s = bdf.sparkSession
         url_apply(bdf, batch_id)
         url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
+        # batch reps + their shingles/sizes/signatures: computed ONCE,
+        # consumed by the in-batch arms AND the state commits below
+        reps = bdf.groupBy(F.md5("text").alias("mh")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("text").alias("text"),
+        )
+        rmins = _sign_reps(reps).localCheckpoint(eager=True)
+        rsh = (
+            reps.select("doc_id", tokens("text").alias("toks"))
+            .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
+            .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        rsz = rsh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).localCheckpoint(eager=True)
         # --- text gates against base ∪ earlier waves ---
         txt_v = text_gate_verdicts(
             bdf,
@@ -4031,6 +4061,63 @@ def corpus_gate_xwave_applier(
             with_state(store_bands, read_state(s, "bands", batch_id)),
             with_state(bsh, read_state(s, "shingles", batch_id)),
             with_state(bsz, read_state(s, "sizes", batch_id)),
+        )
+        # --- in-batch text arms (pure first-seen-wins: a SAME-batch
+        # smaller-doc_id partner counts exactly like an earlier-batch
+        # one) ---
+        # exact: min-doc_id-wins window inside the batch
+        inb = bdf.select(
+            "doc_id", F.md5("text").alias("mh")
+        ).withColumn("m", F.min("doc_id").over(Window.partitionBy("mh")))
+        inb_exact = (
+            inb.filter(F.col("doc_id") > F.col("m"))
+            .select("doc_id")
+            .withColumn("xb", F.lit(True))
+        )
+        # near, distinct-text: capped banded rep pairs, exact-Jaccard
+        # verified; the (doc_a < doc_b) convention flags the LARGER id
+        rp = candidate_pairs_from_signatures(rmins)
+        pc_b = (
+            rp.join(rsh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(
+                rsh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "h", "hb"
+                ),
+                "doc_b",
+            )
+            .filter(F.col("h") == F.col("hb"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        near_rep = (
+            pc_b.join(rsz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(
+                rsz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "n", "nb"
+                ),
+                "doc_b",
+            )
+            .filter(
+                100 * F.col("c")
+                >= _VERIFY_TAU_E2 * (F.col("n") + F.col("nb") - F.col("c"))
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        # near, identical-text: a non-rep doc's rep is an identical-text
+        # smaller-id partner (J = 1) whenever the text has shingles
+        near_dup_text = inb_exact.select("doc_id").join(
+            inb.join(
+                rsz.select(F.col("doc_id").alias("rep_id")),
+                F.col("m") == F.col("rep_id"),
+                "left_semi",
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        near_b = (
+            near_rep.unionByName(near_dup_text)
+            .distinct()
+            .withColumn("nb2", F.lit(True))
         )
         # --- media gate ---
         wsig = (
@@ -4044,17 +4131,23 @@ def corpus_gate_xwave_applier(
             if st_ph is None
             else base_sig_bands.unionByName(_phash_band_rows(st_ph))
         )
-        wb = _phash_band_rows(wsig).select(
+        wbands = _phash_band_rows(wsig)
+        wb = wbands.select(
             F.col("bid").alias("wid"),
             F.col("sig_b").alias("sig_w"),
             "band",
             "nib",
         )
+        # in-batch arm: same-batch smaller-id partners via the same
+        # nibble-band join (bid < wid keeps first-seen-wins)
         media = (
-            wb.join(eff_ph, ["band", "nib"])
+            wb.join(eff_ph.unionByName(wbands), ["band", "nib"])
             .filter(
-                F.bit_count(F.col("sig_w").bitwiseXOR(F.col("sig_b")))
-                <= _PH_TAU
+                (F.col("bid") < F.col("wid"))
+                & (
+                    F.bit_count(F.col("sig_w").bitwiseXOR(F.col("sig_b")))
+                    <= _PH_TAU
+                )
             )
             .select("wid")
             .distinct()
@@ -4084,13 +4177,21 @@ def corpus_gate_xwave_applier(
             bdf.select("doc_id")
             .join(url_v, "doc_id")
             .join(txt_v, "doc_id")
+            .join(inb_exact, "doc_id", "left")
+            .join(near_b, "doc_id", "left")
             .join(media, "doc_id", "left")
             .join(sem_v, "doc_id", "left")
             .select(
                 "doc_id",
                 "is_dup_url",
-                "is_exact_dup",
-                "is_near_dup",
+                (
+                    F.col("is_exact_dup")
+                    | F.coalesce("xb", F.lit(False))
+                ).alias("is_exact_dup"),
+                (
+                    F.col("is_near_dup")
+                    | F.coalesce("nb2", F.lit(False))
+                ).alias("is_near_dup"),
                 F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
                 F.coalesce("is_semantic_dup", F.lit(False)).alias(
                     "is_semantic_dup"
@@ -4102,27 +4203,15 @@ def corpus_gate_xwave_applier(
         bdf.select(F.md5("text").alias("h")).distinct().write.mode(
             "overwrite"
         ).parquet(f"{dirs['md5']}/batch={batch_id}")
-        reps = bdf.groupBy(F.md5("text").alias("mh")).agg(
-            F.min("doc_id").alias("doc_id"),
-            F.any_value("text").alias("text"),
-        )
-        from mongodb_cdc_spark.operators.extensions import signature_bands
-
-        signature_bands(_sign_reps(reps)).write.mode("overwrite").parquet(
+        signature_bands(rmins).write.mode("overwrite").parquet(
             f"{dirs['bands']}/batch={batch_id}"
-        )
-        rsh = (
-            reps.select("doc_id", tokens("text").alias("toks"))
-            .select("doc_id", F.explode(bigram_shingles("toks")).alias("g"))
-            .select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
-            .localCheckpoint(eager=True)
         )
         rsh.write.mode("overwrite").parquet(
             f"{dirs['shingles']}/batch={batch_id}"
         )
-        rsh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n")
-        ).write.mode("overwrite").parquet(f"{dirs['sizes']}/batch={batch_id}")
+        rsz.write.mode("overwrite").parquet(
+            f"{dirs['sizes']}/batch={batch_id}"
+        )
         wsig.write.mode("overwrite").parquet(
             f"{dirs['phash']}/batch={batch_id}"
         )
@@ -4290,10 +4379,7 @@ def _xwave_sem_chain() -> str:
     pcw AS MATERIALIZED (
       SELECT w.doc_id AS wid, b.doc_id AS bid, COUNT(*) AS c
       FROM wsh w
-      JOIN wsh b ON w.h = b.h
-      JOIN wave ww ON ww.doc_id = w.doc_id
-      JOIN wave wb ON wb.doc_id = b.doc_id
-      WHERE wb.b < ww.b
+      JOIN wsh b ON w.h = b.h AND b.doc_id < w.doc_id
       GROUP BY 1, 2
     ),
     nearw AS MATERIALIZED (
@@ -4303,19 +4389,12 @@ def _xwave_sem_chain() -> str:
       WHERE 100 * pcw.c >= {_VERIFY_TAU_E2} * (wz.n + bz.n - pcw.c)
     ),
     {_phash_sig_ctes()},
-    sigb AS MATERIALIZED (
-      SELECT p.doc_id, p.sig,
-             CASE WHEN p.doc_id <= (SELECT c FROM cut) THEN -1
-                  ELSE (p.doc_id - (SELECT c FROM cut) - 1)
-                       // (SELECT s FROM sp) END AS b
-      FROM ph_sig p
-    ),
     mediadup AS MATERIALIZED (
-      SELECT DISTINCT w.doc_id FROM sigb w
-      JOIN sigb p
-        ON p.b < w.b
+      SELECT DISTINCT w.doc_id FROM ph_sig w
+      JOIN ph_sig p
+        ON p.doc_id < w.doc_id
        AND bit_count(xor(w.sig, p.sig)) <= {_MEDIA_TAU}
-      WHERE w.b >= 0
+      WHERE w.doc_id > (SELECT c FROM cut)
     ),
     {_xwave_sem_chain()}
     SELECT w.doc_id,
@@ -4323,7 +4402,7 @@ def _xwave_sem_chain() -> str:
             OR u.doc_id > wm.m) AS is_dup_url,
            (md5(w.text) IN (SELECT h FROM base_md5)
             OR EXISTS (SELECT 1 FROM wave w2
-                       WHERE w2.b < w.b
+                       WHERE w2.doc_id < w.doc_id
                          AND md5(w2.text) = md5(w.text))) AS is_exact_dup,
            (w.doc_id IN (SELECT wid FROM near)
             OR w.doc_id IN (SELECT wid FROM nearw)) AS is_near_dup,
@@ -4338,9 +4417,11 @@ def _xwave_sem_chain() -> str:
 def stream_corpus_pipeline_xwave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-wave streaming corpus-prep pipeline (tier block above):
     like `stream_corpus_pipeline`, but every gate — not just the URL
-    gate — carries per-run state, so a wave doc is judged against
-    base ∪ ALL earlier micro-batches of the run. Hash-checked against
-    DuckDB's order-independent from-scratch recomputation of all four
+    gate — carries per-run state, so a wave doc is judged against all
+    STRICTLY-SMALLER doc_ids: base ∪ earlier micro-batches ∪ its own
+    batch's earlier docs (pure first-seen-wins for exact/near/media;
+    the semantic gate is batch-granular, tier block above). Hash-
+    checked against DuckDB's from-scratch recomputation of all four
     gate families under the batch assignment the doc_id-range feed
     makes deterministic (batch = (doc_id - cut - 1) div span).
 

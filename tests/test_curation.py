@@ -1035,10 +1035,14 @@ def _xwave_fixture(spark, tmp_path):
         ],
         "doc_id bigint, text string, lang string, source string",
     )
+    # doc 22 duplicates doc 21 inside the SAME batch — the in-batch
+    # first-seen-wins arms must flag it (exact/near/media), not just
+    # the cross-batch state path
     b1 = spark.createDataFrame(
         [
             Row(doc_id=20, text=t10, lang="en", source="webx"),
             Row(doc_id=21, text=t21, lang="en", source="webx"),
+            Row(doc_id=22, text=t21, lang="en", source="webx"),
         ],
         "doc_id bigint, text string, lang string, source string",
     )
@@ -1120,9 +1124,16 @@ def test_xwave_applier_detects_cross_wave_dups(spark, tmp_path):
     assert v1[20]["is_media_dup"], "cross-wave media dup missed"
     assert v1[20]["is_semantic_dup"], "cross-wave semantic dup missed"
     assert not v1[20]["is_dup_url"], "distinct URL must not be a URL dup"
-    # doc 21 is unique: only gates with a genuine partner may fire
+    # doc 21 is first-seen: only gates with a SMALLER-id partner fire
     assert not v1[21]["is_exact_dup"]
     assert not v1[21]["is_semantic_dup"]
+    # doc 22 duplicates doc 21 in the SAME batch: the in-batch arms
+    # must flag exact, near (identical shingle set, J=1), and media
+    # (identical signature, Hamming 0); no vector, so semantic passes
+    assert v1[22]["is_exact_dup"], "same-batch exact dup missed"
+    assert v1[22]["is_near_dup"], "same-batch near dup missed"
+    assert v1[22]["is_media_dup"], "same-batch media dup missed"
+    assert not v1[22]["is_semantic_dup"]
 
 
 def test_xwave_applier_replay_sees_pre_batch_state(spark, tmp_path):
