@@ -3939,10 +3939,12 @@ def maintenance_sem_rank_refresh(
 # (base, an earlier batch, or the SAME batch: in-batch arms give
 # same-batch smaller-id partners the identical treatment, matching the
 # URL gate's min-wins window), which makes those three verdicts
-# independent of how the stream batches. The SEMANTIC gate alone is
-# batch-granular (partners = base ∪ batches < N): its insertion-window
-# candidate scheme is defined against a FIXED ranking, so same-batch
-# vectors join the ranking at the next batch boundary. Batch
+# independent of how the stream batches. The SEMANTIC gate's partner
+# set is also every smaller vec_id, via two arms: cross-batch partners
+# through the insertion-window candidate scheme (windowed recall,
+# defined against the FIXED base∪earlier-batch ranking) and same-batch
+# partners through EXACT all-pairs cosine (the batch is
+# trigger-bounded, so the quadratic stays micro-batch-sized). Batch
 # membership is DETERMINISTIC: the wave feed is doc_id-range files
 # replayed in range order (`_url_wave_feed`), so batch(doc) =
 # (doc_id - cut - 1) div span with span = (max_id - cut + 4) div 4 —
@@ -4173,6 +4175,28 @@ def corpus_gate_xwave_applier(
         sem_v = semantic_gate_verdicts(
             wave_emb, eff_narrow, eff_emb, sem_project
         ).withColumnRenamed("vec_id", "doc_id")
+        # in-batch semantic arm: same-batch smaller-id partners checked
+        # by EXACT all-pairs cosine — the batch is trigger-bounded, so
+        # the quadratic stays micro-batch-sized; cross-batch partners
+        # keep the windowed candidate scheme above
+        from mongodb_cdc_spark.functions.vectors import cosine_unrolled_sql
+
+        sem_inb = (
+            wave_emb.alias("x")
+            .join(
+                wave_emb.alias("y"),
+                F.expr("y.vec_id < x.vec_id")
+                & (
+                    F.expr(
+                        cosine_unrolled_sql("x.embedding", "y.embedding")
+                    )
+                    >= _SEM_TAU
+                ),
+            )
+            .select(F.col("x.vec_id").alias("doc_id"))
+            .distinct()
+            .withColumn("sb", F.lit(True))
+        )
         out = (
             bdf.select("doc_id")
             .join(url_v, "doc_id")
@@ -4181,6 +4205,7 @@ def corpus_gate_xwave_applier(
             .join(near_b, "doc_id", "left")
             .join(media, "doc_id", "left")
             .join(sem_v, "doc_id", "left")
+            .join(sem_inb, "doc_id", "left")
             .select(
                 "doc_id",
                 "is_dup_url",
@@ -4193,9 +4218,10 @@ def corpus_gate_xwave_applier(
                     | F.coalesce("nb2", F.lit(False))
                 ).alias("is_near_dup"),
                 F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
-                F.coalesce("is_semantic_dup", F.lit(False)).alias(
-                    "is_semantic_dup"
-                ),
+                (
+                    F.coalesce("is_semantic_dup", F.lit(False))
+                    | F.coalesce("sb", F.lit(False))
+                ).alias("is_semantic_dup"),
             )
         )
         out.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
@@ -4313,6 +4339,13 @@ def _xwave_sem_chain() -> str:
       JOIN acl y ON y.vec_id = xcand.bid
       WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
             >= {_SEM_TAU}
+    ),
+    sdup_inb AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id AS wid
+      FROM wvv x JOIN wvv y
+        ON y.b = x.b AND y.vec_id < x.vec_id
+      WHERE {cosine_unrolled_sql('x.embedding', 'y.embedding', dialect='duck')}
+            >= {_SEM_TAU}
     )"""
 
 
@@ -4407,7 +4440,8 @@ def _xwave_sem_chain() -> str:
            (w.doc_id IN (SELECT wid FROM near)
             OR w.doc_id IN (SELECT wid FROM nearw)) AS is_near_dup,
            (w.doc_id IN (SELECT doc_id FROM mediadup)) AS is_media_dup,
-           (w.doc_id IN (SELECT wid FROM xdup)) AS is_semantic_dup
+           (w.doc_id IN (SELECT wid FROM xdup)
+            OR w.doc_id IN (SELECT wid FROM sdup_inb)) AS is_semantic_dup
     FROM wave w
     JOIN uwave u ON u.doc_id = w.doc_id
     JOIN wmin wm ON u.curl = wm.curl

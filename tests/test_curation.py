@@ -989,10 +989,17 @@ def _xwave_fixture(spark, tmp_path):
         e[0] = e[1] = scale
         return e
 
+    def v3(scale):  # docs 21 and 22 share a SECOND direction — the
+        e = [0.0] * dim  # same-batch semantic pair (batch 1 only)
+        e[2] = e[3] = scale
+        return e
+
     emb_rows = [Row(vec_id=k, embedding=v(k)) for k in range(4)]
     emb_rows += [
         Row(vec_id=10, embedding=v2(1.0)),
         Row(vec_id=20, embedding=v2(2.0)),
+        Row(vec_id=21, embedding=v3(1.0)),
+        Row(vec_id=22, embedding=v3(3.0)),
     ]
     emb = spark.createDataFrame(
         emb_rows, "vec_id bigint, embedding array<double>"
@@ -1133,7 +1140,11 @@ def test_xwave_applier_detects_cross_wave_dups(spark, tmp_path):
     assert v1[22]["is_exact_dup"], "same-batch exact dup missed"
     assert v1[22]["is_near_dup"], "same-batch near dup missed"
     assert v1[22]["is_media_dup"], "same-batch media dup missed"
-    assert not v1[22]["is_semantic_dup"]
+    # doc 22's vector is parallel to doc 21's (same batch, smaller id):
+    # the in-batch exact-cosine arm must flag it; 21 itself has no
+    # smaller-id partner in its direction
+    assert v1[22]["is_semantic_dup"], "same-batch semantic dup missed"
+    assert not v1[21]["is_semantic_dup"]
 
 
 def test_xwave_applier_replay_sees_pre_batch_state(spark, tmp_path):
