@@ -31,6 +31,7 @@ MODULES = (
     "timeseries",
     "graphs",
     "curation",
+    "bloom",
 )
 
 _loaded = False
