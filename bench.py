@@ -244,6 +244,11 @@ HEADLINE = [
     ("maintenance_evalgram_store", None),
     ("maintenance_evalgram_refresh", None),
     ("stream_decontam_ingest", None),
+    # round-11 extended-session additions (bloom membership tier)
+    ("ext_dedup_bloom", None),
+    ("maintenance_bloom_store", None),
+    ("maintenance_bloom_refresh", None),
+    ("stream_bloom_dedup_ingest", None),
 ]
 
 

@@ -267,6 +267,11 @@ HEAVY = [
     "maintenance_evalgram_refresh",
     "stream_decontam_ingest",
     "cdc_ivm_topk",
+    # round-11 extended-session tier (bloom membership)
+    "ext_dedup_bloom",
+    "maintenance_bloom_store",
+    "maintenance_bloom_refresh",
+    "stream_bloom_dedup_ingest",
 ]
 
 
