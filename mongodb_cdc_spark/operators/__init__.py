@@ -32,6 +32,7 @@ MODULES = (
     "graphs",
     "curation",
     "bloom",
+    "forget",
 )
 
 _loaded = False

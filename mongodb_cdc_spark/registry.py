@@ -149,13 +149,9 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_bloom_refresh",
     "stream_bloom_dedup_ingest",
     "agg_argmax_struct",
-    "agg_cube",
     "fn_bitwise",
-    "fn_date",
     "fn_hashes",
     "fn_interval_arith",
-    "fn_map",
-    "fn_math",
     "fn_string_regex",
     "join_cross",
     "source_changefeed",
@@ -186,14 +182,28 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_evalgram_store",
     "maintenance_evalgram_refresh",
     "stream_decontam_ingest",
+    # round-11 additions (forget/rollback tier: refcounted dedup state
+    # with exact deletion), inserted above the canaries per the frozen
+    # rule; four more keys from the stale-refresh cohort that the
+    # round-10 judge ALREADY re-verified hostile (agg_cube, fn_date,
+    # fn_map, fn_math) are displaced just past the canaries into the
+    # round-12 front — again the cheapest freshness to give up
+    "maintenance_refcount_store",
+    "maintenance_forget_purge",
+    "ext_forget_readmit_audit",
+    "maintenance_wave_rollback",
     "maintenance_compact",
     "sql_lateral_topn",
     "agg_corr_regression",
-    # round-12 front: the four displaced judge-re-verified r1/r2 rows
+    # round-12 front: the eight displaced judge-re-verified r1/r2 rows
     "sink_append_parquet",
     "cdc_diff_fieldwise",
     "stream_sliding_window",
     "udtf_explode_range",
+    "agg_cube",
+    "fn_date",
+    "fn_map",
+    "fn_math",
     "agg_collect_sorted",
     "agg_median_disc",
     "agg_pivot",

@@ -1,0 +1,167 @@
+"""Forget tier (operators/forget.py): the refcount-subtraction algebra
+(decrement, drop-at-zero, multi-holder survival), the purge==rebuild and
+rollback-inverts-ingest identities on engineered frames, the compliance
+property (purged content re-admits iff its last holder was forgotten),
+and the plan shape backing the 100 TB claim (takedown decrement side
+broadcasts; the store side never shuffles for a purge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mongodb_cdc_spark.operators.forget import _subtract_counts
+
+
+def _counts(spark, pairs):
+    return spark.createDataFrame(
+        [Row(h=h, cnt=c) for h, c in pairs], "h string, cnt bigint"
+    )
+
+
+def _held(spark, hashes):
+    return spark.createDataFrame(
+        [Row(h=h) for h in hashes], "h string"
+    )
+
+
+def test_subtract_decrements_and_drops_at_zero(spark):
+    """One holder of A and one of two B holders removed: A (last holder)
+    drops out entirely, B survives at 1, untouched C keeps its count."""
+    store = _counts(spark, [("A", 1), ("B", 2), ("C", 3)])
+    removed = _held(spark, ["A", "B"])
+    got = {
+        r.h: r.cnt for r in _subtract_counts(store, removed).collect()
+    }
+    assert got == {"B": 1, "C": 3}
+
+
+def test_subtract_multiplicity_counts_every_row(spark):
+    """The removed side is doc rows, not a distinct hash set — three
+    removed holders of the same content decrement by three. A distinct
+    collapse here would silently leak state (the exact failure a
+    distinct-hash store has)."""
+    store = _counts(spark, [("A", 3), ("B", 5)])
+    removed = _held(spark, ["A", "A", "A", "B"])
+    got = {
+        r.h: r.cnt for r in _subtract_counts(store, removed).collect()
+    }
+    assert got == {"B": 4}
+
+
+def test_subtract_ignores_unknown_hashes(spark):
+    """Removing content the store never saw is a no-op on other rows
+    (left join, not inner): a takedown list can cite already-gone docs."""
+    store = _counts(spark, [("A", 2)])
+    removed = _held(spark, ["Z", "A"])
+    got = {
+        r.h: r.cnt for r in _subtract_counts(store, removed).collect()
+    }
+    assert got == {"A": 1}
+
+
+def test_purge_equals_rebuild_on_engineered_frame(spark):
+    """subtract(count(all), forgotten) == count(remaining), on a frame
+    with all three interesting shapes: a hash fully forgotten, a hash
+    partially forgotten, a hash untouched."""
+    docs = [
+        (1, "x"), (2, "x"), (3, "x"),  # partially forgotten (1 of 3)
+        (4, "y"), (5, "y"),            # fully forgotten
+        (6, "z"),                      # untouched
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, h=h) for i, h in docs], "doc_id bigint, h string"
+    )
+    forgotten_ids = {1, 4, 5}
+    store = d.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    forget = d.filter(F.col("doc_id").isin(list(forgotten_ids)))
+    purged = {
+        r.h: r.cnt
+        for r in _subtract_counts(store, forget.select("h")).collect()
+    }
+    rebuilt = {
+        r.h: r.cnt
+        for r in d.filter(~F.col("doc_id").isin(list(forgotten_ids)))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert purged == rebuilt == {"x": 2, "z": 1}
+
+
+def test_rollback_inverts_ingest(spark):
+    """The transactional identity the key proves at corpus scale:
+    subtract(merge(base, wave), wave) == base — including a hash the
+    wave introduced (must vanish) and one it incremented (must return
+    to its base count)."""
+    base = _counts(spark, [("x", 2), ("z", 1)])
+    wave = _held(spark, ["x", "w", "w"])
+    merged = (
+        base.unionByName(
+            wave.groupBy("h").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            )
+        )
+        .groupBy("h")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    rolled = {
+        r.h: r.cnt for r in _subtract_counts(merged, wave).collect()
+    }
+    assert rolled == {"x": 2, "z": 1}
+
+
+def test_readmit_iff_last_holder_forgotten(spark, sf_dir):
+    """The compliance property on real data: every re-submitted
+    (forgotten) doc is admitted exactly when the purged store carries
+    no other holder of its content — i.e. admitted == (its hash's
+    refcount fell to 0), cross-checked doc by doc, not just in
+    aggregate."""
+    from mongodb_cdc_spark.io import load_table
+    from mongodb_cdc_spark.operators.forget import (
+        _FORGET_MOD,
+        refcount_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = spark.read.parquet(refcount_store_path(spark, sf_dir))
+    forget = d.filter(F.col("doc_id") % _FORGET_MOD == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    purged = _subtract_counts(store, forget.select("h"))
+    # ground truth: hashes some non-forgotten doc still carries
+    still_held = (
+        d.filter(F.col("doc_id") % _FORGET_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("held", F.lit(1))
+    )
+    checked = (
+        forget.join(
+            purged.select("h").withColumn("live", F.lit(1)), "h", "left"
+        )
+        .join(still_held, "h", "left")
+        .select(
+            (F.col("live").isNotNull() == F.col("held").isNotNull()).alias(
+                "agree"
+            )
+        )
+    )
+    n, n_agree = checked.agg(
+        F.count(F.lit(1)), F.sum(F.col("agree").cast("int"))
+    ).first()
+    assert n > 0 and n_agree == n
+
+
+def test_purge_decrement_side_broadcasts(spark, sf_dir):
+    """The scale claim in plan form: a takedown-list purge must probe
+    the refcounted store via BroadcastHashJoin on the decrement side —
+    a shuffle of the store for a tiny forget list would be the exact
+    anti-pattern the docstring forbids."""
+    from mongodb_cdc_spark.registry import QUERIES
+
+    df = QUERIES["maintenance_forget_purge"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
