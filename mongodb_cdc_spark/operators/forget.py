@@ -387,3 +387,395 @@ def maintenance_wave_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rollback_mismatches",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream_refcount_ingest — the forget tier's streaming completion: a
+# CDC-style event feed (wave-doc INSERTs interleaved deterministically
+# with takedown DELETEs of base docs) maintained against the persisted
+# base refcount store, per micro-batch, under the run_supervised
+# restart contract. This is the reference's per-event delete path
+# (mongodb-cdc-program.js:159-177) applied continuously to curation
+# state — the batch keys above prove the algebra; this key runs it the
+# way production would, as a standing stream.
+# --------------------------------------------------------------------------
+# Semantics are PER-EVENT-ORDER (seq): before event e on content-hash
+# h, cnt(h) = base_cnt(h) + sum of earlier events' deltas on h (+1 per
+# insert, -1 per delete). An INSERT's verdict is "content already
+# present" (cnt_before >= 1); a DELETE's verdict is "dropped the last
+# holder" (cnt_before == 1 — the doc becomes lawfully re-admittable).
+# The feed is seq-range files replayed in order, so the per-batch rule
+# "base + strictly-earlier committed deltas + in-batch prefix window"
+# implements exactly the oracle's global running sum. Exactly-once by
+# idempotence: verdicts AND per-batch delta commits are idempotent
+# overwrites; deltas are ADDITIVE rows, so the shared fold/compaction
+# machinery (`maybe_fold_state`'s union rewrite) preserves their sums.
+
+_EVENT_FEED_FILES = 4
+_SEQ_BUCKETS = 11  # seq = (doc_id % 11) * 10^10 + doc_id interleaves
+_SEQ_STRIDE = 10_000_000_000
+
+
+def _event_cols(df: DataFrame) -> DataFrame:
+    """(seq, doc_id, op, h) event projection; `op` decided by the
+    forget-list rule, seq by the interleaving bucket formula."""
+    return df.select(
+        (
+            (F.col("doc_id") % _SEQ_BUCKETS) * F.lit(_SEQ_STRIDE)
+            + F.col("doc_id")
+        ).alias("seq"),
+        "doc_id",
+        "op",
+        F.md5("text").alias("h"),
+    )
+
+
+def _refcount_event_feed(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """The event feed: wave docs (doc_id > cut) as 'ins' events, base
+    takedowns (doc_id <= cut, doc_id % _FORGET_MOD == 0) as 'del'
+    events, ordered by seq = (doc_id % 11)*1e10 + doc_id so deletes
+    interleave among inserts across batches. Materialized as seq-range
+    parquet files whose listing AND mtime order equals seq order
+    (the `_url_wave_feed` discipline), so maxFilesPerTrigger=1 replays
+    events in seq order."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(
+        scratch_root(), f"rcfeed_{sf_name}_{_EVENT_FEED_FILES}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_FEED_DONE")):
+        d = load_table(spark, sf_dir, "documents")
+        ins = d.filter(F.col("doc_id") > cut).withColumn("op", F.lit("ins"))
+        dels = d.filter(
+            (F.col("doc_id") <= cut) & (F.col("doc_id") % _FORGET_MOD == 0)
+        ).withColumn("op", F.lit("del"))
+        events = _event_cols(ins.unionByName(dels))
+        # contiguous seq ranges: buckets [0-2] [3-5] [6-8] [9-10]
+        bounds = [0, 3, 6, 9, _SEQ_BUCKETS]
+        stage = new_stage(path)
+        _shutil.rmtree(stage, ignore_errors=True)
+        _os.makedirs(stage, exist_ok=True)
+        for i in range(_EVENT_FEED_FILES):
+            tmp = _os.path.join(stage, f"_tmp{i}")
+            (
+                events.filter(
+                    (F.col("seq") >= bounds[i] * _SEQ_STRIDE)
+                    & (F.col("seq") < bounds[i + 1] * _SEQ_STRIDE)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            wave = _os.path.join(stage, f"wave_{i}.parquet")
+            _os.rename(part, wave)
+            _os.utime(wave, (1_600_000_000 + i, 1_600_000_000 + i))
+            _shutil.rmtree(tmp, ignore_errors=True)
+        with open(_os.path.join(stage, "_FEED_DONE"), "w"):
+            pass
+        publish_store(stage, path)
+    return path
+
+
+def base_refcount_store_path(
+    spark: SparkSession, sf_dir: str, cut: int
+) -> str:
+    """Build (once, stage-then-rename) the BASE-slice refcount store
+    (docs <= cut) — the standing state the event stream mutates."""
+    from mongodb_cdc_spark.sources.changefeed import scratch_root
+
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(scratch_root(), f"refcount_{sf_name}_c{cut}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = load_table(spark, sf_dir, "documents")
+        counts = (
+            d.filter(F.col("doc_id") <= cut)
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        stage = new_stage(path)
+        counts.write.mode("overwrite").parquet(stage)
+        publish_store(stage, path)
+    return path
+
+
+def refcount_gate_batch_applier(base_store: str, target: str, delta_dir: str):
+    """The refcount gate's per-micro-batch function, module-level so
+    the restart/replay contract is directly testable: read effective
+    counts (persisted base store + STRICTLY-earlier committed deltas),
+    add the in-batch prefix running sum, emit per-event verdicts,
+    commit this batch's per-hash delta — both writes idempotent
+    per-batch overwrites. Replaying batch N reads exactly the pre-N
+    state (its own failed-attempt delta commit is excluded), the
+    lesson of the URL gate's replay-corruption fix."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.operators.curation import (
+        fold_state_paths,
+        maybe_fold_state,
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        ev = bdf.withColumn(
+            "delta",
+            F.when(F.col("op") == "ins", F.lit(1)).otherwise(F.lit(-1)),
+        ).localCheckpoint(eager=True)
+        prior = s.read.parquet(base_store).select("h", "cnt")
+        maybe_fold_state(s, delta_dir, batch_id)
+        committed = fold_state_paths(delta_dir, batch_id)
+        if committed:
+            prior = (
+                prior.unionByName(
+                    s.read.parquet(*committed).select(
+                        "h", F.col("delta").alias("cnt")
+                    )
+                )
+                .groupBy("h")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        w = (
+            Window.partitionBy("h")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        verdicts = (
+            ev.withColumn("pre", F.sum("delta").over(w))
+            .join(F.broadcast(prior.withColumnRenamed("cnt", "pc")), "h", "left")
+            .select(
+                "seq",
+                "doc_id",
+                "op",
+                "delta",
+                "h",
+                (
+                    F.coalesce("pc", F.lit(0)) + F.coalesce("pre", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("cnt_before"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        verdicts.select(
+            "doc_id",
+            "op",
+            "cnt_before",
+            F.when(F.col("op") == "ins", F.col("cnt_before") >= 1)
+            .otherwise(F.col("cnt_before") == 1)
+            .alias("verdict"),
+        ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+        (
+            verdicts.groupBy("h")
+            .agg(F.sum("delta").cast("bigint").alias("delta"))
+            .filter(F.col("delta") != 0)
+            .write.mode("overwrite")
+            .parquet(f"{delta_dir}/batch={batch_id}")
+        )
+
+    return apply_batch
+
+
+_EVENTS_ORACLE_CTES = f"""
+cut AS MATERIALIZED (
+  SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents
+),
+events AS MATERIALIZED (
+  SELECT (doc_id % {_SEQ_BUCKETS}) * {_SEQ_STRIDE} + doc_id AS seq,
+         doc_id, 'ins' AS op, md5(text) AS h
+  FROM documents WHERE doc_id > (SELECT c FROM cut)
+  UNION ALL
+  SELECT (doc_id % {_SEQ_BUCKETS}) * {_SEQ_STRIDE} + doc_id AS seq,
+         doc_id, 'del' AS op, md5(text) AS h
+  FROM documents
+  WHERE doc_id <= (SELECT c FROM cut) AND doc_id % {_FORGET_MOD} = 0
+),
+base AS MATERIALIZED (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents WHERE doc_id <= (SELECT c FROM cut)
+  GROUP BY md5(text)
+)
+"""
+
+
+@query(
+    "stream_refcount_ingest",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTES},
+    runs AS (
+      SELECT seq, doc_id, op, h,
+             SUM(CASE WHEN op = 'ins' THEN 1 ELSE -1 END) OVER (
+               PARTITION BY h ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS pre
+      FROM events
+    )
+    SELECT r.doc_id, r.op,
+           CAST(COALESCE(b.cnt, 0) + COALESCE(r.pre, 0) AS BIGINT)
+             AS cnt_before,
+           CASE WHEN r.op = 'ins'
+                THEN COALESCE(b.cnt, 0) + COALESCE(r.pre, 0) >= 1
+                ELSE COALESCE(b.cnt, 0) + COALESCE(r.pre, 0) = 1
+           END AS verdict
+    FROM runs r LEFT JOIN base b ON b.h = r.h
+    ORDER BY r.doc_id ASC
+    """,
+)
+def stream_refcount_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming refcount maintenance (tier block above): drain the
+    seq-ordered insert/delete event feed through foreachBatch; each
+    micro-batch reads effective counts (base store + strictly-earlier
+    committed deltas), adds its in-batch prefix running sum, emits
+    per-event verdicts (insert: content already present; delete:
+    dropped the last holder), and commits its per-hash delta.
+    Hash-checked against DuckDB's from-scratch global running-sum
+    recomputation over the same event order.
+
+    Scale: per-batch cost is one broadcast-able narrow-key join of
+    batch hashes against the counter state plus a per-hash in-batch
+    window (events per hash per batch are few); delta commits are
+    hash-cardinality of the batch, additive under the shared fold
+    compaction, and fold back into the base store via
+    `maintenance_refcount_refresh` — a standing ingest reads zero
+    corpus text per wave."""
+    from mongodb_cdc_spark.streaming.pipeline import (
+        new_scratch_dir,
+        run_supervised,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    base_store = base_refcount_store_path(spark, sf_dir, cut)
+    feed = _refcount_event_feed(spark, sf_dir, cut)
+    target = new_scratch_dir("rcgate_target")
+    delta_dir = new_scratch_dir("rcgate_delta")
+    ckpt = new_scratch_dir("rcgate_ckpt")
+    apply_batch = refcount_gate_batch_applier(base_store, target, delta_dir)
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(
+                "seq bigint, doc_id bigint, op string, h string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "wave_*.parquet")
+            .parquet(feed)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_supervised(start_query, max_restarts=2, restart_delay_s=1.0)
+    return (
+        spark.read.parquet(target)
+        .select("doc_id", "op", "cnt_before", "verdict")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "maintenance_refcount_refresh",
+    oracle=f"""
+    WITH {_EVENTS_ORACLE_CTES},
+    deltas AS MATERIALIZED (
+      SELECT h, CAST(SUM(CASE WHEN op = 'ins' THEN 1 ELSE -1 END)
+                 AS BIGINT) AS delta
+      FROM events GROUP BY h
+    ),
+    folded AS MATERIALIZED (
+      SELECT COALESCE(b.h, d.h) AS h,
+             COALESCE(b.cnt, 0) + COALESCE(d.delta, 0) AS cnt
+      FROM base b FULL OUTER JOIN deltas d ON d.h = b.h
+    ),
+    kept AS MATERIALIZED (SELECT h, cnt FROM folded WHERE cnt > 0),
+    survivors AS MATERIALIZED (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents
+      WHERE doc_id > (SELECT c FROM cut)
+         OR doc_id % {_FORGET_MOD} <> 0
+      GROUP BY md5(text)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_hashes,
+      (SELECT CAST(SUM(cnt) AS BIGINT) FROM kept) AS n_docs,
+      CAST(0 AS BIGINT) AS refresh_mismatches
+    """,
+)
+def maintenance_refcount_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stream's compaction arm: fold the event feed's net per-hash
+    deltas into the base refcount store (full-outer add, drop rows at
+    <= 0) and prove the folded store equals the from-scratch count over
+    the surviving documents (wave inserts plus non-forgotten base) row
+    for row — ``refresh_mismatches`` is a REAL full-outer (h, cnt)
+    mismatch count, hash-checked at 0. Closes the transaction loop:
+    ingest (stream deltas) -> fold (this) -> rollback/purge (the
+    subtraction keys) are all exact inverses over the same store.
+
+    Scale: the fold joins narrow counter rows on 16-byte keys —
+    delta-cardinality vs store-cardinality, no corpus text; identical
+    shape to the url/phash/bitext refresh arms."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    base = spark.read.parquet(
+        base_refcount_store_path(spark, sf_dir, cut)
+    )
+    ins = d.filter(F.col("doc_id") > cut).withColumn("op", F.lit("ins"))
+    dels = d.filter(
+        (F.col("doc_id") <= cut) & (F.col("doc_id") % _FORGET_MOD == 0)
+    ).withColumn("op", F.lit("del"))
+    deltas = (
+        _event_cols(ins.unionByName(dels))
+        .groupBy("h")
+        .agg(
+            F.sum(
+                F.when(F.col("op") == "ins", F.lit(1)).otherwise(F.lit(-1))
+            )
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    folded = (
+        base.withColumnRenamed("cnt", "bc")
+        .join(deltas, "h", "full_outer")
+        .select(
+            "h",
+            (
+                F.coalesce("bc", F.lit(0)) + F.coalesce("delta", F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    survivors = (
+        d.filter(
+            (F.col("doc_id") > cut)
+            | (F.col("doc_id") % _FORGET_MOD != 0)
+        )
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mism = (
+        folded.withColumnRenamed("cnt", "fc")
+        .join(survivors.withColumnRenamed("cnt", "sc"), "h", "full_outer")
+        .filter(
+            F.col("fc").isNull()
+            | F.col("sc").isNull()
+            | (F.col("fc") != F.col("sc"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("refresh_mismatches"))
+    )
+    return (
+        folded.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(mism))
+        .select("n_hashes", "n_docs", "refresh_mismatches")
+    )

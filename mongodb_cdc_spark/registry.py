@@ -167,8 +167,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "ext_text_lang_stats",
     "ext_sim_cosine_topk",
     "ext_multimodal_join",
-    "udf_python_scalar",
-    "udaf_grouped_weighted_avg",
     "ext_text_langid",
     "ext_text_ngrams",
     "ext_text_quality",
@@ -183,19 +181,22 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_evalgram_refresh",
     "stream_decontam_ingest",
     # round-11 additions (forget/rollback tier: refcounted dedup state
-    # with exact deletion), inserted above the canaries per the frozen
-    # rule; four more keys from the stale-refresh cohort that the
-    # round-10 judge ALREADY re-verified hostile (agg_cube, fn_date,
-    # fn_map, fn_math) are displaced just past the canaries into the
-    # round-12 front — again the cheapest freshness to give up
+    # with exact deletion, batch + streaming), inserted above the
+    # canaries per the frozen rule; six more keys from the
+    # stale-refresh cohort that the round-10 judge ALREADY re-verified
+    # hostile (agg_cube, fn_date, fn_map, fn_math, udf_python_scalar,
+    # udaf_grouped_weighted_avg) are displaced just past the canaries
+    # into the round-12 front — again the cheapest freshness to give up
     "maintenance_refcount_store",
     "maintenance_forget_purge",
     "ext_forget_readmit_audit",
     "maintenance_wave_rollback",
+    "stream_refcount_ingest",
+    "maintenance_refcount_refresh",
     "maintenance_compact",
     "sql_lateral_topn",
     "agg_corr_regression",
-    # round-12 front: the eight displaced judge-re-verified r1/r2 rows
+    # round-12 front: the ten displaced judge-re-verified r1/r2 rows
     "sink_append_parquet",
     "cdc_diff_fieldwise",
     "stream_sliding_window",
@@ -204,6 +205,8 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_date",
     "fn_map",
     "fn_math",
+    "udf_python_scalar",
+    "udaf_grouped_weighted_avg",
     "agg_collect_sorted",
     "agg_median_disc",
     "agg_pivot",

@@ -7,6 +7,7 @@ broadcasts; the store side never shuffles for a purge)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -151,6 +152,100 @@ def test_readmit_iff_last_holder_forgotten(spark, sf_dir):
         F.count(F.lit(1)), F.sum(F.col("agree").cast("int"))
     ).first()
     assert n > 0 and n_agree == n
+
+
+@pytest.fixture()
+def refcount_fixture(spark, tmp_path):
+    """A two-hash base store plus two event batches engineered to hit
+    every verdict shape: in-batch ins-after-del of the same hash, a
+    delete dropping a last holder, a delete of a multi-holder hash, a
+    cross-batch re-insert of freed content, and a fresh insert."""
+    store = str(tmp_path / "base_store")
+    spark.createDataFrame(
+        [Row(h="A", cnt=1), Row(h="B", cnt=2)], "h string, cnt bigint"
+    ).write.parquet(store)
+    schema = "seq bigint, doc_id bigint, op string, h string"
+    b0 = spark.createDataFrame(
+        [
+            Row(seq=1, doc_id=10, op="del", h="A"),  # last holder -> freed
+            Row(seq=2, doc_id=11, op="ins", h="A"),  # re-insert freed: admit
+            Row(seq=3, doc_id=12, op="del", h="B"),  # multi-holder: not freed
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(seq=4, doc_id=20, op="ins", h="A"),  # cross-batch: dup again
+            Row(seq=5, doc_id=21, op="del", h="B"),  # now the last holder
+            Row(seq=6, doc_id=22, op="ins", h="C"),  # fresh content
+        ],
+        schema,
+    )
+    return {
+        "store": store,
+        "target": str(tmp_path / "target"),
+        "delta": str(tmp_path / "delta"),
+        "b0": b0,
+        "b1": b1,
+    }
+
+
+def _rc_verdicts(spark, target, i):
+    return {
+        r.doc_id: (r.cnt_before, r.verdict)
+        for r in spark.read.parquet(f"{target}/batch={i}").collect()
+    }
+
+
+def test_refcount_gate_sequential_semantics(spark, refcount_fixture):
+    from mongodb_cdc_spark.operators.forget import (
+        refcount_gate_batch_applier,
+    )
+
+    fx = refcount_fixture
+    apply_batch = refcount_gate_batch_applier(
+        fx["store"], fx["target"], fx["delta"]
+    )
+    apply_batch(fx["b0"], 0)
+    apply_batch(fx["b1"], 1)
+    assert _rc_verdicts(spark, fx["target"], 0) == {
+        10: (1, True),   # deleting A's last holder frees it
+        11: (0, False),  # freed content re-admitted (not a dup)
+        12: (2, False),  # B still has another holder
+    }
+    assert _rc_verdicts(spark, fx["target"], 1) == {
+        20: (1, True),   # doc 11 re-holds A -> dup across batches
+        21: (1, True),   # B's remaining holder -> freed now
+        22: (0, False),  # fresh
+    }
+
+
+def test_refcount_gate_replay_sees_pre_batch_state(spark, refcount_fixture):
+    """A supervised replay of batch 1 must read exactly the pre-1
+    state — counting batch 1's own committed delta would shift every
+    cnt_before and flip the last-holder verdicts."""
+    from mongodb_cdc_spark.operators.forget import (
+        refcount_gate_batch_applier,
+    )
+
+    fx = refcount_fixture
+    apply_batch = refcount_gate_batch_applier(
+        fx["store"], fx["target"], fx["delta"]
+    )
+    apply_batch(fx["b0"], 0)
+    apply_batch(fx["b1"], 1)
+    first = _rc_verdicts(spark, fx["target"], 1)
+    delta_first = {
+        r.h: r.delta
+        for r in spark.read.parquet(f"{fx['delta']}/batch=1").collect()
+    }
+    apply_batch(fx["b1"], 1)  # replay
+    assert _rc_verdicts(spark, fx["target"], 1) == first
+    delta_again = {
+        r.h: r.delta
+        for r in spark.read.parquet(f"{fx['delta']}/batch=1").collect()
+    }
+    assert delta_again == delta_first
 
 
 def test_purge_decrement_side_broadcasts(spark, sf_dir):
