@@ -272,6 +272,13 @@ HEAVY = [
     "maintenance_bloom_store",
     "maintenance_bloom_refresh",
     "stream_bloom_dedup_ingest",
+    # round-11 forget tier (refcounted deletion, batch + streaming)
+    "maintenance_refcount_store",
+    "maintenance_forget_purge",
+    "ext_forget_readmit_audit",
+    "maintenance_wave_rollback",
+    "stream_refcount_ingest",
+    "maintenance_refcount_refresh",
 ]
 
 
