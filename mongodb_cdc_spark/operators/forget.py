@@ -503,6 +503,70 @@ def base_refcount_store_path(
     return path
 
 
+def refcount_batch_verdicts(
+    s: SparkSession,
+    ev: DataFrame,
+    base_store: str,
+    delta_dir: str,
+    batch_id: int,
+) -> DataFrame:
+    """Build one micro-batch's verdict frame from events ``ev``
+    (seq, doc_id, op, h, delta) — the gate's whole read path, factored
+    out so the plan-shape test drives the applier's EXACT joins.
+
+    100 TB shape: the counter state is corpus-hash-cardinality — never
+    broadcast, shuffle, or groupBy it whole. Prune base store AND
+    committed deltas to the batch's hashes FIRST (a broadcast semi-join
+    is a map-side filter over the state scan; at scale the store is
+    bucketed by h so it prunes to buckets), THEN merge the batch-sized
+    slices and probe them with a broadcast left join. Plan-pinned in
+    test_refcount_stream_never_shuffles_state."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.operators.curation import fold_state_paths
+
+    batch_hashes = F.broadcast(ev.select("h").distinct())
+    relevant = (
+        s.read.parquet(base_store)
+        .select("h", "cnt")
+        .join(batch_hashes, "h", "left_semi")
+    )
+    committed = fold_state_paths(delta_dir, batch_id)
+    if committed:
+        relevant = (
+            relevant.unionByName(
+                s.read.parquet(*committed)
+                .select("h", F.col("delta").alias("cnt"))
+                .join(batch_hashes, "h", "left_semi")
+            )
+            .groupBy("h")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+    w = (
+        Window.partitionBy("h")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("pre", F.sum("delta").over(w))
+        .join(
+            F.broadcast(relevant.withColumnRenamed("cnt", "pc")),
+            "h",
+            "left",
+        )
+        .select(
+            "seq",
+            "doc_id",
+            "op",
+            "delta",
+            "h",
+            (F.coalesce("pc", F.lit(0)) + F.coalesce("pre", F.lit(0)))
+            .cast("bigint")
+            .alias("cnt_before"),
+        )
+    )
+
+
 def refcount_gate_batch_applier(base_store: str, target: str, delta_dir: str):
     """The refcount gate's per-micro-batch function, module-level so
     the restart/replay contract is directly testable: read effective
@@ -512,12 +576,7 @@ def refcount_gate_batch_applier(base_store: str, target: str, delta_dir: str):
     per-batch overwrites. Replaying batch N reads exactly the pre-N
     state (its own failed-attempt delta commit is excluded), the
     lesson of the URL gate's replay-corruption fix."""
-    from pyspark.sql.window import Window
-
-    from mongodb_cdc_spark.operators.curation import (
-        fold_state_paths,
-        maybe_fold_state,
-    )
+    from mongodb_cdc_spark.operators.curation import maybe_fold_state
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         s = bdf.sparkSession
@@ -525,41 +584,10 @@ def refcount_gate_batch_applier(base_store: str, target: str, delta_dir: str):
             "delta",
             F.when(F.col("op") == "ins", F.lit(1)).otherwise(F.lit(-1)),
         ).localCheckpoint(eager=True)
-        prior = s.read.parquet(base_store).select("h", "cnt")
         maybe_fold_state(s, delta_dir, batch_id)
-        committed = fold_state_paths(delta_dir, batch_id)
-        if committed:
-            prior = (
-                prior.unionByName(
-                    s.read.parquet(*committed).select(
-                        "h", F.col("delta").alias("cnt")
-                    )
-                )
-                .groupBy("h")
-                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-            )
-        w = (
-            Window.partitionBy("h")
-            .orderBy("seq")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        verdicts = (
-            ev.withColumn("pre", F.sum("delta").over(w))
-            .join(F.broadcast(prior.withColumnRenamed("cnt", "pc")), "h", "left")
-            .select(
-                "seq",
-                "doc_id",
-                "op",
-                "delta",
-                "h",
-                (
-                    F.coalesce("pc", F.lit(0)) + F.coalesce("pre", F.lit(0))
-                )
-                .cast("bigint")
-                .alias("cnt_before"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        verdicts = refcount_batch_verdicts(
+            s, ev, base_store, delta_dir, batch_id
+        ).localCheckpoint(eager=True)
         verdicts.select(
             "doc_id",
             "op",

@@ -248,6 +248,37 @@ def test_refcount_gate_replay_sees_pre_batch_state(spark, refcount_fixture):
     assert delta_again == delta_first
 
 
+def test_refcount_stream_never_shuffles_state(spark, refcount_fixture):
+    """The streaming gate's 100 TB claim in plan form: the counter
+    state must reach the batch only through broadcast joins (semi-join
+    prunes, then the pruned batch-sized slice as the probe's build
+    side) — a sort-merge/shuffle join against the state side would
+    move corpus-hash-cardinality rows every micro-batch. Drives the
+    applier's OWN read path (`refcount_batch_verdicts`) at batch 1,
+    where both the base store AND a committed delta batch are in
+    play."""
+    from mongodb_cdc_spark.operators.forget import (
+        refcount_batch_verdicts,
+        refcount_gate_batch_applier,
+    )
+
+    fx = refcount_fixture
+    apply_batch = refcount_gate_batch_applier(
+        fx["store"], fx["target"], fx["delta"]
+    )
+    apply_batch(fx["b0"], 0)
+    ev = fx["b1"].withColumn(
+        "delta",
+        F.when(F.col("op") == "ins", F.lit(1)).otherwise(F.lit(-1)),
+    )
+    probe = refcount_batch_verdicts(spark, ev, fx["store"], fx["delta"], 1)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 semi prunes + probe
+
+
 def test_purge_decrement_side_broadcasts(spark, sf_dir):
     """The scale claim in plan form: a takedown-list purge must probe
     the refcounted store via BroadcastHashJoin on the decrement side —
