@@ -2640,12 +2640,67 @@ def maybe_fold_state(s: SparkSession, state_dir: str, batch_id: int) -> None:
     )
 
 
+def url_batch_verdicts(
+    s: SparkSession, bcanon: DataFrame, seen_store: str, seen_dir: str,
+    batch_id: int,
+) -> DataFrame:
+    """One micro-batch's URL verdict frame from the canonicalized batch
+    ``bcanon`` (doc_id, curl) — the gate's whole read path, factored out
+    so the plan-shape test drives the applier's EXACT joins.
+
+    Reads the seen set as persisted store ∪ STRICTLY-earlier committed
+    batches: a supervised replay of batch N must see exactly the pre-N
+    state — including N's own (possibly partial) commit from the failed
+    attempt would flip its first-seen docs to duplicates and overwrite
+    its newly-seen commit as empty, corrupting every later batch that
+    shares those canonical URLs. The periodic in-run fold keeps the
+    read set O(1) paths (store + fold + <_STATE_FOLD_EVERY recent
+    commits) however long the run; cross-run growth folds back into the
+    store via `maintenance_url_seen_refresh`.
+
+    100 TB shape: the seen set is corpus-cardinality — a bare
+    .distinct() over it would shuffle the whole frontier every
+    micro-batch. Prune it to the batch's canonical URLs first
+    (broadcast semi-join = map-side filter over the state scan; at
+    scale the store is bucketable by host prefix), so the distinct and
+    the probe join both run on a batch-sized slice. Plan-pinned in
+    test_url_gate_never_shuffles_state."""
+    from pyspark.sql.window import Window
+
+    seen = s.read.parquet(seen_store)
+    committed = fold_state_paths(seen_dir, batch_id)
+    if committed:
+        seen = seen.unionByName(s.read.parquet(*committed).select("curl"))
+    seen_slice = seen.join(
+        F.broadcast(bcanon.select("curl").distinct()), "curl", "left_semi"
+    )
+    w = Window.partitionBy("curl")
+    return (
+        bcanon.withColumn("m", F.min("doc_id").over(w))
+        .join(
+            F.broadcast(
+                seen_slice.select(F.col("curl").alias("scurl")).distinct()
+            ),
+            F.col("curl") == F.col("scurl"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "curl",
+            (
+                F.col("scurl").isNotNull() | (F.col("doc_id") > F.col("m"))
+            ).alias("is_dup_url"),
+        )
+    )
+
+
 def url_gate_batch_applier(seen_store: str, target: str, seen_dir: str):
     """The URL gate's per-micro-batch function, module-level so the
     restart/replay contract is directly testable: canonicalize the
     batch, read the seen set (persisted store ∪ STRICTLY-earlier
-    committed batches), emit verdicts, commit newly seen URLs — both
-    writes idempotent per-batch overwrites."""
+    committed batches — see `url_batch_verdicts`), emit verdicts,
+    commit newly seen URLs — both writes idempotent per-batch
+    overwrites."""
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         # the batch frame lives in the micro-batch session clone; the
@@ -2656,42 +2711,10 @@ def url_gate_batch_applier(seen_store: str, target: str, seen_dir: str):
             f"WITH {_url_canon_ctes('spark', 'url_batch')} "
             "SELECT doc_id, curl FROM canon"
         ).localCheckpoint(eager=True)
-        seen = s.read.parquet(seen_store)
-        # STRICTLY earlier batches only: a supervised replay of batch N
-        # must see exactly the pre-N state — including N's own
-        # (possibly partial) commit from the failed attempt would flip
-        # its first-seen docs to duplicates and overwrite its
-        # newly-seen commit as empty, corrupting every later batch that
-        # shares those canonical URLs. The periodic in-run fold keeps
-        # the read set O(1) paths (store + fold + <_STATE_FOLD_EVERY
-        # recent commits) however long the run; cross-run growth folds
-        # back into the store via `maintenance_url_seen_refresh`.
         maybe_fold_state(s, seen_dir, batch_id)
-        committed = fold_state_paths(seen_dir, batch_id)
-        if committed:
-            seen = seen.unionByName(
-                s.read.parquet(*committed).select("curl")
-            )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("curl")
-        verdicts = (
-            bcanon.withColumn("m", F.min("doc_id").over(w))
-            .join(
-                seen.select(F.col("curl").alias("scurl")).distinct(),
-                F.col("curl") == F.col("scurl"),
-                "left",
-            )
-            .select(
-                "doc_id",
-                "curl",
-                (
-                    F.col("scurl").isNotNull()
-                    | (F.col("doc_id") > F.col("m"))
-                ).alias("is_dup_url"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        verdicts = url_batch_verdicts(
+            s, bcanon, seen_store, seen_dir, batch_id
+        ).localCheckpoint(eager=True)
         verdicts.select("doc_id", "is_dup_url").write.mode(
             "overwrite"
         ).parquet(f"{target}/batch={batch_id}")

@@ -647,6 +647,48 @@ def test_url_gate_replay_sees_pre_batch_state(spark, sf_dir, tmp_path):
         assert v1[doc_id] == expect, (doc_id, curl)
 
 
+def test_url_gate_never_shuffles_state(spark, sf_dir, tmp_path):
+    """The frontier gate's 100 TB claim in plan form: the seen set must
+    reach the batch only through broadcast joins (a semi-join prune,
+    then the batch-sized distinct slice as the probe's build side) — a
+    bare .distinct() or sort-merge join against the state side would
+    shuffle the whole corpus-cardinality frontier every micro-batch.
+    Drives the applier's OWN read path (`url_batch_verdicts`) at
+    batch 1, where both the base store AND a committed batch-0 set are
+    in play."""
+    import os
+
+    from mongodb_cdc_spark.operators.curation import (
+        _url_canon_ctes,
+        _url_wave_feed,
+        url_batch_verdicts,
+        url_gate_batch_applier,
+        url_seen_store_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    seen_store = url_seen_store_path(spark, sf_dir, cut)
+    feed = _url_wave_feed(spark, sf_dir, cut)
+    target, seen_dir = str(tmp_path / "t"), str(tmp_path / "s")
+    os.makedirs(seen_dir)
+    apply_batch = url_gate_batch_applier(seen_store, target, seen_dir)
+    b0 = spark.read.parquet(os.path.join(feed, "wave_0.parquet"))
+    apply_batch(b0, 0)
+    b1 = spark.read.parquet(os.path.join(feed, "wave_1.parquet"))
+    b1.createOrReplaceTempView("url_batch_plan")
+    bcanon = spark.sql(
+        f"WITH {_url_canon_ctes('spark', 'url_batch_plan')} "
+        "SELECT doc_id, curl FROM canon"
+    )
+    probe = url_batch_verdicts(spark, bcanon, seen_store, seen_dir, 1)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # prune + probe
+
+
 def test_url_gate_seen_read_set_is_bounded(spark, sf_dir, tmp_path):
     """The standing-frontier bound (round-10 VERDICT #1): a micro-batch's
     seen set is exactly {persisted store} ∪ {strictly-earlier batches of
