@@ -2197,39 +2197,52 @@ def text_gate_verdicts(
         "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
     )
     mins = minhash_signatures_from_shingles(tok)
-    wb = signature_bands(mins).select(
-        F.col("doc_id").alias("wid"), "band", "h"
+    # 100 TB shape: every base artifact (band index, shingle index,
+    # size map) is corpus-cardinality — the batch side is the small
+    # side of every state join, so broadcast it (band probe) or prune
+    # the state to candidate bids with a broadcast semi-join BEFORE
+    # joining; a bare equi-join would shuffle the whole index per
+    # micro-batch. Plan-pinned in
+    # test_text_gate_never_shuffles_state.
+    wb = F.broadcast(
+        signature_bands(mins).select(
+            F.col("doc_id").alias("wid"), "band", "h"
+        )
     )
     sb = store_bands.select(F.col("doc_id").alias("bid"), "band", "h")
-    cand = wb.join(sb, ["band", "h"]).select("wid", "bid").distinct()
+    cand = F.broadcast(
+        wb.join(sb, ["band", "h"]).select("wid", "bid").distinct()
+    )
     wsh = tok.select(
         F.col("doc_id").alias("wid"),
         F.substring(F.md5("tok"), 1, 16).alias("h"),
     )
     wsz = wsh.groupBy("wid").agg(F.count(F.lit(1)).alias("nw"))
+    cand_bids = F.broadcast(cand.select("bid").distinct())
+    bsh_slice = (
+        bsh.withColumnRenamed("doc_id", "bid")
+        .withColumnRenamed("h", "hb")
+        .join(cand_bids, "bid", "left_semi")
+    )
+    bsz_slice = (
+        bsz.withColumnRenamed("doc_id", "bid")
+        .withColumnRenamed("n", "nb")
+        .join(cand_bids, "bid", "left_semi")
+    )
     # shared-shingle count per candidate pair: pair ⋈ wave-shingles
-    # on wid, then the base index on bid, equal hashes kept — cost is
-    # |candidates| x avg shingle overlap, never all-pairs
+    # on wid, then the candidate-pruned base index on bid, equal
+    # hashes kept — cost is |candidates| x avg shingle overlap, never
+    # all-pairs
     pc = (
         cand.join(wsh, "wid")
-        .join(
-            bsh.withColumnRenamed("doc_id", "bid").withColumnRenamed(
-                "h", "hb"
-            ),
-            ["bid"],
-        )
+        .join(bsh_slice, ["bid"])
         .filter(F.col("h") == F.col("hb"))
         .groupBy("wid", "bid")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     near = (
         pc.join(wsz, "wid")
-        .join(
-            bsz.withColumnRenamed("doc_id", "bid").withColumnRenamed(
-                "n", "nb"
-            ),
-            "bid",
-        )
+        .join(bsz_slice, "bid")
         .filter(
             100 * F.col("c")
             >= _VERIFY_TAU_E2 * (F.col("nw") + F.col("nb") - F.col("c"))
@@ -2238,16 +2251,30 @@ def text_gate_verdicts(
         .distinct()
         .withColumn("near", F.lit(True))
     )
+    # membership the scale-safe way round: filter the state scan by the
+    # broadcast batch hashes (map-side, batch-sized result), then probe
+    # that slice — never shuffle the md5 store itself
+    present = base_md5.join(
+        F.broadcast(
+            bdf.select(F.md5("text").alias("h")).distinct()
+        ),
+        "h",
+        "left_semi",
+    )
     exact = (
         bdf.select("doc_id", F.md5("text").alias("mh"))
-        .join(base_md5, F.col("mh") == F.col("h"), "left_semi")
+        .join(F.broadcast(present), F.col("mh") == F.col("h"), "left_semi")
         .select("doc_id")
         .withColumn("exact", F.lit(True))
     )
     return (
         bdf.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(near.withColumnRenamed("wid", "doc_id"), "doc_id", "left")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(
+            F.broadcast(near.withColumnRenamed("wid", "doc_id")),
+            "doc_id",
+            "left",
+        )
         .select(
             "doc_id",
             F.coalesce("exact", F.lit(False)).alias("is_exact_dup"),

@@ -689,6 +689,38 @@ def test_url_gate_never_shuffles_state(spark, sf_dir, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2  # prune + probe
 
 
+def test_text_gate_never_shuffles_state(spark, sf_dir):
+    """The text-dedup gate's 100 TB claim in plan form: every base
+    artifact (banded signature index, md5 store, rep shingle index,
+    size map) must reach the batch through BroadcastHashJoins — either
+    the batch side broadcast into the state scan or the state
+    semi-pruned to candidate bids first. A SortMergeJoin against any
+    state side would shuffle a corpus-cardinality index every
+    micro-batch. Drives the gate's OWN read path
+    (`text_gate_verdicts`) on a real wave slice."""
+    from mongodb_cdc_spark.operators.curation import (
+        _gate_setup_frames,
+        base_signature_store_path,
+        dedup_gate_store_path,
+        text_gate_verdicts,
+    )
+    from mongodb_cdc_spark.operators.extensions import signature_bands
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
+    store_bands = signature_bands(
+        spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+    )
+    gate = dedup_gate_store_path(spark, sf_dir, cut)
+    base_md5, bsh, bsz = _gate_setup_frames(spark, gate)
+    wave = d.filter(F.col("doc_id") > cut).limit(50)
+    probe = text_gate_verdicts(wave, base_md5, store_bands, bsh, bsz)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_url_gate_seen_read_set_is_bounded(spark, sf_dir, tmp_path):
     """The standing-frontier bound (round-10 VERDICT #1): a micro-batch's
     seen set is exactly {persisted store} ∪ {strictly-earlier batches of
