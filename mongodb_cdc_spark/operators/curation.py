@@ -3103,7 +3103,11 @@ def corpus_gate_batch_applier(
             )
             wb = b if wb is None else wb.unionByName(b)
         media = (
-            wb.join(base_sig_bands, ["band", "nib"])
+            # broadcast the batch-sized wave bands into the state scan —
+            # the base band index is corpus-cardinality and must never
+            # shuffle per micro-batch
+            F.broadcast(wb)
+            .join(base_sig_bands, ["band", "nib"])
             .filter(
                 F.bit_count(F.col("sig_w").bitwiseXOR(F.col("sig_b")))
                 <= _PH_TAU
@@ -3556,10 +3560,20 @@ def semantic_gate_verdicts(
         .groupBy("cluster")
         .applyInPandas(sem_window_candidates, "wid bigint, bid bigint")
     )
+    # 100 TB shape: candidates are bounded (<= 2WK per wave vector) but
+    # base_emb is corpus-cardinality — joining it bare on bid would
+    # shuffle every base embedding per micro-batch. Semi-prune the
+    # embedding store to candidate bids first (broadcast = map-side
+    # filter over the store scan), then broadcast the candidate-sized
+    # slice into the verify join. Plan-pinned in
+    # test_semantic_gate_never_shuffles_embeddings.
+    cd = F.broadcast(cands.distinct())
+    base_slice = base_emb.join(
+        F.broadcast(cd.select("bid").distinct()), "bid", "left_semi"
+    )
     dup = (
-        cands.distinct()
-        .join(w.select("wid", "wemb"), "wid")
-        .join(base_emb, "bid")
+        cd.join(w.select("wid", "wemb"), "wid")
+        .join(F.broadcast(base_slice), "bid")
         .filter(F.expr(cosine_unrolled_sql("wemb", "bemb")) >= _SEM_TAU)
         .select("wid")
         .distinct()
@@ -3567,7 +3581,7 @@ def semantic_gate_verdicts(
     )
     return (
         w.select("wid")
-        .join(dup, "wid", "left")
+        .join(F.broadcast(dup), "wid", "left")
         .select(
             F.col("wid").alias("vec_id"),
             F.coalesce("sdup", F.lit(False)).alias("is_semantic_dup"),
@@ -4193,7 +4207,11 @@ def corpus_gate_xwave_applier(
         # in-batch arm: same-batch smaller-id partners via the same
         # nibble-band join (bid < wid keeps first-seen-wins)
         media = (
-            wb.join(eff_ph.unionByName(wbands), ["band", "nib"])
+            # broadcast the batch-sized wave bands into the state scan —
+            # base ∪ committed-wave band rows are corpus-cardinality and
+            # must never shuffle per micro-batch
+            F.broadcast(wb)
+            .join(eff_ph.unionByName(wbands), ["band", "nib"])
             .filter(
                 (F.col("bid") < F.col("wid"))
                 & (

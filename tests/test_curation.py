@@ -721,6 +721,54 @@ def test_text_gate_never_shuffles_state(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_semantic_gate_never_shuffles_embeddings(spark, sf_dir):
+    """The semantic gate's verify stage in plan form: the base
+    embedding table is corpus-cardinality and must reach the batch
+    only via the candidate-bid semi-prune + broadcast of the pruned
+    slice — a bare bid equi-join would shuffle every base embedding
+    per micro-batch. Drives the gate's OWN read path
+    (`semantic_gate_verdicts`) on a real wave slice."""
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators.curation import (
+        _SEM_K,
+        semantic_gate_verdicts,
+        sem_base_rank_store_path,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    base_rank = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut)
+    )
+    base_emb = e.filter(F.col("vec_id") <= cut).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+    )
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _SEM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    base_narrow = base_rank.select(
+        "vec_id",
+        "cluster",
+        *[f"s{k}" for k in range(_SEM_K)],
+        F.lit(False).alias("is_wave"),
+    )
+    wave = e.filter(F.col("vec_id") > cut).select("vec_id", "embedding")
+    probe = semantic_gate_verdicts(
+        wave, base_narrow, base_emb, centroid_cosines_udf(cents)
+    )
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "simple"
+    )
+    # the candidate kernel's groupBy(cluster) repartition is the one
+    # sanctioned exchange (narrow 9-number rows, documented store
+    # scan); the embedding table itself must only appear under
+    # broadcast joins
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_url_gate_seen_read_set_is_bounded(spark, sf_dir, tmp_path):
     """The standing-frontier bound (round-10 VERDICT #1): a micro-batch's
     seen set is exactly {persisted store} ∪ {strictly-earlier batches of
