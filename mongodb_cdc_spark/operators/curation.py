@@ -3131,8 +3131,11 @@ def corpus_gate_batch_applier(
             )
         )
         if sem_base_narrow is not None:
-            wave_emb = bdf.select("doc_id").join(
-                emb, F.col("doc_id") == F.col("vec_id")
+            # broadcast the batch ids into the embedding-table scan —
+            # never shuffle the corpus-cardinality embedding side
+            wave_emb = emb.join(
+                F.broadcast(bdf.select("doc_id")),
+                F.col("doc_id") == F.col("vec_id"),
             ).select("vec_id", "embedding")
             sem_v = semantic_gate_verdicts(
                 wave_emb, sem_base_narrow, sem_base_emb, sem_project
@@ -4225,9 +4228,14 @@ def corpus_gate_xwave_applier(
             .withColumn("mdup", F.lit(True))
         )
         # --- semantic gate (docs without a vector pass it) ---
+        # broadcast the batch ids into the embedding-table scan — the
+        # embedding side is corpus-cardinality and must never shuffle
+        # per micro-batch
         wave_emb = (
-            bdf.select("doc_id")
-            .join(emb, F.col("doc_id") == F.col("vec_id"))
+            emb.join(
+                F.broadcast(bdf.select("doc_id")),
+                F.col("doc_id") == F.col("vec_id"),
+            )
             .select("vec_id", "embedding")
             .localCheckpoint(eager=True)
         )

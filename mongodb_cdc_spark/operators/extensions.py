@@ -2710,10 +2710,16 @@ def stream_bitext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = new_scratch_dir("btx_ingest_ckpt")
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        # broadcast the batch ids into the embedding-table scan — the
+        # embedding side is corpus-cardinality and must never shuffle
+        # per micro-batch
         (
-            bdf.filter(F.col("lang") == "en")
-            .select("doc_id")
-            .join(emb, "doc_id")
+            emb.join(
+                F.broadcast(
+                    bdf.filter(F.col("lang") == "en").select("doc_id")
+                ),
+                "doc_id",
+            )
             .select("doc_id", project("embedding").alias("_s"))
             .select(
                 "doc_id",
