@@ -3803,6 +3803,23 @@ def maintenance_sem_rank_store(
     )
 
 
+def _count_before(sorted_s, sorted_id, qs, qid):
+    """#(sorted (s, id) pairs) strictly before each query (qs, qid) —
+    the bit-exact insertion-count primitive shared by the rank merge
+    (refresh) and unmerge (forget) kernels. Equal-s runs resolve on
+    the vec_id tiebreak; the run loop is rare by construction."""
+    import numpy as np
+
+    lo = np.searchsorted(sorted_s, qs, side="left")
+    hi = np.searchsorted(sorted_s, qs, side="right")
+    cnt = lo.copy()
+    for t in np.flatnonzero(hi > lo):
+        cnt[t] = lo[t] + np.searchsorted(
+            sorted_id[lo[t] : hi[t]], qid[t], side="left"
+        )
+    return cnt
+
+
 def sem_rank_merge(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-cluster rank maintenance, one vectorized pass (the refresh
     sibling of `sem_window_candidates`): base members' new ranks are
@@ -3830,17 +3847,6 @@ def sem_rank_merge(pdf: pd.DataFrame) -> pd.DataFrame:
         ).astype(np.int32),
     }
 
-    def _count_before(sorted_s, sorted_id, qs, qid):
-        """#(sorted (s,id) pairs) strictly before each query (qs,qid)."""
-        lo = np.searchsorted(sorted_s, qs, side="left")
-        hi = np.searchsorted(sorted_s, qs, side="right")
-        cnt = lo.copy()
-        for t in np.flatnonzero(hi > lo):
-            cnt[t] = lo[t] + np.searchsorted(
-                sorted_id[lo[t] : hi[t]], qid[t], side="left"
-            )
-        return cnt
-
     bid = base["vec_id"].to_numpy()
     wid = wv["vec_id"].to_numpy()
     for k in range(_SEM_K):
@@ -3867,6 +3873,152 @@ def sem_rank_merge(pdf: pd.DataFrame) -> pd.DataFrame:
             [new_base_rn, nb + nw + 1]
         ).astype(np.int32)
     return pd.DataFrame(out)
+
+
+def sem_rank_unmerge(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cluster rank DELETION, one vectorized pass — the exact
+    inverse of `sem_rank_merge` and the semantic store's arm of the
+    forget tier (operators/forget.py): a survivor's new rank is its
+    old rank minus the deleted members sorting strictly before it
+    (same bit-exact (s_k, vec_id) order via the shared
+    `_count_before`). Linear in cluster size over narrow columns; the
+    100 TB base is touched only through its persisted (s, rn) rows —
+    forget cost is proportional to cluster sizes holding takedowns,
+    never a re-projection of embeddings. Property-tested directly in
+    tests/test_fixedpoint_hypothesis.py
+    (test_sem_rank_unmerge_kernel_equals_rebuild)."""
+    import numpy as np
+    import pandas as pd
+
+    keep = pdf[~pdf["is_del"]]
+    dead = pdf[pdf["is_del"]]
+    out = {
+        "vec_id": keep["vec_id"].to_numpy().astype(np.int64),
+        "cluster": keep["cluster"].to_numpy().astype(np.int32),
+    }
+    kid = keep["vec_id"].to_numpy()
+    did = dead["vec_id"].to_numpy()
+    for k in range(_SEM_K):
+        ks_raw = keep[f"s{k}"].to_numpy()
+        ds_raw = dead[f"s{k}"].to_numpy()
+        dorder = np.lexsort((did, ds_raw))
+        ds, di = ds_raw[dorder], did[dorder]
+        shift = (
+            _count_before(ds, di, ks_raw, kid)
+            if len(dead)
+            else np.zeros(len(keep), np.int64)
+        )
+        out[f"rn{k}"] = (keep[f"rn{k}"].to_numpy() - shift).astype(
+            np.int32
+        )
+    return pd.DataFrame(out)
+
+
+@query(
+    "maintenance_sem_rank_forget",
+    oracle=f"""
+    WITH {_sem_rank_audit_ctes()},
+    surv AS MATERIALIZED (
+      SELECT vec_id, cluster, s0, s1, s2, s3 FROM branked
+      WHERE vec_id % 89 <> 0
+    ),
+    rebuilt AS MATERIALIZED (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY s0, vec_id) AS rn0,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY s3, vec_id) AS rn3
+      FROM surv
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM branked
+       WHERE vec_id % 89 = 0) AS n_forgotten,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM rebuilt) AS n_remaining,
+      (SELECT CAST(SUM(vec_id * rn0) AS BIGINT) FROM rebuilt)
+        AS rn0_checksum,
+      (SELECT CAST(SUM(vec_id * rn3) AS BIGINT) FROM rebuilt)
+        AS rn3_checksum,
+      CAST(0 AS BIGINT) AS forget_mismatches
+    """,
+)
+def maintenance_sem_rank_forget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic rank store's forget arm (forget-tier sibling of
+    `maintenance_sem_rank_refresh`): purge a takedown list
+    (vec_id % 89 == 0) from the persisted base rank store WITHOUT
+    rebuilding — survivors' ranks drop by the exact count of deleted
+    members sorting before them per projection (`sem_rank_unmerge`,
+    one grouped searchsorted pass per cluster) — and prove the
+    unmerged store equals the from-scratch re-rank of the survivors
+    row for row across all four rank columns (``forget_mismatches``
+    is a REAL full-outer mismatch count, hash-checked at 0, plus
+    vec_id*rn checksums that pin every remaining counter).
+
+    With refresh (merge == rebuild) and this (unmerge == rebuild),
+    rank-store wave ingestion is a fully reversible transaction —
+    the refcounted-store property of operators/forget.py extended to
+    order statistics, where deletion is NOT a row drop but a rank
+    shift. Scale: deletion cost is the takedown's clusters' narrow
+    rows; embeddings are never re-projected."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
+    store = spark.read.parquet(
+        sem_base_rank_store_path(spark, sf_dir, cut)
+    ).localCheckpoint(eager=True)
+    flagged = store.withColumn("is_del", F.col("vec_id") % 89 == 0)
+    unmerged = flagged.groupBy("cluster").applyInPandas(
+        sem_rank_unmerge,
+        "vec_id bigint, cluster int, "
+        + ", ".join(f"rn{k} int" for k in range(_SEM_K)),
+    )
+    from pyspark.sql.window import Window
+
+    surv = store.filter(F.col("vec_id") % 89 != 0)
+    rebuilt = surv.select(
+        "vec_id",
+        "cluster",
+        *[
+            F.row_number()
+            .over(Window.partitionBy("cluster").orderBy(f"s{k}", "vec_id"))
+            .alias(f"rn{k}")
+            for k in range(_SEM_K)
+        ],
+    )
+    cols = ["vec_id", "cluster"] + [f"rn{k}" for k in range(_SEM_K)]
+    mism = (
+        unmerged.withColumn("l_present", F.lit(1))
+        .join(
+            rebuilt.withColumn("r_present", F.lit(1)), cols, "full_outer"
+        )
+        .filter(F.col("l_present").isNull() | F.col("r_present").isNull())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("forget_mismatches"))
+    )
+    return (
+        store.filter(F.col("vec_id") % 89 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_forgotten"))
+        .crossJoin(
+            F.broadcast(
+                unmerged.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+                    F.sum(F.col("vec_id") * F.col("rn0"))
+                    .cast("bigint")
+                    .alias("rn0_checksum"),
+                    F.sum(F.col("vec_id") * F.col("rn3"))
+                    .cast("bigint")
+                    .alias("rn3_checksum"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "n_forgotten",
+            "n_remaining",
+            "rn0_checksum",
+            "rn3_checksum",
+            "forget_mismatches",
+        )
+    )
 
 
 @query(

@@ -164,7 +164,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_watermark_late",
     "stream_stateful_upsert",
     "ext_text_wordcount",
-    "ext_text_lang_stats",
     "ext_sim_cosine_topk",
     "ext_multimodal_join",
     "ext_text_langid",
@@ -193,6 +192,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_wave_rollback",
     "stream_refcount_ingest",
     "maintenance_refcount_refresh",
+    "maintenance_sem_rank_forget",
     "maintenance_compact",
     "sql_lateral_topn",
     "agg_corr_regression",
@@ -207,6 +207,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "fn_math",
     "udf_python_scalar",
     "udaf_grouped_weighted_avg",
+    "ext_text_lang_stats",
     "agg_collect_sorted",
     "agg_median_disc",
     "agg_pivot",

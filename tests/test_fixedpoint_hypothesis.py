@@ -423,3 +423,63 @@ def test_sem_rank_merge_kernel_equals_rebuild(rows, k):
     for j in range(_SEM_K):
         got = dict(zip(out["vec_id"], out[f"rn{j}"]))
         assert got == rebuilt
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_sem_rank_unmerge_kernel_equals_rebuild(rows, k):
+    """The forget inverse, driven through the NUMPY KERNEL: delete an
+    arbitrary subset from a ranked cluster via `sem_rank_unmerge` and
+    the survivors' shifted ranks must equal a from-scratch re-rank of
+    the survivors (s drawn from 0..9 so `_count_before`'s tie loop is
+    exercised). Together with the merge test this pins
+    unmerge(merge(base, wave), wave) == base for every frame."""
+    import pandas as pd
+
+    from mongodb_cdc_spark.operators.curation import (
+        _SEM_K,
+        sem_rank_unmerge,
+    )
+
+    k = min(k, len(rows))
+    dead_ids = {vid for _, vid in rows[:k]}
+    ranked = sorted(rows, key=lambda t: (t[0], t[1]))
+    full_rn = {vid: i + 1 for i, (_, vid) in enumerate(ranked)}
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [vid for _, vid in rows],
+            "cluster": 0,
+            **{
+                f"s{j}": [float(s) for s, _ in rows]
+                for j in range(_SEM_K)
+            },
+            **{
+                f"rn{j}": [full_rn[vid] for _, vid in rows]
+                for j in range(_SEM_K)
+            },
+            "is_del": [vid in dead_ids for _, vid in rows],
+        }
+    )
+    out = sem_rank_unmerge(pdf)
+    survivors = [t for t in rows if t[1] not in dead_ids]
+    rebuilt = {
+        vid: i + 1
+        for i, (_, vid) in enumerate(
+            sorted(survivors, key=lambda t: (t[0], t[1]))
+        )
+    }
+    assert len(out) == len(survivors)
+    for j in range(_SEM_K):
+        got = dict(zip(out["vec_id"], out[f"rn{j}"]))
+        assert got == rebuilt

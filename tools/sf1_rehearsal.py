@@ -279,6 +279,7 @@ HEAVY = [
     "maintenance_wave_rollback",
     "stream_refcount_ingest",
     "maintenance_refcount_refresh",
+    "maintenance_sem_rank_forget",
 ]
 
 
