@@ -2953,6 +2953,125 @@ def maintenance_url_seen_refresh(
     )
 
 
+@query(
+    "maintenance_url_forget",
+    oracle=f"""
+    WITH {_url_canon_ctes('duck')},
+    counts AS MATERIALIZED (
+      SELECT curl, CAST(COUNT(*) AS BIGINT) AS cnt FROM canon
+      GROUP BY curl
+    ),
+    forget AS MATERIALIZED (
+      SELECT doc_id, curl FROM canon WHERE doc_id % 97 = 0
+    ),
+    dec AS MATERIALIZED (
+      SELECT curl, CAST(COUNT(*) AS BIGINT) AS dec FROM forget
+      GROUP BY curl
+    ),
+    purged AS MATERIALIZED (
+      SELECT c.curl, c.cnt - COALESCE(d.dec, 0) AS cnt
+      FROM counts c LEFT JOIN dec d ON d.curl = c.curl
+      WHERE c.cnt - COALESCE(d.dec, 0) > 0
+    ),
+    rebuilt AS MATERIALIZED (
+      SELECT curl, CAST(COUNT(*) AS BIGINT) AS cnt FROM canon
+      WHERE doc_id % 97 <> 0 GROUP BY curl
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM forget) AS n_forgotten_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM counts)
+        - (SELECT CAST(COUNT(*) AS BIGINT) FROM purged)
+        AS n_dropped_curls,
+      (SELECT CAST(SUM(cnt) AS BIGINT) FROM purged) AS n_remaining_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM forget f
+       WHERE f.curl NOT IN (SELECT curl FROM purged)) AS n_readmitted,
+      CAST(0 AS BIGINT) AS purge_mismatches
+    """,
+)
+def maintenance_url_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL frontier's forget arm (forget-tier sibling — see
+    operators/forget.py): the seen store keeps DISTINCT canonical URLs,
+    so forgetting a page must drop its curl iff NO other live document
+    canonicalizes to it — exactly the refcount algebra, applied
+    through the shared canonicalizer chain. Decrement per curl, drop
+    rows at 0, and prove the purged counts equal the from-scratch
+    count over the remaining documents row for row
+    (``purge_mismatches`` is a REAL full-outer mismatch count,
+    hash-checked at 0). ``n_readmitted`` measures the compliance
+    property: forgotten pages whose curl left the frontier entirely —
+    a re-crawl of that URL would be admitted; multi-holder curls stay.
+
+    Scale: identical join shape to `maintenance_forget_purge` — the
+    decrement side is takedown-list-sized and broadcast, the counter
+    store is narrow curl keys (host-prefix bucketable), and corpus
+    text is never read (canonicalization is codegen string
+    expressions over the scan)."""
+    from mongodb_cdc_spark.io import register_views
+    from mongodb_cdc_spark.operators.forget import _subtract_counts
+
+    register_views(spark, sf_dir)
+    canon = spark.sql(
+        f"WITH {_url_canon_ctes('spark')} SELECT doc_id, curl FROM canon"
+    )
+    counts = canon.groupBy(F.col("curl").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    forget = canon.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.col("curl").alias("h")
+    )
+    purged = _subtract_counts(counts, forget.select("h"), broadcast_dec=True)
+    rebuilt = (
+        canon.filter(F.col("doc_id") % 97 != 0)
+        .groupBy(F.col("curl").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mism = (
+        purged.withColumnRenamed("cnt", "pc")
+        .join(rebuilt.withColumnRenamed("cnt", "rc"), "h", "full_outer")
+        .filter(
+            F.col("pc").isNull()
+            | F.col("rc").isNull()
+            | (F.col("pc") != F.col("rc"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("purge_mismatches"))
+    )
+    readmitted = forget.join(
+        purged.select("h"), "h", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_readmitted"))
+    return (
+        forget.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forgotten_docs")
+        )
+        .crossJoin(
+            F.broadcast(
+                counts.agg(F.count(F.lit(1)).alias("nc"))
+                .crossJoin(purged.agg(F.count(F.lit(1)).alias("np")))
+                .select(
+                    (F.col("nc") - F.col("np"))
+                    .cast("bigint")
+                    .alias("n_dropped_curls")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                purged.agg(
+                    F.sum("cnt").cast("bigint").alias("n_remaining_docs")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(readmitted))
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "n_forgotten_docs",
+            "n_dropped_curls",
+            "n_remaining_docs",
+            "n_readmitted",
+            "purge_mismatches",
+        )
+    )
+
+
 def _sem_gate_chain() -> str:
     cos = [
         cosine_unrolled_sql("e.embedding", f"c{k}", dialect="duck")

@@ -165,7 +165,6 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_stateful_upsert",
     "ext_text_wordcount",
     "ext_sim_cosine_topk",
-    "ext_multimodal_join",
     "ext_text_langid",
     "ext_text_ngrams",
     "ext_text_quality",
@@ -180,12 +179,14 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "maintenance_evalgram_refresh",
     "stream_decontam_ingest",
     # round-11 additions (forget/rollback tier: refcounted dedup state
-    # with exact deletion, batch + streaming), inserted above the
-    # canaries per the frozen rule; six more keys from the
-    # stale-refresh cohort that the round-10 judge ALREADY re-verified
-    # hostile (agg_cube, fn_date, fn_map, fn_math, udf_python_scalar,
-    # udaf_grouped_weighted_avg) are displaced just past the canaries
-    # into the round-12 front — again the cheapest freshness to give up
+    # with exact deletion — batch, streaming, and the rank-store +
+    # URL-frontier forget arms), inserted above the canaries per the
+    # frozen rule; eight more keys from the stale-refresh cohort that
+    # the round-10 judge ALREADY re-verified hostile (agg_cube,
+    # fn_date, fn_map, fn_math, udf_python_scalar,
+    # udaf_grouped_weighted_avg, ext_text_lang_stats,
+    # ext_multimodal_join) are displaced just past the canaries into
+    # the round-12 front — again the cheapest freshness to give up
     "maintenance_refcount_store",
     "maintenance_forget_purge",
     "ext_forget_readmit_audit",
@@ -193,10 +194,11 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "stream_refcount_ingest",
     "maintenance_refcount_refresh",
     "maintenance_sem_rank_forget",
+    "maintenance_url_forget",
     "maintenance_compact",
     "sql_lateral_topn",
     "agg_corr_regression",
-    # round-12 front: the ten displaced judge-re-verified r1/r2 rows
+    # round-12 front: the twelve displaced judge-re-verified r1/r2 rows
     "sink_append_parquet",
     "cdc_diff_fieldwise",
     "stream_sliding_window",
@@ -208,6 +210,7 @@ DRIVER_KEY_PRIORITY: tuple[str, ...] = (
     "udf_python_scalar",
     "udaf_grouped_weighted_avg",
     "ext_text_lang_stats",
+    "ext_multimodal_join",
     "agg_collect_sorted",
     "agg_median_disc",
     "agg_pivot",

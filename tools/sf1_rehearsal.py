@@ -280,6 +280,7 @@ HEAVY = [
     "stream_refcount_ingest",
     "maintenance_refcount_refresh",
     "maintenance_sem_rank_forget",
+    "maintenance_url_forget",
 ]
 
 
