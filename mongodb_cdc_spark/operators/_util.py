@@ -81,6 +81,31 @@ def publish_store(stage: str, path: str) -> None:
             raise
 
 
+def run_parallel(*thunks):
+    """Run independent Spark actions concurrently from driver threads
+    (optimization guide §2.6 "overlap independent jobs"). Actions are
+    only sequential because driver code calls them sequentially; inside
+    a foreachBatch micro-batch the per-gate state commits, the verdict
+    write, and the per-gate fold compactions are independent jobs on
+    batch-sized data whose scheduling/commit latency — not compute —
+    dominates, so running them from a small thread pool collapses the
+    batch wall from the SUM of the actions to their MAX. Results return
+    in thunk order; the first raised exception propagates (after all
+    threads finish, so no action is left mid-flight).
+
+    Scale note: this changes scheduling only — each job's plan, its
+    shuffle layout, and every committed file's content are identical to
+    the sequential form; concurrent jobs share the executors FIFO, which
+    is exactly the back-fill behaviour the guide describes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _round_cents(S: str, div: str) -> str:
     """Half-up rounding of a scale-4 integer ``S`` to cents, sign-symmetric.
 
