@@ -885,7 +885,7 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
     (`ext_dedup_from_store`)."""
     from mongodb_cdc_spark.operators.extensions import (
         _MINHASH_SEEDS,
-        minhash_signatures_from_shingles,
+        minhash_signatures_from_texts,
     )
     from mongodb_cdc_spark.sources.changefeed import scratch_root
 
@@ -902,10 +902,7 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
         reps = d.groupBy(F.md5("text").alias("h")).agg(
             F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
         )
-        tok = reps.select("doc_id", tokens("text").alias("toks")).select(
-            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
-        )
-        mins = minhash_signatures_from_shingles(tok)
+        mins = minhash_signatures_from_texts(reps)
         stage = new_stage(path)
         mins.write.mode("overwrite").parquet(stage)
         publish_store(stage, path)
@@ -1709,15 +1706,13 @@ def ext_semantic_dedup_from_store(
 def _sign_reps(reps: DataFrame) -> DataFrame:
     """MinHash-sign a (doc_id, text) representative frame — the same
     shingle/seed geometry as the signature store build (docs under the
-    2-token bigram minimum naturally drop out)."""
+    2-token bigram minimum naturally drop out). Map-side signing:
+    identical values, no explode+groupBy exchange (guide §2.4)."""
     from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_shingles,
+        minhash_signatures_from_texts,
     )
 
-    tok = reps.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
-    )
-    return minhash_signatures_from_shingles(tok)
+    return minhash_signatures_from_texts(reps)
 
 
 @query(
@@ -2193,14 +2188,17 @@ def text_gate_verdicts(
     one (band, h) equi-join with the batch side broadcastable; the
     candidate verify touches candidate pairs only, never all-pairs."""
     from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_shingles,
+        minhash_signatures_from_texts,
         signature_bands,
     )
 
     tok = bdf.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
     )
-    mins = minhash_signatures_from_shingles(tok)
+    # map-side signing: identical signature values, and the batch band
+    # probe's broadcast now builds straight off the batch scan with no
+    # explode+groupBy exchange under it (guide §2.4)
+    mins = minhash_signatures_from_texts(bdf)
     # 100 TB shape: every base artifact (band index, shingle index,
     # size map) is corpus-cardinality — the batch side is the small
     # side of every state join, so broadcast it (band probe) or prune
@@ -2351,10 +2349,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes) is a persisted store artifact (`dedup_gate_store_path`) —
     an ingest session reads zero base TEXT bytes. Nothing reshuffles
     previously ingested data."""
-    from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_shingles,
-        signature_bands,
-    )
+    from mongodb_cdc_spark.operators.extensions import signature_bands
     from mongodb_cdc_spark.streaming.pipeline import (
         new_scratch_dir,
         run_supervised,
@@ -2365,23 +2360,33 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row scalar collect, the documented pattern)
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
 
-    store = spark.read.parquet(
-        base_signature_store_path(spark, sf_dir, cut)
-    )
-    store_bands = signature_bands(store).localCheckpoint(eager=True)
     # base-side gate inputs come FROM THE PERSISTED GATE STORE (md5 set,
     # rep shingle-hash index, rep sizes) — per-run base TEXT bytes read
     # is zero once the store exists (plan-pinned in tests/test_plans.py);
     # round 8 rebuilt these from text every run (VERDICT r8 missing #3).
     # localCheckpoint pins each tiny frame in the block manager so the
     # per-micro-batch plans re-join against memory, not the parquet dirs.
-    gate = dedup_gate_store_path(spark, sf_dir, cut)
-    base_md5_lazy, bsh_lazy, bsz_lazy = _gate_setup_frames(spark, gate)
-    base_md5 = base_md5_lazy.localCheckpoint(eager=True)
-    bsh = bsh_lazy.localCheckpoint(eager=True)
-    bsz = bsz_lazy.localCheckpoint(eager=True)
+    # The four pinning checkpoints and the feed build are independent —
+    # run them concurrently (guide §2.6).
+    def b_store_bands():
+        return signature_bands(
+            spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+        ).localCheckpoint(eager=True)
 
-    feed = _dedup_gate_feed(spark, sf_dir, cut)
+    def b_gate():
+        gate = dedup_gate_store_path(spark, sf_dir, cut)
+        return run_parallel(
+            *(
+                (lambda fr: lambda: fr.localCheckpoint(eager=True))(f)
+                for f in _gate_setup_frames(spark, gate)
+            )
+        )
+
+    store_bands, (base_md5, bsh, bsz), feed = run_parallel(
+        b_store_bands,
+        b_gate,
+        lambda: _dedup_gate_feed(spark, sf_dir, cut),
+    )
     wave_schema = d.schema
     target = new_scratch_dir("dedup_gate_target")
     ckpt = new_scratch_dir("dedup_gate_ckpt")
@@ -3219,16 +3224,20 @@ def corpus_gate_batch_applier(
         s = bdf.sparkSession
 
         # the URL gate (its own chain of actions against the seen
-        # store) and the text/media/semantic gates (one materialization
-        # against the persisted base artifacts) share nothing until the
-        # final per-doc join — overlap them (guide §2.6); the combined
-        # per-batch wall drops from sum to max of the two chains, and
-        # every verdict value is unchanged.
+        # store), the text gate, the media gate, and the semantic gate
+        # share nothing until the final per-doc join — materialize all
+        # four CONCURRENTLY (guide §2.6); the per-batch wall drops from
+        # the sum of the gate chains to their max, and every verdict
+        # value is unchanged.
         def t_url():
             url_apply(bdf, batch_id)
 
-        def t_gates() -> DataFrame:
-            txt_v = text_gate_verdicts(bdf, base_md5, store_bands, bsh, bsz)
+        def t_txt() -> DataFrame:
+            return text_gate_verdicts(
+                bdf, base_md5, store_bands, bsh, bsz
+            ).localCheckpoint(eager=True)
+
+        def t_media() -> DataFrame:
             wsig = bdf.select(
                 "doc_id", F.encode("text", "UTF-8").alias("content")
             ).mapInPandas(phash_signatures, PHASH_SCHEMA)
@@ -3243,7 +3252,7 @@ def corpus_gate_batch_applier(
                     .alias("nib"),
                 )
                 wb = b if wb is None else wb.unionByName(b)
-            media = (
+            return (
                 # broadcast the batch-sized wave bands into the state
                 # scan — the base band index is corpus-cardinality and
                 # must never shuffle per micro-batch
@@ -3257,50 +3266,52 @@ def corpus_gate_batch_applier(
                 .distinct()
                 .withColumnRenamed("wid", "doc_id")
                 .withColumn("mdup", F.lit(True))
+                .localCheckpoint(eager=True)
             )
-            gates = (
-                bdf.select("doc_id")
-                .join(txt_v, "doc_id")
-                .join(media, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "is_exact_dup",
-                    "is_near_dup",
-                    F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
-                )
-            )
-            if sem_base_narrow is not None:
-                # broadcast the batch ids into the embedding-table scan —
-                # never shuffle the corpus-cardinality embedding side
-                wave_emb = emb.join(
-                    F.broadcast(bdf.select("doc_id")),
-                    F.col("doc_id") == F.col("vec_id"),
-                ).select("vec_id", "embedding")
-                sem_v = semantic_gate_verdicts(
-                    wave_emb, sem_base_narrow, sem_base_emb, sem_project
-                ).withColumnRenamed("vec_id", "doc_id")
-                gates = gates.join(sem_v, "doc_id", "left").select(
-                    "doc_id",
-                    "is_exact_dup",
-                    "is_near_dup",
-                    "is_media_dup",
-                    F.coalesce("is_semantic_dup", F.lit(False)).alias(
-                        "is_semantic_dup"
-                    ),
-                )
-            return gates.localCheckpoint(eager=True)
 
-        _, gates = run_parallel(t_url, t_gates)
+        def t_sem() -> DataFrame | None:
+            if sem_base_narrow is None:
+                return None
+            # broadcast the batch ids into the embedding-table scan —
+            # never shuffle the corpus-cardinality embedding side
+            wave_emb = emb.join(
+                F.broadcast(bdf.select("doc_id")),
+                F.col("doc_id") == F.col("vec_id"),
+            ).select("vec_id", "embedding")
+            return (
+                semantic_gate_verdicts(
+                    wave_emb, sem_base_narrow, sem_base_emb, sem_project
+                )
+                .withColumnRenamed("vec_id", "doc_id")
+                .localCheckpoint(eager=True)
+            )
+
+        _, txt_v, media, sem_v = run_parallel(t_url, t_txt, t_media, t_sem)
         url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
-        cols = ["is_exact_dup", "is_near_dup", "is_media_dup"] + (
-            ["is_semantic_dup"] if sem_base_narrow is not None else []
-        )
         out = (
             bdf.select("doc_id")
             .join(url_v, "doc_id")
-            .join(gates, "doc_id")
-            .select("doc_id", "is_dup_url", *cols)
+            .join(txt_v, "doc_id")
+            .join(media, "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_dup_url",
+                "is_exact_dup",
+                "is_near_dup",
+                F.coalesce("mdup", F.lit(False)).alias("is_media_dup"),
+            )
         )
+        if sem_v is not None:
+            out = out.join(sem_v, "doc_id", "left").select(
+                "doc_id",
+                "is_dup_url",
+                "is_exact_dup",
+                "is_near_dup",
+                "is_media_dup",
+                F.coalesce("is_semantic_dup", F.lit(False)).alias(
+                    "is_semantic_dup"
+                ),
+            )
         out.write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
 
     return apply_batch
@@ -3422,61 +3433,107 @@ def stream_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
 
-    # persisted base-side inputs, all store reads (zero base text/blob)
-    url_seen_store = url_seen_store_path(spark, sf_dir, cut)
-    store_bands = signature_bands(
-        spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
-    ).localCheckpoint(eager=True)
-    gate = dedup_gate_store_path(spark, sf_dir, cut)
-    base_md5_l, bsh_l, bsz_l = _gate_setup_frames(spark, gate)
-    base_md5 = base_md5_l.localCheckpoint(eager=True)
-    bsh = bsh_l.localCheckpoint(eager=True)
-    bsz = bsz_l.localCheckpoint(eager=True)
-    psig = spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
-        F.col("doc_id") <= cut
-    )
-    bb = None
-    for k in range(_PH_BANDS):
-        b = psig.select(
-            F.col("doc_id").alias("bid"),
-            F.col("sig").alias("sig_b"),
-            F.lit(k).alias("band"),
-            F.shiftright("sig", k * 4).bitwiseAND(F.lit(15)).alias("nib"),
-        )
-        bb = b if bb is None else bb.unionByName(b)
-    base_sig_bands = bb.localCheckpoint(eager=True)
-
-    # semantic gate assets at the PIPELINE's doc-id cut (doc_id ==
-    # vec_id in this schema; wave docs without a vector pass the gate)
+    # persisted base-side inputs, all store reads (zero base text/blob).
+    # Every build step below depends only on `cut`, so the store
+    # lookups, the pinning localCheckpoints, and the feed build run
+    # CONCURRENTLY (guide §2.6) — the setup wall drops from the sum of
+    # ~10 actions to the slowest store path.
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
 
     e = load_table(spark, sf_dir, "embeddings")
-    sem_base_narrow = (
-        spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
-        .select(
-            "vec_id",
-            "cluster",
-            *[f"s{k}" for k in range(_SEM_K)],
-            F.lit(False).alias("is_wave"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sem_base_emb = (
-        e.filter(F.col("vec_id") <= cut)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
-        .localCheckpoint(eager=True)
-    )
-    sem_project = centroid_cosines_udf(
-        [
-            r["embedding"]
-            for r in e.filter(F.col("vec_id") < _SEM_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-    )
-    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
 
-    feed = _url_wave_feed(spark, sf_dir, cut)
+    def b_url_store():
+        return url_seen_store_path(spark, sf_dir, cut)
+
+    def b_store_bands():
+        return signature_bands(
+            spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+        ).localCheckpoint(eager=True)
+
+    def b_gate():
+        gate = dedup_gate_store_path(spark, sf_dir, cut)
+        base_md5_l, bsh_l, bsz_l = _gate_setup_frames(spark, gate)
+        return run_parallel(
+            lambda: base_md5_l.localCheckpoint(eager=True),
+            lambda: bsh_l.localCheckpoint(eager=True),
+            lambda: bsz_l.localCheckpoint(eager=True),
+        )
+
+    def b_phash_bands():
+        psig = spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
+            F.col("doc_id") <= cut
+        )
+        bb = None
+        for k in range(_PH_BANDS):
+            b = psig.select(
+                F.col("doc_id").alias("bid"),
+                F.col("sig").alias("sig_b"),
+                F.lit(k).alias("band"),
+                F.shiftright("sig", k * 4).bitwiseAND(F.lit(15)).alias("nib"),
+            )
+            bb = b if bb is None else bb.unionByName(b)
+        return bb.localCheckpoint(eager=True)
+
+    # semantic gate assets at the PIPELINE's doc-id cut (doc_id ==
+    # vec_id in this schema; wave docs without a vector pass the gate)
+    def b_sem_narrow():
+        return (
+            spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
+            .select(
+                "vec_id",
+                "cluster",
+                *[f"s{k}" for k in range(_SEM_K)],
+                F.lit(False).alias("is_wave"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def b_sem_emb():
+        return (
+            e.filter(F.col("vec_id") <= cut)
+            .select(
+                F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def b_project():
+        return centroid_cosines_udf(
+            [
+                r["embedding"]
+                for r in e.filter(F.col("vec_id") < _SEM_K)
+                .orderBy("vec_id")
+                .collect()
+            ]
+        )
+
+    def b_emb():
+        return e.select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    def b_feed():
+        return _url_wave_feed(spark, sf_dir, cut)
+
+    (
+        url_seen_store,
+        store_bands,
+        (base_md5, bsh, bsz),
+        base_sig_bands,
+        sem_base_narrow,
+        sem_base_emb,
+        sem_project,
+        emb,
+        feed,
+    ) = run_parallel(
+        b_url_store,
+        b_store_bands,
+        b_gate,
+        b_phash_bands,
+        b_sem_narrow,
+        b_sem_emb,
+        b_project,
+        b_emb,
+        b_feed,
+    )
     wave_schema = d.schema
     target = new_scratch_dir("corpus_pipe_target")
     url_target = new_scratch_dir("corpus_pipe_urlv")
@@ -4502,19 +4559,23 @@ def corpus_gate_xwave_applier(
                 "overwrite"
             ).parquet(f"{dirs['md5']}/batch={batch_id}")
 
-        _, rmins, (rsh, rsz), wsig, wave_emb, _ = run_parallel(
+        # --- text gates against base ∪ earlier waves (no phase-A
+        # dependency — reads only strictly-earlier state and the batch
+        # itself, so it materializes concurrently with the commits) ---
+        def t_txt():
+            return text_gate_verdicts(
+                bdf,
+                with_state(base_md5, read_state(s, "md5", batch_id)),
+                with_state(store_bands, read_state(s, "bands", batch_id)),
+                with_state(bsh, read_state(s, "shingles", batch_id)),
+                with_state(bsz, read_state(s, "sizes", batch_id)),
+            ).localCheckpoint(eager=True)
+
+        _, rmins, (rsh, rsz), wsig, wave_emb, _, txt_v = run_parallel(
             t_url, t_rmins, t_shingle_state, t_media_state, t_emb_state,
-            t_md5_state,
+            t_md5_state, t_txt,
         )
         url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
-        # --- text gates against base ∪ earlier waves ---
-        txt_v = text_gate_verdicts(
-            bdf,
-            with_state(base_md5, read_state(s, "md5", batch_id)),
-            with_state(store_bands, read_state(s, "bands", batch_id)),
-            with_state(bsh, read_state(s, "shingles", batch_id)),
-            with_state(bsz, read_state(s, "sizes", batch_id)),
-        )
         # --- in-batch text arms (pure first-seen-wins: a SAME-batch
         # smaller-doc_id partner counts exactly like an earlier-batch
         # one) ---
@@ -4642,6 +4703,16 @@ def corpus_gate_xwave_applier(
             .select(F.col("x.vec_id").alias("doc_id"))
             .distinct()
             .withColumn("sb", F.lit(True))
+        )
+        # materialize the four remaining verdict constituents
+        # CONCURRENTLY (each depends only on phase-A frames), so the
+        # final verdict write joins checkpointed batch-sized frames
+        # instead of recomputing every gate chain inside one action
+        near_b, media, sem_v, sem_inb = run_parallel(
+            lambda: near_b.localCheckpoint(eager=True),
+            lambda: media.localCheckpoint(eager=True),
+            lambda: sem_v.localCheckpoint(eager=True),
+            lambda: sem_inb.localCheckpoint(eager=True),
         )
         out = (
             bdf.select("doc_id")
@@ -4926,48 +4997,65 @@ def stream_corpus_pipeline_xwave(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
 
-    url_seen_store = url_seen_store_path(spark, sf_dir, cut)
-    store_bands = signature_bands(
-        spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
-    ).localCheckpoint(eager=True)
-    gate = dedup_gate_store_path(spark, sf_dir, cut)
-    base_md5_l, bsh_l, bsz_l = _gate_setup_frames(spark, gate)
-    base_md5 = base_md5_l.localCheckpoint(eager=True)
-    bsh = bsh_l.localCheckpoint(eager=True)
-    bsz = bsz_l.localCheckpoint(eager=True)
-    base_sig_bands = _phash_band_rows(
-        spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
-            F.col("doc_id") <= cut
-        )
-    ).localCheckpoint(eager=True)
-
+    # setup is all independent store lookups + pinning checkpoints —
+    # run them concurrently (guide §2.6), same as the base pipeline
     e = load_table(spark, sf_dir, "embeddings")
-    sem_base_narrow = (
-        spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
-        .select(
-            "vec_id",
-            "cluster",
-            *[f"s{k}" for k in range(_SEM_K)],
-            F.lit(False).alias("is_wave"),
-        )
-        .localCheckpoint(eager=True)
+    (
+        url_seen_store,
+        store_bands,
+        (base_md5, bsh, bsz),
+        base_sig_bands,
+        sem_base_narrow,
+        sem_base_emb,
+        sem_project,
+        emb,
+        feed,
+    ) = run_parallel(
+        lambda: url_seen_store_path(spark, sf_dir, cut),
+        lambda: signature_bands(
+            spark.read.parquet(base_signature_store_path(spark, sf_dir, cut))
+        ).localCheckpoint(eager=True),
+        lambda: run_parallel(
+            *(
+                (lambda fr: lambda: fr.localCheckpoint(eager=True))(f)
+                for f in _gate_setup_frames(
+                    spark, dedup_gate_store_path(spark, sf_dir, cut)
+                )
+            )
+        ),
+        lambda: _phash_band_rows(
+            spark.read.parquet(phash_store_path(spark, sf_dir)).filter(
+                F.col("doc_id") <= cut
+            )
+        ).localCheckpoint(eager=True),
+        lambda: (
+            spark.read.parquet(sem_base_rank_store_path(spark, sf_dir, cut))
+            .select(
+                "vec_id",
+                "cluster",
+                *[f"s{k}" for k in range(_SEM_K)],
+                F.lit(False).alias("is_wave"),
+            )
+            .localCheckpoint(eager=True)
+        ),
+        lambda: (
+            e.filter(F.col("vec_id") <= cut)
+            .select(
+                F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+            )
+            .localCheckpoint(eager=True)
+        ),
+        lambda: centroid_cosines_udf(
+            [
+                r["embedding"]
+                for r in e.filter(F.col("vec_id") < _SEM_K)
+                .orderBy("vec_id")
+                .collect()
+            ]
+        ),
+        lambda: e.select("vec_id", "embedding").localCheckpoint(eager=True),
+        lambda: _url_wave_feed(spark, sf_dir, cut),
     )
-    sem_base_emb = (
-        e.filter(F.col("vec_id") <= cut)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
-        .localCheckpoint(eager=True)
-    )
-    sem_project = centroid_cosines_udf(
-        [
-            r["embedding"]
-            for r in e.filter(F.col("vec_id") < _SEM_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-    )
-    emb = e.select("vec_id", "embedding").localCheckpoint(eager=True)
-
-    feed = _url_wave_feed(spark, sf_dir, cut)
     wave_schema = d.schema
     target = new_scratch_dir("corpus_xwave_target")
     url_target = new_scratch_dir("corpus_xwave_urlv")
