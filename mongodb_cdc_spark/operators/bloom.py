@@ -514,20 +514,30 @@ def bloom_gate_batch_applier(store_path: str, target: str, state: str):
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_pos"))
         )
-        (
-            n_pos.join(verdict, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.coalesce("n_hit", F.lit(0)) == F.col("n_pos")
-                ).alias("bloom_flagged"),
+        from mongodb_cdc_spark.operators._util import run_parallel
+
+        # verdict write and state-bits commit are independent
+        # projections of the checkpointed positions — overlap them
+        # (guide §2.6); replay semantics unchanged
+        def t_verdict():
+            (
+                n_pos.join(verdict, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.coalesce("n_hit", F.lit(0)) == F.col("n_pos")
+                    ).alias("bloom_flagged"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{target}/batch={batch_id}")
             )
-            .write.mode("overwrite")
-            .parquet(f"{target}/batch={batch_id}")
-        )
-        _pack_words(pos.select("pos")).write.mode("overwrite").parquet(
-            f"{state}/batch={batch_id}"
-        )
+
+        def t_bits():
+            _pack_words(pos.select("pos")).write.mode("overwrite").parquet(
+                f"{state}/batch={batch_id}"
+            )
+
+        run_parallel(t_verdict, t_bits)
 
     return apply_batch
 

@@ -2823,8 +2823,11 @@ def stream_url_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
-    seen_store = url_seen_store_path(spark, sf_dir, cut)
-    feed = _url_wave_feed(spark, sf_dir, cut)
+    # the seen-store lookup and the feed build are independent (§2.6)
+    seen_store, feed = run_parallel(
+        lambda: url_seen_store_path(spark, sf_dir, cut),
+        lambda: _url_wave_feed(spark, sf_dir, cut),
+    )
     wave_schema = d.schema
     target = new_scratch_dir("urlgate_target")
     seen_dir = new_scratch_dir("urlgate_seen")
@@ -3841,19 +3844,26 @@ def stream_semantic_dedup_ingest(
 
     e = load_table(spark, sf_dir, "embeddings")
     cut = int(e.agg(F.expr("(MAX(vec_id) * 9) div 10")).collect()[0][0])
-    base_rank = spark.read.parquet(
-        sem_base_rank_store_path(spark, sf_dir, cut)
-    ).localCheckpoint(eager=True)
-    base_emb = (
-        e.filter(F.col("vec_id") <= cut)
-        .select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb"))
-        .localCheckpoint(eager=True)
+    # independent setup steps run concurrently (guide §2.6)
+    base_rank, base_emb, cents, feed = run_parallel(
+        lambda: spark.read.parquet(
+            sem_base_rank_store_path(spark, sf_dir, cut)
+        ).localCheckpoint(eager=True),
+        lambda: (
+            e.filter(F.col("vec_id") <= cut)
+            .select(
+                F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+            )
+            .localCheckpoint(eager=True)
+        ),
+        lambda: [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < _SEM_K)
+            .orderBy("vec_id")
+            .collect()
+        ],
+        lambda: write_vector_feed(spark, sf_dir),
     )
-    cents = [
-        r["embedding"]
-        for r in e.filter(F.col("vec_id") < _SEM_K).orderBy("vec_id").collect()
-    ]
-    feed = write_vector_feed(spark, sf_dir)
     target = new_scratch_dir("semgate_target")
     ckpt = new_scratch_dir("semgate_ckpt")
     apply_batch = semantic_gate_batch_applier(

@@ -588,21 +588,30 @@ def refcount_gate_batch_applier(base_store: str, target: str, delta_dir: str):
         verdicts = refcount_batch_verdicts(
             s, ev, base_store, delta_dir, batch_id
         ).localCheckpoint(eager=True)
-        verdicts.select(
-            "doc_id",
-            "op",
-            "cnt_before",
-            F.when(F.col("op") == "ins", F.col("cnt_before") >= 1)
-            .otherwise(F.col("cnt_before") == 1)
-            .alias("verdict"),
-        ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
-        (
-            verdicts.groupBy("h")
-            .agg(F.sum("delta").cast("bigint").alias("delta"))
-            .filter(F.col("delta") != 0)
-            .write.mode("overwrite")
-            .parquet(f"{delta_dir}/batch={batch_id}")
-        )
+        from mongodb_cdc_spark.operators._util import run_parallel
+
+        # verdict write and delta commit are independent projections of
+        # the checkpointed verdicts — overlap them (guide §2.6)
+        def t_verdicts():
+            verdicts.select(
+                "doc_id",
+                "op",
+                "cnt_before",
+                F.when(F.col("op") == "ins", F.col("cnt_before") >= 1)
+                .otherwise(F.col("cnt_before") == 1)
+                .alias("verdict"),
+            ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+
+        def t_delta():
+            (
+                verdicts.groupBy("h")
+                .agg(F.sum("delta").cast("bigint").alias("delta"))
+                .filter(F.col("delta") != 0)
+                .write.mode("overwrite")
+                .parquet(f"{delta_dir}/batch={batch_id}")
+            )
+
+        run_parallel(t_verdicts, t_delta)
 
     return apply_batch
 

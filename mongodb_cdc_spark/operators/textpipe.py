@@ -376,12 +376,17 @@ def stream_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_supervised,
     )
 
+    from mongodb_cdc_spark.operators._util import run_parallel
+
     d = load_table(spark, sf_dir, "documents")
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
-    store = spark.read.parquet(
-        eval_gram_store_path(spark, sf_dir)
-    ).localCheckpoint(eager=True)
-    feed = _url_wave_feed(spark, sf_dir, cut)
+    # the gram-store pin and the feed build are independent (§2.6)
+    store, feed = run_parallel(
+        lambda: spark.read.parquet(
+            eval_gram_store_path(spark, sf_dir)
+        ).localCheckpoint(eager=True),
+        lambda: _url_wave_feed(spark, sf_dir, cut),
+    )
     wave_schema = d.schema
     target = new_scratch_dir("decontam_target")
     ckpt = new_scratch_dir("decontam_ckpt")
@@ -2697,27 +2702,40 @@ def stream_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cut = int(d.agg(F.expr("(MAX(doc_id) * 9) div 10")).collect()[0][0])
 
-    base = base_postings_store_path(spark, sf_dir, cut)
-    feed = _dedup_gate_feed(spark, sf_dir, cut)
+    from mongodb_cdc_spark.operators._util import run_parallel
+
+    # the base-store lookup and the feed build are independent (§2.6)
+    base, feed = run_parallel(
+        lambda: base_postings_store_path(spark, sf_dir, cut),
+        lambda: _dedup_gate_feed(spark, sf_dir, cut),
+    )
     wave_schema = d.schema
     target = new_scratch_dir("postings_ingest_target")
     ckpt = new_scratch_dir("postings_ingest_ckpt")
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         delta = _postings_delta(bdf).localCheckpoint(eager=True)
-        delta.write.mode("overwrite").parquet(
-            f"{target}/postings/batch={batch_id}"
-        )
-        (
-            delta.select("doc_id", "dl")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("dl").cast("bigint").alias("dlt"),
+
+        # the postings delta and its stats partial are independent
+        # projections of the checkpointed delta — overlap them (§2.6)
+        def t_postings():
+            delta.write.mode("overwrite").parquet(
+                f"{target}/postings/batch={batch_id}"
             )
-            .write.mode("overwrite")
-            .parquet(f"{target}/stats/batch={batch_id}")
-        )
+
+        def t_stats():
+            (
+                delta.select("doc_id", "dl")
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("dl").cast("bigint").alias("dlt"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{target}/stats/batch={batch_id}")
+            )
+
+        run_parallel(t_postings, t_stats)
 
     def start_query():
         stream = (
