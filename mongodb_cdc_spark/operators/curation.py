@@ -885,7 +885,7 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
     (`ext_dedup_from_store`)."""
     from mongodb_cdc_spark.operators.extensions import (
         _MINHASH_SEEDS,
-        minhash_signatures_from_texts,
+        minhash_signatures_from_shingles,
     )
     from mongodb_cdc_spark.sources.changefeed import scratch_root
 
@@ -902,7 +902,10 @@ def signature_store_path(spark: SparkSession, sf_dir: str) -> str:
         reps = d.groupBy(F.md5("text").alias("h")).agg(
             F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
         )
-        mins = minhash_signatures_from_texts(reps)
+        tok = reps.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+        )
+        mins = minhash_signatures_from_shingles(tok)
         stage = new_stage(path)
         mins.write.mode("overwrite").parquet(stage)
         publish_store(stage, path)
@@ -1706,13 +1709,15 @@ def ext_semantic_dedup_from_store(
 def _sign_reps(reps: DataFrame) -> DataFrame:
     """MinHash-sign a (doc_id, text) representative frame — the same
     shingle/seed geometry as the signature store build (docs under the
-    2-token bigram minimum naturally drop out). Map-side signing:
-    identical values, no explode+groupBy exchange (guide §2.4)."""
+    2-token bigram minimum naturally drop out)."""
     from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_texts,
+        minhash_signatures_from_shingles,
     )
 
-    return minhash_signatures_from_texts(reps)
+    tok = reps.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+    )
+    return minhash_signatures_from_shingles(tok)
 
 
 @query(
@@ -2188,17 +2193,14 @@ def text_gate_verdicts(
     one (band, h) equi-join with the batch side broadcastable; the
     candidate verify touches candidate pairs only, never all-pairs."""
     from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_texts,
+        minhash_signatures_from_shingles,
         signature_bands,
     )
 
     tok = bdf.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
     )
-    # map-side signing: identical signature values, and the batch band
-    # probe's broadcast now builds straight off the batch scan with no
-    # explode+groupBy exchange under it (guide §2.4)
-    mins = minhash_signatures_from_texts(bdf)
+    mins = minhash_signatures_from_shingles(tok)
     # 100 TB shape: every base artifact (band index, shingle index,
     # size map) is corpus-cardinality — the batch side is the small
     # side of every state join, so broadcast it (band probe) or prune

@@ -421,11 +421,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary: many docs share the globally-minimal token hash, the
     # bucket cap evicts the giant buckets, and true j≈0.99 pairs vanish
     # (ext_dedup_recall_eval measured 7/52 recall; bigrams: 52/52).
-    # Signing is map-side (identical values, no explode+groupBy
-    # exchange — guide §2.4).
-    return candidate_pairs_from_signatures(
-        minhash_signatures_from_texts(reps)
+    tok = (
+        reps.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(bigram_shingles("toks")).alias("tok"))
     )
+    mins = minhash_signatures_from_shingles(tok)
+    return candidate_pairs_from_signatures(mins)
 
 
 def minhash_signatures_from_shingles(tok: DataFrame) -> DataFrame:
@@ -439,34 +440,6 @@ def minhash_signatures_from_shingles(tok: DataFrame) -> DataFrame:
             F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"mh{s}")
             for s in range(_MINHASH_SEEDS)
         ]
-    )
-
-
-def minhash_signatures_from_texts(docs: DataFrame) -> DataFrame:
-    """Map-side twin of :func:`minhash_signatures_from_shingles`: the
-    SAME seeded-xxhash64 minhash over the SAME distinct bigram shingles,
-    but computed as ``array_min(transform(shingles, g -> xxhash64(s, g)))``
-    inside whole-stage codegen — no explode, no per-doc shuffle (guide
-    §2.4: the explode+groupBy form pays an exchange purely to reassemble
-    rows the scan already had together). Docs under the 2-token bigram
-    minimum drop out exactly as the grouped form drops them (no shingle
-    rows -> no group; here: empty array -> filtered). Value parity with
-    the grouped form is pinned in tests/test_properties.py."""
-    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
-
-    return (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", bigram_shingles("toks").alias("g"))
-        .filter(F.size("g") > 0)
-        .select(
-            "doc_id",
-            *[
-                F.array_min(
-                    F.transform("g", lambda t: F.xxhash64(F.lit(s), t))
-                ).alias(f"mh{s}")
-                for s in range(_MINHASH_SEEDS)
-            ],
-        )
     )
 
 
@@ -593,8 +566,11 @@ def _capped_pairs_of(docs: DataFrame) -> DataFrame:
     reps = docs.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
     )
+    tok = reps.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+    )
     return candidate_pairs_from_signatures(
-        minhash_signatures_from_texts(reps)
+        minhash_signatures_from_shingles(tok)
     )
 
 
@@ -683,7 +659,13 @@ def ext_dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     sreps = skewed.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text")
     )
-    sbands = signature_bands(minhash_signatures_from_texts(sreps))
+    sbands = signature_bands(
+        minhash_signatures_from_shingles(
+            sreps.select("doc_id", tokens("text").alias("toks")).select(
+                "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
+            )
+        )
+    )
     vb = (
         sbands.groupBy("band", "h")
         .agg(

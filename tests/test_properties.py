@@ -1419,32 +1419,3 @@ def test_skew_variant_bucket_eviction_counts(spark):
     assert _SKEW_VARIANTS > _MAX_BUCKET
     assert candidate_pairs_from_signatures(mins).count() == 0
 
-
-def test_minhash_map_side_signing_parity(spark, sf_dir):
-    """The map-side signer (`minhash_signatures_from_texts`,
-    array_min/transform in codegen — no explode+groupBy exchange) must
-    produce row-for-row identical signatures to the grouped form it
-    replaced on every from-text path, INCLUDING the dropout rule for
-    docs under the 2-token bigram minimum."""
-    from mongodb_cdc_spark.functions.text import bigram_shingles, tokens
-    from mongodb_cdc_spark.io import load_table
-    from mongodb_cdc_spark.operators.extensions import (
-        minhash_signatures_from_shingles,
-        minhash_signatures_from_texts,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # include a sub-minimum doc to pin the dropout rule
-    docs = d.unionByName(
-        spark.createDataFrame([(10**9, "single")], "doc_id long, text string")
-    )
-    grouped = minhash_signatures_from_shingles(
-        docs.select("doc_id", tokens("text").alias("toks")).select(
-            "doc_id", F.explode(bigram_shingles("toks")).alias("tok")
-        )
-    )
-    mapside = minhash_signatures_from_texts(docs)
-    assert mapside.columns == grouped.columns
-    assert mapside.exceptAll(grouped).count() == 0
-    assert grouped.exceptAll(mapside).count() == 0
-    assert mapside.filter(F.col("doc_id") == 10**9).count() == 0
