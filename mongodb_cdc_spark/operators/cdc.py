@@ -1644,11 +1644,17 @@ def cdc_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("de").isNotNull().alias("has_del"),
         )
 
-    s1 = support(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
-        eager=True
-    )
-    s2 = support(feed.filter(F.col("_id") > cut_id)).localCheckpoint(
-        eager=True
+    from mongodb_cdc_spark.operators._util import run_parallel
+
+    # the base-side and delta-side supports are independent — overlap
+    # their materializations (guide §2.6)
+    s1, s2 = run_parallel(
+        lambda: support(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
+            eager=True
+        ),
+        lambda: support(feed.filter(F.col("_id") > cut_id)).localCheckpoint(
+            eager=True
+        ),
     )
     merged = (
         s1.alias("a")
@@ -1669,19 +1675,21 @@ def cdc_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    entered = merged.filter(
-        (F.col("n1") == 0) & (F.col("n_final") > 0)
-    ).count()
-    left = merged.filter(
-        (F.col("n1") > 0) & (F.col("n_final") == 0)
-    ).count()
-    n_base = s1.filter(F.col("n") > 0).count()
+    # the two crossing counts, the base count, and the certification
+    # recompute are four independent actions — overlap them (§2.6)
+    entered, left, n_base, n_full = run_parallel(
+        lambda: merged.filter(
+            (F.col("n1") == 0) & (F.col("n_final") > 0)
+        ).count(),
+        lambda: merged.filter(
+            (F.col("n1") > 0) & (F.col("n_final") == 0)
+        ).count(),
+        lambda: s1.filter(F.col("n") > 0).count(),
+        # certification arm: full recompute over the unsplit feed
+        lambda: support(feed).filter(F.col("n") > 0).count(),
+    )
     # incremental arm: base + crossings
     n_ivm = n_base + entered - left
-    # certification arm: full recompute over the unsplit feed
-    n_full = (
-        support(feed).filter(F.col("n") > 0).count()
-    )
     return spark.createDataFrame(
         [
             (
