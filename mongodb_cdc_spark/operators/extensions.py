@@ -636,16 +636,21 @@ def ext_dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_variant_id = max_id + 1 + _SKEW_REPLICAS
     skewed = d.unionByName(replicas).unionByName(variants)
 
-    pairs_skew = _capped_pairs_of(skewed).localCheckpoint(eager=True)
-    pairs_base = _capped_pairs_of(d).localCheckpoint(eager=True)
+    from mongodb_cdc_spark.operators._util import run_parallel
 
-    n_reps_skew = int(
-        skewed.agg(F.countDistinct(F.md5("text"))).collect()[0][0]
-    )
-    rep_of_seed_group = int(
-        skewed.filter(F.md5("text") == F.md5(F.lit(seed_text)))
-        .agg(F.min("doc_id"))
-        .collect()[0][0]
+    # the skewed-corpus and clean-corpus pair pipelines plus the two
+    # scalar probes are independent — overlap them (guide §2.6)
+    pairs_skew, pairs_base, n_reps_skew, rep_of_seed_group = run_parallel(
+        lambda: _capped_pairs_of(skewed).localCheckpoint(eager=True),
+        lambda: _capped_pairs_of(d).localCheckpoint(eager=True),
+        lambda: int(
+            skewed.agg(F.countDistinct(F.md5("text"))).collect()[0][0]
+        ),
+        lambda: int(
+            skewed.filter(F.md5("text") == F.md5(F.lit(seed_text)))
+            .agg(F.min("doc_id"))
+            .collect()[0][0]
+        ),
     )
     variant_pairs = int(
         pairs_skew.filter(
