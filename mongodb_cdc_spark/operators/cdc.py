@@ -1310,14 +1310,20 @@ def cdc_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("value_cents"),
         )
 
+    from mongodb_cdc_spark.operators._util import run_parallel
+
     # incremental arm: view rows for buffer ∪ delta keys only
     v_cand = merge(
         v1.join(cand_keys, "user_id", "left_semi"),
         d2.join(cand_keys, "user_id", "left_semi"),
     )
-    ivm_top = ivm_rank_top(v_cand).localCheckpoint(eager=True)
-    # certification arm: full recompute, set-compared
-    full_top = ivm_rank_top(merge(v1, d2))
+    # the incremental arm and the certification recompute are
+    # independent K-row materializations over the checkpointed base —
+    # overlap them (guide §2.6)
+    ivm_top, full_top = run_parallel(
+        lambda: ivm_rank_top(v_cand).localCheckpoint(eager=True),
+        lambda: ivm_rank_top(merge(v1, d2)).localCheckpoint(eager=True),
+    )
     # full_outer on ALL columns with presence markers (the join keys
     # themselves coalesce in a named-column full outer, so nullness of a
     # key column can NOT detect one-sided rows): any cell difference
@@ -1462,11 +1468,17 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("de").isNotNull().alias("has_del"),
         )
 
-    s1 = epoch_state(feed.filter(F.col("_id") <= cut_id)).localCheckpoint(
-        eager=True
-    )
-    s2 = epoch_state(feed.filter(F.col("_id") > cut_id)).localCheckpoint(
-        eager=True
+    from mongodb_cdc_spark.operators._util import run_parallel
+
+    # the base-side and delta-side epoch states are independent —
+    # overlap their materializations (guide §2.6)
+    s1, s2 = run_parallel(
+        lambda: epoch_state(
+            feed.filter(F.col("_id") <= cut_id)
+        ).localCheckpoint(eager=True),
+        lambda: epoch_state(
+            feed.filter(F.col("_id") > cut_id)
+        ).localCheckpoint(eager=True),
     )
     # the invalidation probe: bounded 1-row scalar over the delta state
     recompute_triggered = (
@@ -1499,8 +1511,11 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         # since the last tombstone) leave the leaderboard first
         return ivm_rank_top(view.filter(F.col("n_events") > 0))
 
-    full_top = rank_top(merge(s1, s2)).localCheckpoint(eager=True)
+    def t_full():
+        return rank_top(merge(s1, s2)).localCheckpoint(eager=True)
+
     if recompute_triggered:
+        full_top = t_full()
         serve = full_top
     else:
         buffer_keys = (
@@ -1510,12 +1525,17 @@ def cdc_ivm_topk_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id")
         )
         cand_keys = buffer_keys.unionByName(s2.select("user_id")).distinct()
-        serve = rank_top(
-            merge(
-                s1.join(cand_keys, "user_id", "left_semi"),
-                s2.join(cand_keys, "user_id", "left_semi"),
-            )
-        ).localCheckpoint(eager=True)
+        # serve arm ∥ recompute arm (guide §2.6) — both K-row
+        # materializations over the checkpointed epoch states
+        full_top, serve = run_parallel(
+            t_full,
+            lambda: rank_top(
+                merge(
+                    s1.join(cand_keys, "user_id", "left_semi"),
+                    s2.join(cand_keys, "user_id", "left_semi"),
+                )
+            ).localCheckpoint(eager=True),
+        )
     # serve-vs-recompute parity, full-outer with presence markers (the
     # cdc_ivm_topk discipline: key-column nullness cannot detect
     # one-sided rows in a named-column full outer)
