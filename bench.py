@@ -430,23 +430,58 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
-    # The driver tail-captures stdout with a fixed window, so the big
-    # per-query line above can land truncated mid-line (BENCH_r04
-    # "parsed": null). Emit a second, SHORT, final line (~150 bytes) with
-    # the headline numbers only — any tail window that includes the end of
-    # stdout contains this line complete and parseable. Full per-query
-    # detail stays in the first line and BENCH_LOCAL.json.
-    print(json.dumps({
+    # The driver tail-captures stdout with a FIXED 2000-char window and
+    # json-parses the LAST line (BENCH_r01..r11 forensics: r1/r2's full
+    # per-query line parsed because it fit the window; r3/r4's did not and
+    # "parsed" came back empty; r5-r11's short summary line parsed but
+    # carried no "queries" map, which is why PERF_r11.per_query was empty
+    # — round-11 VERDICT "what's wrong" #3 / next-round #2). Restore the
+    # contract in three layers:
+    #   1. the full map stays in the first line + BENCH_LOCAL.json;
+    #   2. the full map is re-emitted as small chunked lines (each
+    #      independently parseable, ~1.4 KB) for any reader that scans
+    #      the tail;
+    #   3. the FINAL line carries the headline numbers PLUS a "queries"
+    #      map of the slowest keys, greedily filled while the whole line
+    #      stays under 1900 bytes — complete and parseable inside any
+    #      2000-char tail, and the slowest keys are exactly the ones a
+    #      round-over-round geomean/scaling comparison needs (the omitted
+    #      tail keys are the sub-second fixed-overhead floor). The full
+    #      list is never reduced anywhere durable: line 1, the chunks,
+    #      and BENCH_LOCAL.json all carry every key.
+    items = sorted(timings.items())
+    part: dict[str, float] = {}
+    parts = [part]
+    for k, v in items:
+        part[k] = v
+        if len(json.dumps(part)) > 1300:
+            part = {}
+            parts.append(part)
+    for i, p in enumerate(pp for pp in parts if pp):
+        print(json.dumps(
+            {"queries_part": i + 1, "of": len([pp for pp in parts if pp]),
+             "queries": p}
+        ))
+    final = {
         "metric": rec["metric"],
         "value": total,
         "unit": "sec",
+        "queries": {},
         "sf": SF_DIR,
         "n_queries": len(timings),
         "cdc_stream_events_per_sec": round(eps, 1),
         "cdc_stream_eps_per_effective_core": eps_per_core,
         "host_st_loop_ms": host_st_ms,
         "host_mt_scale_32": host_mt32,
-    }), flush=True)
+    }
+    budget = 1900 - len(json.dumps(final))
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        cost = len(json.dumps({k: v})) + 1
+        if cost > budget:
+            break
+        final["queries"][k] = v
+        budget -= cost
+    print(json.dumps(final), flush=True)
     spark.stop()
 
 
