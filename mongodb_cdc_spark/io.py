@@ -14,6 +14,9 @@ the scan (verify with ``df.explain``: PushedFilters / ReadSchema).
 
 from __future__ import annotations
 
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +36,43 @@ TABLE_NAMES = (
 )
 
 
+# ------------------------------------------------------------------------
+# Per-query-invocation scan reuse (optimization guide §6 file listing /
+# round-11 VERDICT item 7). Building a parquet scan is driver-side work —
+# footer/schema read, file listing, a handful of py4j round trips — paid on
+# EVERY load_table call. Queries that read the same table several times in
+# one invocation (store builder + eval arms, register_views + direct loads)
+# re-pay it for an identical immutable relation. The registry wrapper opens
+# a scope per query invocation; inside it, load_table returns the SAME lazy
+# DataFrame handle for a repeated (session, sf_dir, table). The scope dies
+# when the invocation returns — nothing persists across queries (reuse
+# across bench/oracle runs would be result caching; this is not: the handle
+# is a lazy plan over the raw parquet, recomputed by every action).
+# Process-global with a depth counter (not thread-local) so run_parallel
+# worker threads inside one invocation share the scope; queries never run
+# concurrently from independent top-level callers in the bench or driver.
+_scan_lock = _threading.Lock()
+_scan_cache: dict | None = None
+_scan_depth = 0
+
+
+@_contextmanager
+def scan_scope():
+    """Scope one query invocation's scan-handle reuse (re-entrant)."""
+    global _scan_cache, _scan_depth
+    with _scan_lock:
+        if _scan_depth == 0:
+            _scan_cache = {}
+        _scan_depth += 1
+    try:
+        yield
+    finally:
+        with _scan_lock:
+            _scan_depth -= 1
+            if _scan_depth == 0:
+                _scan_cache = None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table as a lazy DataFrame scan.
 
@@ -43,12 +83,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double's 2^53 exact-integer range, so float division would corrupt
     timestamps.
     """
+    key = (id(spark), sf_dir, name)
+    with _scan_lock:
+        if _scan_cache is not None and key in _scan_cache:
+            return _scan_cache[key]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
         )
+    with _scan_lock:
+        if _scan_cache is not None:
+            _scan_cache[key] = df
     return df
 
 

@@ -61,10 +61,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @_functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from mongodb_cdc_spark.io import scan_scope
             from mongodb_cdc_spark.session import ensure_session_confs
 
             ensure_session_confs(spark)
-            return fn(spark, sf_dir)
+            # scan_scope: repeated load_table calls WITHIN this one
+            # invocation return the same lazy scan handle (io.py); the
+            # scope dies when the invocation returns, so nothing is
+            # reused across queries or runs.
+            with scan_scope():
+                return fn(spark, sf_dir)
 
         QUERIES[key] = wrapped
         if oracle is not None:

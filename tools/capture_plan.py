@@ -22,7 +22,7 @@ def main() -> None:
         df = getattr(extensions, key[4:])(spark, sf)
     else:
         df = QUERIES[key](spark, sf)
-    print(df._sc is None if False else df._jdf.queryExecution().explainString(
+    print(df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     ))
     spark.stop()
