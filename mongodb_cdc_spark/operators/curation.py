@@ -52,6 +52,7 @@ from mongodb_cdc_spark.io import load_table
 from mongodb_cdc_spark.registry import query
 from mongodb_cdc_spark.operators._util import (
     new_stage,
+    no_codegen,
     publish_store,
     run_parallel,
 )
@@ -3283,13 +3284,16 @@ def corpus_gate_batch_applier(
                 F.broadcast(bdf.select("doc_id")),
                 F.col("doc_id") == F.col("vec_id"),
             ).select("vec_id", "embedding")
-            return (
-                semantic_gate_verdicts(
-                    wave_emb, sem_base_narrow, sem_base_emb, sem_project
+            # no_codegen: the verify join's unrolled cosine fails
+            # whole-stage compilation every batch before interpreting
+            with no_codegen(s):
+                return (
+                    semantic_gate_verdicts(
+                        wave_emb, sem_base_narrow, sem_base_emb, sem_project
+                    )
+                    .withColumnRenamed("vec_id", "doc_id")
+                    .localCheckpoint(eager=True)
                 )
-                .withColumnRenamed("vec_id", "doc_id")
-                .localCheckpoint(eager=True)
-            )
 
         _, txt_v, media, sem_v = run_parallel(t_url, t_txt, t_media, t_sem)
         url_v = s.read.parquet(f"{url_target}/batch={batch_id}")
@@ -3730,12 +3734,15 @@ def semantic_gate_batch_applier(
     )
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
-        semantic_gate_verdicts(
-            bdf.filter(F.col("vec_id") > cut).select("vec_id", "embedding"),
-            base_narrow,
-            base_emb,
-            project,
-        ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
+        # no_codegen: the verify join's unrolled cosine fails whole-stage
+        # compilation every batch before interpreting — skip the attempt
+        with no_codegen(bdf.sparkSession):
+            semantic_gate_verdicts(
+                bdf.filter(F.col("vec_id") > cut).select("vec_id", "embedding"),
+                base_narrow,
+                base_emb,
+                project,
+            ).write.mode("overwrite").parquet(f"{target}/batch={batch_id}")
 
     return apply_batch
 
@@ -4742,12 +4749,17 @@ def corpus_gate_xwave_applier(
         # CONCURRENTLY (each depends only on phase-A frames), so the
         # final verdict write joins checkpointed batch-sized frames
         # instead of recomputing every gate chain inside one action
-        near_b, media, sem_v, sem_inb = run_parallel(
-            lambda: near_b.localCheckpoint(eager=True),
-            lambda: media.localCheckpoint(eager=True),
-            t_sem_v,
-            lambda: sem_inb.localCheckpoint(eager=True),
-        )
+        # no_codegen: the semantic verify join and the in-batch all-pairs
+        # arm both fuse the unrolled cosine into join codegen that fails
+        # janino every batch before interpreting; the sibling frames in
+        # this phase are batch-sized and codegen-insensitive
+        with no_codegen(s):
+            near_b, media, sem_v, sem_inb = run_parallel(
+                lambda: near_b.localCheckpoint(eager=True),
+                lambda: media.localCheckpoint(eager=True),
+                t_sem_v,
+                lambda: sem_inb.localCheckpoint(eager=True),
+            )
         out = (
             bdf.select("doc_id")
             .join(url_v, "doc_id")

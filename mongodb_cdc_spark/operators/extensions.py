@@ -1899,6 +1899,8 @@ def _cluster_invariants(spark: SparkSession, sf_dir: str, labels_fn) -> DataFram
     driver-hashable CC invariants — shared by `ext_dedup_cluster`
     (from-text) and `ext_dedup_cluster_from_store` (persisted
     signatures), which must produce identical rows."""
+    from mongodb_cdc_spark.operators._util import run_parallel
+
     d = load_table(spark, sf_dir, "documents")
     # materialize ONCE — the fixpoint frontier is already checkpointed
     # inside the label build, but the final isolated-doc join is
@@ -1917,23 +1919,31 @@ def _cluster_invariants(spark: SparkSession, sf_dir: str, labels_fn) -> DataFram
         F.sum("c").alias("k"),
         F.sum(F.expr("c * (c - 1) div 2")).alias("same_pairs"),
     )
-    pair_stats = per_group.agg(
-        F.coalesce(F.sum(F.expr("k * (k - 1) div 2")), F.lit(0)).alias("total_pairs"),
-        F.coalesce(
-            F.sum(F.expr("k * (k - 1) div 2 - same_pairs")), F.lit(0)
-        ).alias("split_pairs"),
-    ).collect()[0]
     non_self = (
         labels.select(F.col("label").alias("doc_id"))
         .distinct()
         .join(labels.filter(F.col("doc_id") == F.col("label")), "doc_id", "left_anti")
     )
-    lab_stats = labels.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.when(F.col("label") > F.col("doc_id"), 1)), F.lit(0)
-        ).alias("gt_v"),
-    ).collect()[0]
+    # the three invariant reductions are independent scans of the
+    # checkpointed labels (+ the doc table for the pair stats) — run
+    # them concurrently (guide §2.6)
+    pair_stats, lab_stats, n_non_self = run_parallel(
+        lambda: per_group.agg(
+            F.coalesce(F.sum(F.expr("k * (k - 1) div 2")), F.lit(0)).alias(
+                "total_pairs"
+            ),
+            F.coalesce(
+                F.sum(F.expr("k * (k - 1) div 2 - same_pairs")), F.lit(0)
+            ).alias("split_pairs"),
+        ).collect()[0],
+        lambda: labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("label") > F.col("doc_id"), 1)), F.lit(0)
+            ).alias("gt_v"),
+        ).collect()[0],
+        lambda: non_self.count(),
+    )
     return spark.createDataFrame(
         [
             (
@@ -1941,7 +1951,7 @@ def _cluster_invariants(spark: SparkSession, sf_dir: str, labels_fn) -> DataFram
                 int(pair_stats["total_pairs"]),
                 int(lab_stats["gt_v"]),
                 int(pair_stats["split_pairs"]),
-                non_self.count(),
+                n_non_self,
             )
         ],
         "n_docs bigint, n_exact_dup_pairs bigint, label_gt_doc_violations bigint, "
@@ -2662,6 +2672,7 @@ def ext_bitext_mine_from_store(
     from pyspark.sql.window import Window
 
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators._util import no_codegen
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -2705,16 +2716,19 @@ def ext_bitext_mine_from_store(
             "bucket",
         )
     )
-    scored = (
-        pasg.join(en_b, "bucket")
-        .select(
-            "probe_id",
-            "probe_lang",
-            "cand_id",
-            F.expr(cosine_unrolled_sql("pemb", "cemb")).alias("c"),
+    # no_codegen: the bucket join's unrolled cosine fails whole-stage
+    # compilation before interpreting — skip the doomed compile
+    with no_codegen(spark):
+        scored = (
+            pasg.join(en_b, "bucket")
+            .select(
+                "probe_id",
+                "probe_lang",
+                "cand_id",
+                F.expr(cosine_unrolled_sql("pemb", "cemb")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     ranked = scored.withColumn(
         "rk",
         F.row_number().over(
@@ -2931,6 +2945,7 @@ def ext_bitext_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same operands, the same (cs DESC, cand_id ASC) total order, the
     same e6 floors — bit-exact vs the unchanged oracle."""
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
+    from mongodb_cdc_spark.operators._util import no_codegen, run_parallel
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -2953,14 +2968,20 @@ def ext_bitext_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "embedding", "bucket")
         )
 
-    en = with_bucket(
-        d.filter(F.col("lang") == "en").select("doc_id")
-    ).localCheckpoint(eager=True)
-    pasg = with_bucket(
-        d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64)).select(
-            "doc_id"
-        )
-    ).localCheckpoint(eager=True)
+    # independent setup arms + independent truth/bucketed arms overlap
+    # (guide 2.6); the truth/bucketed arms' unrolled-cosine aggregates
+    # fail whole-stage compilation before interpreting, so the doomed
+    # compile is skipped (no_codegen) — results unchanged
+    en, pasg = run_parallel(
+        lambda: with_bucket(
+            d.filter(F.col("lang") == "en").select("doc_id")
+        ).localCheckpoint(eager=True),
+        lambda: with_bucket(
+            d.filter((F.col("lang") != "en") & (F.col("doc_id") < 64)).select(
+                "doc_id"
+            )
+        ).localCheckpoint(eager=True),
+    )
 
     pc = cosine_unrolled_sql("pemb", "cemb")
     # rank-1 per probe as one aggregate: max over the (cs, -cand_id)
@@ -2973,50 +2994,57 @@ def ext_bitext_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("cs"), (-F.col("cand_id")).alias("nid")),
     ).alias("t")
 
-    bru = (
-        pasg.select(
-            F.col("doc_id").alias("probe_id"), F.col("embedding").alias("pemb")
-        )
-        .crossJoin(
-            en.select(
-                F.col("doc_id").alias("cand_id"),
-                F.col("embedding").alias("cemb"),
+    def t_bru():
+        return (
+            pasg.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("embedding").alias("pemb"),
             )
+            .crossJoin(
+                en.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("embedding").alias("cemb"),
+                )
+            )
+            .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+            .groupBy("probe_id")
+            .agg(top1)
+            .select(
+                "probe_id",
+                F.col("t.cand_id").alias("bcid"),
+                F.col("t.cs").alias("bcs"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
-        .groupBy("probe_id")
-        .agg(top1)
-        .select(
-            "probe_id",
-            F.col("t.cand_id").alias("bcid"),
-            F.col("t.cs").alias("bcs"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    bkt = (
-        pasg.select(
-            F.col("doc_id").alias("probe_id"),
-            F.col("embedding").alias("pemb"),
-            "bucket",
-        )
-        .join(
-            en.select(
-                F.col("doc_id").alias("cand_id"),
-                F.col("embedding").alias("cemb"),
+
+    def t_bkt():
+        return (
+            pasg.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("embedding").alias("pemb"),
                 "bucket",
-            ),
-            "bucket",
+            )
+            .join(
+                en.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("embedding").alias("cemb"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
+            .groupBy("probe_id")
+            .agg(top1)
+            .select(
+                "probe_id",
+                F.col("t.cand_id").alias("kcid"),
+                F.col("t.cs").alias("kcs"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .select("probe_id", "cand_id", F.expr(pc).alias("cs"))
-        .groupBy("probe_id")
-        .agg(top1)
-        .select(
-            "probe_id",
-            F.col("t.cand_id").alias("kcid"),
-            F.col("t.cs").alias("kcs"),
-        )
-        .localCheckpoint(eager=True)
-    )
+
+    with no_codegen(spark):
+        bru, bkt = run_parallel(t_bru, t_bkt)
     both = bru.join(bkt, "probe_id")
     n_probes = bru.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
     n_bucketed = bkt.agg(
@@ -3136,7 +3164,7 @@ def ext_bitext_multiprobe_recall(
     from pyspark.sql.window import Window
 
     from mongodb_cdc_spark.functions.vectors import centroid_cosines_udf
-    from mongodb_cdc_spark.operators._util import run_parallel
+    from mongodb_cdc_spark.operators._util import no_codegen, run_parallel
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -3259,7 +3287,8 @@ def ext_bitext_multiprobe_recall(
             .localCheckpoint(eager=True)
         )
 
-    bru, bkt = run_parallel(t_bru, t_bkt)
+    with no_codegen(spark):
+        bru, bkt = run_parallel(t_bru, t_bkt)
     n_probes = bru.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probes")
     )

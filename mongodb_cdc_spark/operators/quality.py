@@ -1988,7 +1988,17 @@ def maintenance_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = encode(e.filter(F.col("vec_id") <= cutoff))
     wave = encode(e.filter(F.col("vec_id") > cutoff))
-    merged = base.unionByName(wave)
+    # Round 12 (guide §5 / §3.3 "materialise an intermediate to truncate
+    # the plan"): the three output aggregates each re-planned the encode
+    # chain (22 parquet scans in the before plan, and the giant unrolled
+    # PQ-distance projection is big enough that whole-stage codegen FAILS
+    # janino compilation and falls back to interpreted eval — paying the
+    # failed compile per duplicated arm). Materialize the merged encoding
+    # ONCE (narrow: vec_id, bucket, packed) and derive every aggregate
+    # from it: encode runs once, the codegen fallback is paid once.
+    # n_wave counts merged rows above the cutoff — identical to
+    # count(wave) since encode is a 1:1 projection of its input slice.
+    merged = base.unionByName(wave).localCheckpoint(eager=True)
     store = spark.read.parquet(pq_store_path(spark, sf_dir)).select(
         "vec_id",
         F.col("bucket").alias("sbucket"),
@@ -2007,9 +2017,14 @@ def maintenance_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("merge_mismatches")
     )
     return (
-        merged.agg(F.count(F.lit(1)).cast("bigint").alias("n_codes"))
-        .crossJoin(
-            wave.agg(F.count(F.lit(1)).cast("bigint").alias("n_wave"))
+        merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+            F.coalesce(
+                F.sum(F.when(F.col("vec_id") > cutoff, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_wave"),
         )
         .crossJoin(checks)
         .select("n_codes", "n_wave", "merge_mismatches")

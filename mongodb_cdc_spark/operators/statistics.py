@@ -1596,7 +1596,19 @@ def stat_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cum") - F.col("c") < F.expr("(n + 1) div 2"))
         ).select("flag", F.col(val).alias(alias))
 
-    vt = x.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    # Round 12 (guide §5 / §3.3): the lazy one-plan form re-planned the
+    # (flag, cents) count table FOUR times (4 lineitem scans + 4 groupBy
+    # exchanges in the before plan — dt appears in the final agg and in
+    # mad's branch, and each dt copy re-expands vt + med) with no
+    # exchange reuse. The two shared type tables are domain-bounded and
+    # narrow; materializing each once collapses the plan to one fact
+    # scan + one fact aggregate, then windows/joins over tiny frames.
+    # Values are untouched — same aggregates, same median picks.
+    vt = (
+        x.groupBy("flag", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     med = _median_pick(vt, "cents", "med_cents")
     dt = (
         vt.join(F.broadcast(med), "flag")
@@ -1608,6 +1620,7 @@ def stat_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("flag", "med_cents", "d")
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
     )
     mad = _median_pick(dt, "d", "mad_cents")
     return (

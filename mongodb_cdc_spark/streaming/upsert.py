@@ -444,14 +444,28 @@ def foreach_batch_upsert_with_dlq(target: MergeTarget, dlq_path: str):
     js:286-299) and a bounded quarantine a human inspects later."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        bad = batch_df.filter(invalid_event_predicate())
-        if bad.limit(1).count() > 0:
+        from mongodb_cdc_spark.operators._util import run_parallel
+
+        # Round 12 (guide §1.2/§2.6): the old shape ran three sequential
+        # jobs per micro-batch — a bad.limit(1).count() existence probe,
+        # the quarantine append, then the MERGE. The probe is dropped
+        # (an append of a bad-free batch writes a zero-row part file:
+        # same DLQ rows, and the path always carries a schema for the
+        # final read), and the quarantine append overlaps the MERGE —
+        # they share no output (different directories) and each scans
+        # the micro-batch independently.
+        def t_dlq():
             (
-                bad.withColumn("batch_id", F.lit(epoch_id))
+                batch_df.filter(invalid_event_predicate())
+                .withColumn("batch_id", F.lit(epoch_id))
                 .write.mode("append")
                 .parquet(dlq_path)
             )
-        good = batch_df.filter(~invalid_event_predicate())
-        target.merge_batch(upsert_projection(good), epoch_id)
+
+        def t_merge():
+            good = batch_df.filter(~invalid_event_predicate())
+            target.merge_batch(upsert_projection(good), epoch_id)
+
+        run_parallel(t_dlq, t_merge)
 
     return fn
