@@ -87,7 +87,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with _scan_lock:
         if _scan_cache is not None and key in _scan_cache:
             return _scan_cache[key]
-    ensure_session_confs(spark)
+        # inside a scan scope the registry wrapper already ran
+        # ensure_session_confs on this session (it opens the scope right
+        # after) — skip re-asserting ~8 confs per load via py4j
+        confs_done = (
+            _scan_cache is not None and ("__confs__", id(spark)) in _scan_cache
+        )
+    if not confs_done:
+        ensure_session_confs(spark)
+        with _scan_lock:
+            if _scan_cache is not None:
+                _scan_cache[("__confs__", id(spark))] = True
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
@@ -105,6 +115,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API surface."""
-    for n in TABLE_NAMES:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    """Register every table as a temp view for the SQL API surface.
+
+    Round 12 (guide §2.6/§6): building one parquet scan is ~0.1 s of
+    driver-side work (footer read, listing, py4j round trips); ~50
+    registered queries call this, and the sequential 10-table loop cost
+    ~1 s per call. The ten loads are independent — run them from the
+    shared bounded pool. View registration itself stays in the caller
+    thread (catalog mutation order is irrelevant; names are distinct)."""
+    from mongodb_cdc_spark.operators._util import run_parallel
+
+    frames = run_parallel(
+        *((lambda name: lambda: load_table(spark, sf_dir, name))(n)
+          for n in TABLE_NAMES)
+    )
+    for n, df in zip(TABLE_NAMES, frames):
+        df.createOrReplaceTempView(n)
